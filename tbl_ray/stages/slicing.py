@@ -1,0 +1,59 @@
+"""Ordered row-slice semantics (``--head`` / ``--tail`` / ``--offset``).
+
+The reference slices the multi-file stream in file-concatenation order
+*before* any sort (crates/tbl-cli/src/transform.rs:588-607; order fixed at
+transform.rs:5-24): ``offset`` = ``slice(n, MAX)``, ``head`` = ``slice(0, n)``,
+``tail`` = last n rows.
+
+Ray Data mapping and scale notes:
+- ``head`` -> ``ds.limit(n)`` under ``preserve_order`` — streaming, early-stops
+  the read; only ~n rows ever materialize.
+- ``offset [+ head]`` -> ``ds.limit(offset + head)`` then
+  ``split_at_indices([offset])[1]`` — materializes only the window, never the
+  full dataset, provided ``head`` is given. A bare ``offset`` (rare) has no
+  upper bound and must materialize the remainder.
+- ``tail`` -> needs the total row count (one counting pass; free from parquet
+  footers when no filter precedes — see
+  :func:`tbl_ray.sources.parquet.file_slice_plan` for the metadata-pushdown
+  fast path used by the pipeline planner), then ``split_at_indices``.
+
+These semantics are inherently ordered; we flip
+``DataContext.execution_options.preserve_order`` on for the slicing run.
+"""
+
+from __future__ import annotations
+
+import ray.data
+from ray.data import DataContext
+
+
+def _ensure_ordered() -> None:
+    DataContext.get_current().execution_options.preserve_order = True
+
+
+def ordered_slice(
+    ds: "ray.data.Dataset",
+    *,
+    offset: int | None = None,
+    head: int | None = None,
+    tail: int | None = None,
+) -> "ray.data.Dataset":
+    """Apply offset -> head -> tail in the reference's order."""
+    _ensure_ordered()
+
+    start = offset or 0
+    if head is not None:
+        # window [start, start + head): bound the stream first so only the
+        # window is ever materialized.
+        ds = ds.limit(start + head)
+        if start > 0:
+            ds = ds.split_at_indices([start])[1]
+    elif start > 0:
+        ds = ds.split_at_indices([start])[1]
+
+    if tail is not None:
+        n = ds.count()
+        cut = max(n - tail, 0)
+        if cut > 0:
+            ds = ds.split_at_indices([cut])[1]
+    return ds
