@@ -1,0 +1,343 @@
+"""``fsst`` codec — Fast Static Symbol Table string compression.
+
+From-scratch implementation of the FSST scheme published by Boncz,
+Neumann & Leis (VLDB 2020, public paper): a per-chunk table of up to 255
+learned symbols of 1–8 bytes, codes 0–254, with code 255 as an escape
+prefix for a literal byte. Natural winner for natural-language ``text`` /
+``url`` columns (SURVEY.md §6).
+
+Implementation notes (SURVEY.md §7.4.3 — numpy-vectorized throughout):
+
+- **Training** runs on a bounded sample (≤16 KiB) in plain Python — a few
+  greedy-encode generations counting symbol and adjacent-pair gains
+  (gain = freq × len), keeping the top 255. Cost is amortized over the
+  whole chunk.
+- **Encode** concatenates the column's data buffer and splits it into
+  fixed-size segments; one cursor per segment advances greedily
+  (longest-match-first, lengths 8→1 via per-length sorted uint64 prefix
+  tables + ``searchsorted``), so every loop iteration is vectorized over
+  *all* segments while iterations are bounded by the segment size.
+  Matches may cross string boundaries (harmless — original string offsets
+  are stored separately) but never segment boundaries.
+- **Decode** is a single vectorized pass: escape positions resolve via the
+  255-run parity trick (within a maximal run of 255 bytes, escapes sit at
+  even offsets — a run can only start in the escape role because a
+  non-255 predecessor is never an escape), then symbol bytes scatter via
+  repeat/cumsum offset arithmetic. Segment starts reset the parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tbl_ray.codecs.base import (
+    binary_from_parts,
+    binary_parts,
+    is_binary_like,
+    register,
+)
+from tbl_ray.codecs.bitutil import bits_needed, pack, unpack
+
+_ESC = 255
+_MAX_SYM = 8
+_MAX_TABLE = 255
+_SEG = 512
+_TRAIN_SAMPLE = 16384
+_TRAIN_GENERATIONS = 4
+
+
+# ---------------------------------------------------------------------------
+# training (python, bounded sample)
+# ---------------------------------------------------------------------------
+
+
+def train_symbols(sample: bytes) -> list[bytes]:
+    """Learn up to 255 symbols (1-8 bytes) maximizing freq × len gain."""
+    if not sample:
+        return []
+    sample = sample[:_TRAIN_SAMPLE]
+    symbols: list[bytes] = []
+    for _ in range(_TRAIN_GENERATIONS):
+        by_len: dict[int, set[bytes]] = {}
+        for s in symbols:
+            by_len.setdefault(len(s), set()).add(s)
+        lens = sorted(by_len, reverse=True)
+        seq: list[bytes] = []
+        pos, n = 0, len(sample)
+        while pos < n:
+            emitted = None
+            for L in lens:
+                cand = sample[pos : pos + L]
+                if len(cand) == L and cand in by_len[L]:
+                    emitted = cand
+                    break
+            if emitted is None:
+                emitted = sample[pos : pos + 1]
+            seq.append(emitted)
+            pos += len(emitted)
+        gains: dict[bytes, int] = {}
+        for s in seq:
+            gains[s] = gains.get(s, 0) + len(s)
+        for a, b in zip(seq, seq[1:]):
+            pair = a + b
+            if len(pair) <= _MAX_SYM:
+                gains[pair] = gains.get(pair, 0) + len(pair)
+        symbols = [
+            s
+            for s, _ in sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_MAX_TABLE
+            ]
+        ]
+    return symbols
+
+
+_HASH_BITS = 14
+_HASH_SIZE = 1 << _HASH_BITS
+
+
+def _hash3(first3: np.ndarray) -> np.ndarray:
+    """Fibonacci hash of a 3-byte prefix -> table slot (paper §3.2 style)."""
+    return ((first3 * np.uint64(2654435769)) >> np.uint64(32 - _HASH_BITS)) & np.uint64(
+        _HASH_SIZE - 1
+    )
+
+
+def _encode_tables(symbols: list[bytes]):
+    """Build the paper-style match structures:
+
+    - ``long``: hash table on the first 3 bytes for symbols of length >= 3
+      (one candidate per slot; losers on hash conflict are simply never
+      emitted — decode still knows them, compression just loses a little);
+    - ``short2``: direct-indexed uint16 -> code for 2-byte symbols;
+    - ``short1``: direct-indexed byte -> code for 1-byte symbols.
+    """
+    long_val = np.zeros(_HASH_SIZE, dtype=np.uint64)  # symbol bytes, big-endian
+    long_len = np.zeros(_HASH_SIZE, dtype=np.int64)  # 0 = empty slot
+    long_code = np.full(_HASH_SIZE, _ESC, dtype=np.uint8)
+    short2 = np.full(65536, _ESC, dtype=np.uint8)
+    short1 = np.full(256, _ESC, dtype=np.uint8)
+    for code, s in enumerate(symbols):
+        L = len(s)
+        if L >= 3:
+            first3 = np.uint64(int.from_bytes(s[:3], "big"))
+            slot = int(_hash3(np.array([first3], dtype=np.uint64))[0])
+            if long_len[slot] == 0:  # first (highest-gain) symbol wins
+                long_val[slot] = int.from_bytes(s, "big")
+                long_len[slot] = L
+                long_code[slot] = code
+        elif L == 2:
+            short2[int.from_bytes(s, "big")] = code
+        else:
+            short1[s[0]] = code
+    return long_val, long_len, long_code, short2, short1
+
+
+# ---------------------------------------------------------------------------
+# vectorized encode
+# ---------------------------------------------------------------------------
+
+
+def _encode_stream(data: np.ndarray, symbols: list[bytes]):
+    """uint8 data -> (encoded uint8 stream, per-segment encoded lengths).
+
+    One cursor per segment walks greedily; every loop iteration advances all
+    still-active segments by one emitted symbol, with matching done by pure
+    gathers into the hash/direct tables — work is O(visited positions), i.e.
+    O(output symbols), never O(positions × lengths).
+    """
+    M = len(data)
+    n_segs = (M + _SEG - 1) // _SEG
+    if M == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+
+    long_val, long_len, long_code, short2, short1 = _encode_tables(symbols)
+    data_p = np.concatenate([data, np.zeros(_MAX_SYM, np.uint8)])
+    # 8-byte big-endian window at every position (two passes over the data)
+    w64 = (
+        np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(data_p, _MAX_SYM)[:M]
+        )
+        .view(">u8")
+        .ravel()
+        .astype(np.uint64)
+    )
+
+    seg_starts = np.arange(n_segs, dtype=np.int64) * _SEG
+    seg_ends = np.minimum(seg_starts + _SEG, M)
+    cursors = seg_starts.copy()
+    seg_ids_all: list[np.ndarray] = []
+    codes_all: list[np.ndarray] = []
+    esc_all: list[np.ndarray] = []
+    pos_list: list[np.ndarray] = []
+
+    active_idx = np.arange(n_segs, dtype=np.int64)
+    while len(active_idx):
+        cur = cursors[active_idx]
+        w = w64[cur]
+        room = seg_ends[active_idx] - cur
+
+        # long match: single hash-slot candidate on the 3-byte prefix
+        slot = _hash3(w >> np.uint64(40))
+        sl = long_len[slot]
+        sv = long_val[slot]
+        lshift = (np.uint64(8) * (np.uint64(_MAX_SYM) - sl.astype(np.uint64)))
+        long_ok = (sl > 0) & (sl <= room) & ((w >> lshift) == sv)
+
+        c2 = short2[(w >> np.uint64(48)).astype(np.int64)]
+        two_ok = (c2 != _ESC) & (room >= 2)
+        c1 = short1[(w >> np.uint64(56)).astype(np.int64)]
+        one_ok = c1 != _ESC
+
+        mcode = np.where(
+            long_ok, long_code[slot], np.where(two_ok, c2, c1)
+        ).astype(np.uint8)
+        mlen = np.where(long_ok, sl, np.where(two_ok, 2, 1))
+        esc = ~(long_ok | two_ok | one_ok)
+        # escapes: emit 255 + literal; here record code=255, len=1
+        mcode = np.where(esc, _ESC, mcode).astype(np.uint8)
+
+        seg_ids_all.append(active_idx.copy())
+        codes_all.append(mcode)
+        esc_all.append(esc)
+        pos_list.append(cur)
+
+        cursors[active_idx] = cur + np.where(esc, 1, mlen)
+        still = cursors[active_idx] < seg_ends[active_idx]
+        active_idx = active_idx[still]
+
+    seg_ids = np.concatenate(seg_ids_all)
+    codes = np.concatenate(codes_all)
+    escs = np.concatenate(esc_all)
+    lits = data[np.concatenate(pos_list)]  # literal byte (used where escaped)
+    # iteration-major -> segment-major (stable keeps iteration order per seg)
+    order = np.argsort(seg_ids, kind="stable")
+    seg_ids, codes, lits, escs = seg_ids[order], codes[order], lits[order], escs[order]
+
+    out_lens = 1 + escs.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(out_lens)))
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    out[offs[:-1]] = codes
+    out[offs[:-1][escs] + 1] = lits[escs]
+    seg_enc_lens = np.bincount(seg_ids, weights=out_lens, minlength=n_segs).astype(
+        np.int64
+    )
+    return out, seg_enc_lens
+
+
+# ---------------------------------------------------------------------------
+# vectorized decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_stream(
+    enc: np.ndarray, seg_enc_lens: np.ndarray, symbols: list[bytes], out_size: int
+) -> np.ndarray:
+    if len(enc) == 0:
+        return np.zeros(0, np.uint8)
+    n = len(enc)
+    seg_start_pos = np.concatenate(([0], np.cumsum(seg_enc_lens)))[:-1]
+    is_seg_start = np.zeros(n, dtype=bool)
+    is_seg_start[seg_start_pos[seg_start_pos < n]] = True
+
+    is255 = enc == _ESC
+    prev255 = np.concatenate(([False], is255[:-1]))
+    run_start = is255 & (~prev255 | is_seg_start)
+    # position parity within each maximal 255-run (reset at segment starts)
+    run_id = np.cumsum(run_start)
+    pos_all = np.arange(n)
+    start_pos_of_run = np.zeros(n, dtype=np.int64)
+    if run_start.any():
+        starts = pos_all[run_start]
+        start_pos_of_run = starts[np.maximum(run_id - 1, 0)]
+    pos_in_run = pos_all - start_pos_of_run
+    is_escape = is255 & (pos_in_run % 2 == 0)
+    is_literal = np.concatenate(([False], is_escape[:-1])) & ~is_seg_start
+
+    # lookup table: learned symbols then 256 single-byte pseudo-symbols
+    sym_data = np.frombuffer(
+        b"".join(symbols) + bytes(range(256)), dtype=np.uint8
+    )
+    sym_starts = np.zeros(_MAX_TABLE + 256 + 1, dtype=np.int64)
+    lens = np.ones(_MAX_TABLE + 256, dtype=np.int64)
+    off = 0
+    for code, s in enumerate(symbols):
+        sym_starts[code] = off
+        lens[code] = len(s)
+        off += len(s)
+    for b in range(256):
+        sym_starts[_MAX_TABLE + b] = off + b
+
+    eff_code = enc.astype(np.int64)
+    eff_code[is_literal] = enc[is_literal].astype(np.int64) + _MAX_TABLE
+    emit = ~is_escape  # literals and symbol codes emit; escape markers don't
+    e_codes = eff_code[emit]
+    e_lens = lens[e_codes]
+    out_offs = np.concatenate(([0], np.cumsum(e_lens)))
+    total = int(out_offs[-1])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], e_lens)
+    src = np.repeat(sym_starts[e_codes], e_lens) + intra
+    out = sym_data[src]
+    if total != out_size:
+        raise ValueError(f"fsst decode size mismatch: {total} != {out_size}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+
+class FsstCodec:
+    name = "fsst"
+
+    def supports(self, dtype: pa.DataType) -> bool:
+        return is_binary_like(dtype)
+
+    def encode(self, arr: pa.Array) -> tuple[dict, list[bytes]]:
+        offsets, data = binary_parts(arr)
+        n = len(arr)
+        symbols = train_symbols(data[:_TRAIN_SAMPLE].tobytes())
+        enc, seg_enc_lens = _encode_stream(data, symbols)
+
+        str_lens = np.diff(offsets).astype(np.uint64)
+        sl_width = bits_needed(int(str_lens.max())) if n else 0
+        el_width = (
+            bits_needed(int(seg_enc_lens.max())) if len(seg_enc_lens) else 0
+        )
+        symtab = bytes([len(s) for s in symbols]) + b"".join(symbols)
+        params = {
+            "n_syms": len(symbols),
+            "seg": _SEG,
+            "n_segs": int(len(seg_enc_lens)),
+            "data_len": int(len(data)),
+            "sl_width": sl_width,
+            "el_width": el_width,
+        }
+        return params, [
+            symtab,
+            enc.tobytes(),
+            pack(seg_enc_lens.astype(np.uint64), el_width),
+            pack(str_lens, sl_width),
+        ]
+
+    def decode(self, params, buffers, n, dtype):
+        symtab, enc_b, seg_b, sl_b = buffers
+        n_syms = params["n_syms"]
+        lens = list(symtab[:n_syms])
+        body = symtab[n_syms:]
+        symbols, off = [], 0
+        for L in lens:
+            symbols.append(body[off : off + L])
+            off += L
+        seg_enc_lens = unpack(seg_b, params["el_width"], params["n_segs"]).astype(
+            np.int64
+        )
+        enc = np.frombuffer(enc_b, dtype=np.uint8)
+        data = _decode_stream(enc, seg_enc_lens, symbols, params["data_len"])
+        str_lens = unpack(sl_b, params["sl_width"], n).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(str_lens)))
+        return binary_from_parts(offsets, data, dtype)
+
+
+register(FsstCodec())

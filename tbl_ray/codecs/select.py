@@ -1,0 +1,172 @@
+"""Codec auto-selection from sampled per-column-chunk statistics.
+
+The Ray analogue of the reference's per-column byte accounting
+(crates/tbl-core/src/parquet/parquet_summary.rs:133-149; the `tbl schema`
+disk/full-ratio table, crates/tbl-cli/src/cli/subcommands/schema.rs:227-290),
+turned into a decision: estimate each applicable codec's output size from
+cheap vectorized statistics (cardinality, run count, min/max width, byte
+entropy on a sample) and pick the argmin. A post-encode guard falls back to
+``raw`` whenever the chosen codec fails to beat it (high-entropy hashes /
+pre-compressed ``html``), so selection can never lose.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tbl_ray.codecs.base import (
+    CODECS,
+    EncodedChunk,
+    encode_array,
+    is_binary_like,
+    is_fixed_primitive,
+    primitive_to_numpy,
+    storage_type,
+)
+from tbl_ray.codecs.bitutil import bits_needed
+
+_SAMPLE = 8192  # rows sampled for cardinality / entropy estimates
+
+
+def _byte_entropy(data: np.ndarray) -> float:
+    """Shannon entropy (bits/byte) of a uint8 sample."""
+    if len(data) == 0:
+        return 0.0
+    counts = np.bincount(data, minlength=256).astype(np.float64)
+    p = counts[counts > 0] / len(data)
+    return float(-(p * np.log2(p)).sum())
+
+
+def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
+    """Cheap vectorized stats driving codec choice (one pass + a sample)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    dtype = arr.type
+    stats: dict = {
+        "n": n,
+        "null_count": arr.null_count,
+        "dtype": str(dtype),
+        "input_bytes": arr.nbytes,
+    }
+    if n == 0 or arr.null_count == n:
+        return stats
+
+    valid = arr.drop_null() if arr.null_count else arr
+    sample = valid.slice(0, _SAMPLE)
+
+    if is_fixed_primitive(dtype):
+        s = storage_type(dtype)
+        if pa.types.is_integer(s) or pa.types.is_boolean(s):
+            values = primitive_to_numpy(valid)
+            lo, hi = int(values.min()), int(values.max())
+            stats["min"], stats["max"] = lo, hi
+            stats["width_bits"] = bits_needed(hi - lo)
+            stats["runs"] = int((values[1:] != values[:-1]).sum()) + 1
+            stats["value_bytes"] = values.dtype.itemsize
+        else:  # float
+            values = primitive_to_numpy(valid)
+            stats["runs"] = int((values[1:] != values[:-1]).sum()) + 1
+            stats["value_bytes"] = values.dtype.itemsize
+        card = len(pc.unique(sample))
+        stats["card_est"] = card if len(sample) < _SAMPLE else max(
+            card, int(card * n / _SAMPLE * 0.5)
+        ) if card > _SAMPLE // 2 else card
+    elif is_binary_like(dtype):
+        lens = pc.binary_length(valid)
+        data_bytes = int(pc.sum(lens).as_py() or 0)
+        stats["data_bytes"] = data_bytes
+        stats["avg_len"] = data_bytes / len(valid)
+        neq = pc.not_equal(valid.slice(1), valid.slice(0, len(valid) - 1))
+        stats["runs"] = int(pc.sum(pc.cast(neq, pa.int64())).as_py() or 0) + 1
+        card = len(pc.unique(sample))
+        stats["card_est"] = card if len(sample) < _SAMPLE else max(
+            card, int(card * n / _SAMPLE * 0.5)
+        ) if card > _SAMPLE // 2 else card
+        sample_bytes = b"".join(
+            v.as_py() if isinstance(v.as_py(), bytes) else str(v.as_py()).encode()
+            for v in sample.slice(0, 64)
+        )[:16384]
+        stats["entropy"] = _byte_entropy(np.frombuffer(sample_bytes, np.uint8))
+    return stats
+
+
+def _estimate_costs(stats: dict, dtype: pa.DataType) -> dict[str, float]:
+    """Estimated encoded bytes per applicable codec."""
+    n = stats["n"] - stats["null_count"]
+    costs: dict[str, float] = {}
+    if n <= 0:
+        return {"raw": 64.0}
+
+    if is_fixed_primitive(dtype):
+        vb = stats.get("value_bytes", 8)
+        costs["raw"] = n * vb + 128
+        if "width_bits" in stats:  # integer-like
+            lo = stats["min"]
+            if lo >= 0:
+                costs["bitpack"] = n * bits_needed(stats["max"]) / 8 + 64
+            costs["for"] = n * stats["width_bits"] / 8 + 64
+        runs = stats.get("runs", n)
+        costs["rle"] = runs * (vb + 3) + 64
+        card = stats.get("card_est", n)
+        if card < n:
+            costs["dict"] = (
+                n * max(bits_needed(max(card - 1, 1)), 1) / 8 + card * vb + 256
+            )
+    elif is_binary_like(dtype):
+        data_bytes = stats.get("data_bytes", 0)
+        costs["raw"] = data_bytes + 8 * n + 128
+        card = stats.get("card_est", n)
+        avg = stats.get("avg_len", 8)
+        if card < n:
+            costs["dict"] = (
+                n * max(bits_needed(max(card - 1, 1)), 1) / 8
+                + card * (avg + 8)
+                + 256
+            )
+        runs = stats.get("runs", n)
+        costs["rle"] = runs * (avg + 8) + runs * 3 / 8 + 128
+        entropy = stats.get("entropy", 8.0)
+        # FSST wins on low/mid-entropy text; ratio grows with entropy.
+        if avg >= 4 and data_bytes >= 2048 and entropy <= 6.8:
+            ratio = max(0.35, entropy / 8.0 * 0.85)
+            costs["fsst"] = data_bytes * ratio + 2 * n + 2048
+    else:
+        costs["raw"] = stats.get("input_bytes", 64) + 128
+    return costs
+
+
+def choose_codec(arr: pa.Array | pa.ChunkedArray, stats: dict | None = None) -> str:
+    """Pick the estimated-cheapest applicable codec for one column-chunk."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if stats is None:
+        stats = column_stats(arr)
+    if stats["n"] == 0 or stats["null_count"] == stats["n"]:
+        return "raw"
+    if not (is_fixed_primitive(arr.type) or is_binary_like(arr.type)):
+        return "raw"  # nested / other types: lossless passthrough
+    costs = _estimate_costs(stats, arr.type)
+    return min(costs, key=costs.get)
+
+
+def encode_auto(
+    arr: pa.Array | pa.ChunkedArray, *, name: str = "col"
+) -> EncodedChunk:
+    """Auto-select, encode, and guard: fall back to ``raw`` if the chosen
+    codec does not actually beat it on this chunk."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    codec = choose_codec(arr)
+    chunk = encode_array(arr, codec, name=name)
+    if codec != "raw":
+        raw_size = arr.nbytes
+        if chunk.payload_bytes >= raw_size:
+            raw_chunk = encode_array(arr, "raw", name=name)
+            if raw_chunk.payload_bytes < chunk.payload_bytes:
+                return raw_chunk
+    return chunk

@@ -1,0 +1,188 @@
+"""Round-trip suite: decode(encode(col)) bit-identical for every codec ×
+dtype × null pattern (BASELINE.md correctness target; SURVEY.md §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tbl_ray.codecs import (
+    CODECS,
+    EncodedChunk,
+    choose_codec,
+    column_stats,
+    decode_chunk,
+    encode_array,
+    encode_auto,
+)
+from tbl_ray.codecs.base import arrays_identical
+
+rng = np.random.default_rng(42)
+
+
+def _roundtrip(arr: pa.Array, codec: str) -> EncodedChunk:
+    chunk = encode_array(arr, codec, name="c")
+    payload = chunk.to_payload()
+    back = decode_chunk(EncodedChunk.from_payload(payload))
+    assert back.type.equals(arr.type), f"{codec}: {back.type} != {arr.type}"
+    assert arrays_identical(back, arr), f"{codec} round-trip mismatch for {arr.type}"
+    return chunk
+
+
+INT_ARRAYS = [
+    pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    pa.array([0, 0, 0, 7, 7, 7, 7, 1], type=pa.int32()),
+    pa.array([-(2**63), 2**63 - 1, 0, -1, 17], type=pa.int64()),
+    pa.array([2**64 - 1, 0, 2**63, 5], type=pa.uint64()),
+    pa.array(rng.integers(0, 255, 1000), type=pa.uint8()),
+    pa.array(rng.integers(-1000, 1000, 1000), type=pa.int16()),
+    pa.array([None, 1, None, 2, None], type=pa.int64()),
+    pa.array([None] * 5, type=pa.int64()),
+    pa.array([], type=pa.int64()),
+    pa.array([42] * 500, type=pa.int64()),
+]
+
+TEMPORAL_ARRAYS = [
+    pa.array(
+        rng.integers(1_500_000_000_000_000, 1_700_000_000_000_000, 100),
+        type=pa.int64(),
+    ).cast(pa.timestamp("us")),
+    pa.array([18000, 18001, None, 18003], type=pa.int32()).cast(pa.date32()),
+]
+
+FLOAT_ARRAYS = [
+    pa.array([1.5, 2.5, 2.5, 2.5, float("nan"), 0.0, -0.0], type=pa.float64()),
+    pa.array(rng.normal(size=500), type=pa.float32()),
+    pa.array([None, 1.0, None], type=pa.float64()),
+]
+
+STR_ARRAYS = [
+    pa.array(["en", "en", "en", "de", "de", "fr"] * 50),
+    pa.array(["the quick brown fox jumps over the lazy dog " * 5] * 20),
+    pa.array([f"https://example-{i % 17}.com/path/{i}" for i in range(300)]),
+    pa.array(["", "a", "", None, "bb", None, ""]),
+    pa.array([], type=pa.string()),
+    pa.array(["\xff\x00 héllo wörld ünïcode ✓"] * 10),
+]
+
+BIN_ARRAYS = [
+    pa.array([b"\x00\xff" * 10, b"\xff" * 5, b"", b"abc"], type=pa.binary()),
+    pa.array([bytes([255] * 20), bytes([255, 0] * 9), None], type=pa.binary()),
+    pa.array([rng.bytes(100) for _ in range(50)], type=pa.binary()),
+]
+
+BOOL_ARRAYS = [
+    pa.array([True, False, True, None, True]),
+    pa.array([True] * 300 + [False] * 300),
+]
+
+
+@pytest.mark.parametrize("arr", INT_ARRAYS + TEMPORAL_ARRAYS + BOOL_ARRAYS)
+def test_for_roundtrip(arr):
+    _roundtrip(arr, "for")
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [a for a in INT_ARRAYS if len(a) == 0 or a.null_count == len(a)
+     or (a.null_count < len(a) and min(x.as_py() for x in a.drop_null()) >= 0)]
+    + BOOL_ARRAYS,
+)
+def test_bitpack_roundtrip(arr):
+    _roundtrip(arr, "bitpack")
+
+
+@pytest.mark.parametrize(
+    "arr", INT_ARRAYS + TEMPORAL_ARRAYS + FLOAT_ARRAYS + STR_ARRAYS + BIN_ARRAYS + BOOL_ARRAYS
+)
+def test_rle_roundtrip(arr):
+    _roundtrip(arr, "rle")
+
+
+@pytest.mark.parametrize(
+    "arr", INT_ARRAYS + TEMPORAL_ARRAYS + FLOAT_ARRAYS + STR_ARRAYS + BIN_ARRAYS + BOOL_ARRAYS
+)
+def test_dict_roundtrip(arr):
+    _roundtrip(arr, "dict")
+
+
+@pytest.mark.parametrize("arr", STR_ARRAYS + BIN_ARRAYS)
+def test_fsst_roundtrip(arr):
+    _roundtrip(arr, "fsst")
+
+
+@pytest.mark.parametrize(
+    "arr",
+    INT_ARRAYS
+    + TEMPORAL_ARRAYS
+    + FLOAT_ARRAYS
+    + STR_ARRAYS
+    + BIN_ARRAYS
+    + BOOL_ARRAYS
+    + [pa.array([[1.0, 2.0], [3.0], None], type=pa.list_(pa.float32()))],
+)
+def test_raw_roundtrip(arr):
+    _roundtrip(arr, "raw")
+
+
+def test_fsst_compresses_text():
+    words = ["the", "of", "and", "compression", "ray", "data", "symbol "]
+    texts = [
+        " ".join(words[int(x) % len(words)] for x in rng.integers(0, 7, 120))
+        for _ in range(200)
+    ]
+    arr = pa.array(texts)
+    chunk = _roundtrip(arr, "fsst")
+    data_bytes = sum(len(t) for t in texts)
+    assert chunk.payload_bytes < 0.6 * data_bytes, (
+        f"fsst ratio too weak: {chunk.payload_bytes}/{data_bytes}"
+    )
+
+
+def test_dict_compresses_low_cardinality():
+    arr = pa.array(["english", "german", "french"] * 10000)
+    chunk = _roundtrip(arr, "dict")
+    assert chunk.payload_bytes < 0.1 * arr.nbytes
+
+
+def test_for_compresses_timestamps():
+    base = 1_700_000_000_000_000
+    arr = pa.array(
+        base + np.sort(rng.integers(0, 86_400_000_000, 10000)), type=pa.int64()
+    ).cast(pa.timestamp("us"))
+    chunk = _roundtrip(arr, "for")
+    assert chunk.payload_bytes < 0.6 * arr.nbytes
+
+
+def test_choose_codec_sensible():
+    lang = pa.array(["en"] * 8000 + ["de"] * 1500 + ["fr"] * 500)
+    assert choose_codec(lang) in ("dict", "rle")
+    ts = pa.array(
+        1_700_000_000 + np.arange(10000), type=pa.int64()
+    )
+    assert choose_codec(ts) in ("for", "bitpack")
+    high_entropy = pa.array([rng.bytes(64) for _ in range(500)], type=pa.binary())
+    assert choose_codec(high_entropy) == "raw"
+
+
+def test_encode_auto_never_loses():
+    arrays = [
+        pa.array([rng.bytes(64) for _ in range(200)], type=pa.binary()),
+        pa.array(["en", "de"] * 1000),
+        pa.array(rng.integers(0, 100, 5000), type=pa.int64()),
+    ]
+    for arr in arrays:
+        chunk = encode_auto(arr)
+        back = decode_chunk(EncodedChunk.from_payload(chunk.to_payload()))
+        assert back.equals(arr if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks())
+        assert chunk.payload_bytes <= arr.nbytes + 4096
+
+
+def test_column_stats_keys():
+    s = column_stats(pa.array(["aa", "bb", "aa"]))
+    assert s["n"] == 3 and "card_est" in s and "entropy" in s
+    s2 = column_stats(pa.array([1, 2, 3], type=pa.int64()))
+    assert s2["width_bits"] == 2
+
+
+def test_all_registered():
+    assert set(CODECS) == {"raw", "dict", "rle", "bitpack", "for", "fsst"}
