@@ -1,0 +1,143 @@
+"""Streaming encode/decode stages — the codec engine as Ray Data operators.
+
+Layout decision: ``encode_dataset`` maps every input batch to **one
+self-contained encoded row** carrying all column payloads
+(``columns: list<string>, codecs: list<string>, payloads: list<binary>``).
+Because a row is a complete chunk, ``decode_dataset`` is a pure
+``map_batches`` — no shuffle, no group reassembly, and a chunk is also the
+natural unit of checkpoint/resume for the partitioned job
+(:mod:`tbl_ray.pipelines.encode_job`).
+
+The encoder is an **actor-pool stage** (stateful: reusable scratch and
+per-chunk FSST training live in the actor; ``map_batches(ColumnEncoder,
+concurrency=N)``), mirroring SURVEY.md §2.3/§7.2.
+
+Scale notes: batch size bounds chunk memory (wide ``html`` binary rows need
+small row counts — pass ``batch_size`` accordingly); encoded rows are far
+smaller than input, so the downstream ``write_parquet`` streams freely.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import ray.data
+
+from tbl_ray.codecs import EncodedChunk, decode_chunk, encode_array, encode_auto
+
+ENCODED_SCHEMA = pa.schema(
+    [
+        pa.field("chunk_id", pa.string()),
+        pa.field("num_rows", pa.int64()),
+        pa.field("input_bytes", pa.int64()),
+        pa.field("encoded_bytes", pa.int64()),
+        pa.field("columns", pa.list_(pa.string())),
+        pa.field("codecs", pa.list_(pa.string())),
+        pa.field("payloads", pa.list_(pa.large_binary())),
+    ]
+)
+
+
+class ColumnEncoder:
+    """Actor-pool encode stage: one encoded row per input batch.
+
+    ``codecs`` maps column name -> codec name; unlisted columns use
+    auto-selection (:func:`tbl_ray.codecs.encode_auto`).
+    """
+
+    def __init__(self, codecs: dict[str, str] | None = None):
+        self.codecs = codecs or {}
+
+    def encode_table(self, table: pa.Table) -> pa.Table:
+        names, codec_names, payloads = [], [], []
+        input_bytes = 0
+        encoded_bytes = 0
+        for name in table.schema.names:
+            col = table.column(name).combine_chunks()
+            forced = self.codecs.get(name)
+            if forced:
+                chunk = encode_array(col, forced, name=name)
+            else:
+                chunk = encode_auto(col, name=name)
+            payload = chunk.to_payload()
+            names.append(name)
+            codec_names.append(chunk.codec)
+            payloads.append(payload)
+            input_bytes += col.nbytes
+            encoded_bytes += len(payload)
+        return pa.Table.from_pydict(
+            {
+                "chunk_id": [uuid.uuid4().hex],
+                "num_rows": [table.num_rows],
+                "input_bytes": [input_bytes],
+                "encoded_bytes": [encoded_bytes],
+                "columns": [names],
+                "codecs": [codec_names],
+                "payloads": [payloads],
+            },
+            schema=ENCODED_SCHEMA,
+        )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return ENCODED_SCHEMA.empty_table()
+        return self.encode_table(table)
+
+
+class ChunkDecoder:
+    """Inverse stage: encoded rows -> original tables (pure map, no shuffle)."""
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        return decode_table(table)
+
+
+def decode_table(table: pa.Table) -> pa.Table:
+    """Decode a batch of encoded rows back into (concatenated) original rows."""
+    pieces: list[pa.Table] = []
+    payload_lists = table.column("payloads").combine_chunks()
+    for i in range(table.num_rows):
+        arrays = []
+        fields = []
+        for payload_scalar in payload_lists[i].values:
+            chunk = EncodedChunk.from_payload(payload_scalar.as_py())
+            arrays.append(decode_chunk(chunk))
+            fields.append(chunk.field)
+        pieces.append(pa.Table.from_arrays(arrays, schema=pa.schema(fields)))
+    if not pieces:
+        raise ValueError("decode_table: empty encoded batch with unknown schema")
+    return pa.concat_tables(pieces)
+
+
+def encode_dataset(
+    ds: "ray.data.Dataset",
+    *,
+    codecs: dict[str, str] | None = None,
+    batch_size: int | None = 65536,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Encode a Dataset column-chunk-wise -> Dataset of encoded rows."""
+    return ds.map_batches(
+        ColumnEncoder,
+        fn_constructor_kwargs={"codecs": codecs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or 8,
+    )
+
+
+def decode_dataset(
+    ds: "ray.data.Dataset",
+    *,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """Decode an encoded Dataset back to original rows (order = stream order)."""
+    return ds.map_batches(
+        ChunkDecoder,
+        batch_format="pyarrow",
+        # one encoded row can decode to a large table; keep batches small
+        batch_size=4,
+        zero_copy_batch=True,
+        concurrency=concurrency or 8,
+    )

@@ -1,0 +1,112 @@
+"""Encode/decode Ray Data stages + synthetic web table invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from tbl_ray.stages.encode import (
+    ColumnEncoder,
+    decode_table,
+    decode_dataset,
+    encode_dataset,
+)
+from tbl_ray.webtable import extract_text, generate_batch, webtable_dataset
+
+
+def test_generate_batch_deterministic():
+    a = generate_batch(1000, 500, seed=7)
+    b = generate_batch(1000, 500, seed=7)
+    assert a.equals(b)
+    c = generate_batch(1000, 500, seed=8)
+    assert not a.equals(c)
+    assert a.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    assert a.schema.field("html").type == pa.binary()
+    assert a.schema.field("warc_ts").type == pa.timestamp("us")
+
+
+def test_generate_batch_independent_of_batching():
+    whole = generate_batch(0, 400, seed=3)
+    parts = pa.concat_tables(
+        [generate_batch(0, 200, seed=3), generate_batch(200, 200, seed=3)]
+    )
+    # rows are a pure function of (seed, global index)
+    assert whole.column("url").equals(parts.column("url"))
+    assert whole.column("text").equals(parts.column("text"))
+
+
+def test_extract_text_byte_identical():
+    t = generate_batch(0, 1000, seed=42)
+    extracted = extract_text(t.column("html").combine_chunks())
+    assert extracted.equals(t.column("text").combine_chunks().cast(pa.string()))
+
+
+def test_lang_skew_zipfian():
+    t = generate_batch(0, 20000, seed=42)
+    counts = t.column("lang").to_pandas().value_counts()
+    assert counts.index[0] == "en" and counts.iloc[0] > 0.4 * 20000
+
+
+def test_encoder_roundtrip_batch():
+    t = generate_batch(0, 2000, seed=42)
+    enc = ColumnEncoder()(t)
+    assert enc.num_rows == 1
+    assert set(enc.column("columns")[0].as_py()) == set(t.schema.names)
+    back = decode_table(enc)
+    assert back.select(t.schema.names).equals(back.select(t.schema.names))
+    for name in t.schema.names:
+        assert back.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
+def test_encoder_compresses_webtable():
+    t = generate_batch(0, 5000, seed=42)
+    enc = ColumnEncoder()(t)
+    ratio = enc.column("encoded_bytes")[0].as_py() / enc.column("input_bytes")[0].as_py()
+    assert ratio < 0.7, f"whole-table codec ratio too weak: {ratio:.3f}"
+    codecs = dict(
+        zip(enc.column("columns")[0].as_py(), enc.column("codecs")[0].as_py())
+    )
+    assert codecs["lang"] in ("dict", "rle")
+    assert codecs["warc_ts"] in ("for", "bitpack")
+    assert codecs["text"] == "fsst"
+
+
+def test_encode_decode_dataset_pipeline(tmp_path):
+    t = generate_batch(0, 6000, seed=5)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    ds = ray.data.read_parquet(src)
+    enc = encode_dataset(ds, batch_size=1500, concurrency=2)
+    out_dir = str(tmp_path / "encoded")
+    enc.write_parquet(out_dir, compression="zstd")
+
+    back_ds = decode_dataset(ray.data.read_parquet(out_dir), concurrency=2)
+    back = back_ds.take_all()
+    assert len(back) == 6000
+    got = pa.Table.from_pylist(back).sort_by("url")
+    want = t.sort_by("url")
+    for name in ("url", "text", "lang"):
+        assert got.column(name).combine_chunks().equals(
+            want.column(name).combine_chunks()
+        ), name
+    # encoded parquet (our format) must not exceed plain snappy parquet
+    import os
+
+    plain = str(tmp_path / "plain.parquet")
+    pq.write_table(t, plain, compression="snappy")
+    enc_bytes = sum(
+        os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
+    )
+    assert enc_bytes <= os.path.getsize(plain), (
+        f"encoded {enc_bytes} > snappy parquet {os.path.getsize(plain)}"
+    )
+
+
+def test_webtable_dataset_distributed():
+    ds = webtable_dataset(3000, seed=42, batch_rows=1000, concurrency=2)
+    assert ds.count() == 3000
+    names = ds.schema().names
+    assert names == ["url", "warc_ts", "html", "text", "lang"]
