@@ -1,0 +1,280 @@
+"""The resumable partitioned encode job — checkpoint manifest + exact resume.
+
+North-rule semantics (BASELINE.json): every partition emits a lineage
+record (inputs, row groups, codec choices, bytes in/out, content hash,
+wall time) to ``manifest.jsonl``; a re-run skips partitions whose manifest
+entry verifies against the on-disk output, so interrupted jobs resume
+exactly. This supplies what the reference only gestures at: its atomic
+``_tmp``+rename writes (crates/tbl-cli/src/output.rs:140-176) and the
+"idempotent workflows" future-work item (README.md:285-286).
+
+Execution model: the partition list is itself a small Ray Dataset; each
+partition encodes in one task (``map_batches`` over partition descriptor
+rows, ``num_cpus=1``), streaming its input row-groups batch-by-batch
+through :class:`tbl_ray.stages.encode.ColumnEncoder` into an atomic
+parquet write. Partition = a run of parquet row groups, so the mapping
+input→partition is a pure function of (input set, plan) — the
+determinism resume verification depends on (SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from tbl_ray.stages.encode import ColumnEncoder
+
+MANIFEST = "manifest.jsonl"
+SUCCESS = "_SUCCESS"
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    """One unit of encode work + its deterministic output path."""
+
+    partition_id: str
+    input_path: str
+    row_groups: tuple[int, ...]
+    num_rows: int
+    out_path: str
+
+
+def plan_partitions(
+    paths: list[str],
+    out_dir: str,
+    *,
+    max_rows_per_partition: int = 1_000_000,
+) -> list[PartitionSpec]:
+    """Pure function of (sorted input set, plan params) -> partition list.
+
+    Partitions are runs of whole parquet row groups, so they never split a
+    row group and never require a data scan to plan (footers only).
+    """
+    specs: list[PartitionSpec] = []
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        base = os.path.splitext(os.path.basename(path))[0]
+        run: list[int] = []
+        run_rows = 0
+        part_idx = 0
+
+        def flush():
+            nonlocal run, run_rows, part_idx
+            if not run:
+                return
+            pid = f"{base}.p{part_idx:04d}"
+            specs.append(
+                PartitionSpec(
+                    partition_id=pid,
+                    input_path=path,
+                    row_groups=tuple(run),
+                    num_rows=run_rows,
+                    out_path=os.path.join(out_dir, f"{pid}.encoded.parquet"),
+                )
+            )
+            part_idx += 1
+            run, run_rows = [], 0
+
+        for rg in range(md.num_row_groups):
+            rg_rows = md.row_group(rg).num_rows
+            if run and run_rows + rg_rows > max_rows_per_partition:
+                flush()
+            run.append(rg)
+            run_rows += rg_rows
+        flush()
+    return specs
+
+
+def encode_partition(
+    spec: PartitionSpec,
+    *,
+    codecs: dict[str, str] | None = None,
+    batch_rows: int = 65536,
+    compression: str = "zstd",
+) -> dict:
+    """Encode one partition: stream row-group batches -> atomic parquet.
+
+    Returns the manifest entry (lineage + metrics)."""
+    t0 = time.monotonic()
+    encoder = ColumnEncoder(codecs)
+    pf = pq.ParquetFile(spec.input_path)
+    tmp = spec.out_path + "_tmp"
+    writer: pq.ParquetWriter | None = None
+    input_bytes = 0
+    encoded_bytes = 0
+    rows = 0
+    codec_use: dict[str, dict[str, int]] = {}
+    sha = hashlib.sha256()
+    try:
+        for batch in pf.iter_batches(
+            batch_size=batch_rows, row_groups=list(spec.row_groups)
+        ):
+            table = pa.Table.from_batches([batch])
+            enc = encoder.encode_table(table)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, enc.schema, compression=compression)
+            writer.write_table(enc)
+            rows += table.num_rows
+            input_bytes += int(enc.column("input_bytes")[0].as_py())
+            encoded_bytes += int(enc.column("encoded_bytes")[0].as_py())
+            for col, codec in zip(
+                enc.column("columns")[0].as_py(), enc.column("codecs")[0].as_py()
+            ):
+                codec_use.setdefault(col, {})
+                codec_use[col][codec] = codec_use[col].get(codec, 0) + 1
+    finally:
+        if writer is not None:
+            writer.close()
+    with open(tmp, "rb") as fh:
+        for block in iter(lambda: fh.read(1 << 20), b""):
+            sha.update(block)
+    os.replace(tmp, spec.out_path)
+    return {
+        "partition_id": spec.partition_id,
+        "input_path": spec.input_path,
+        "row_groups": list(spec.row_groups),
+        "num_rows": rows,
+        "input_bytes": input_bytes,
+        "encoded_bytes": encoded_bytes,
+        "file_bytes": os.path.getsize(spec.out_path),
+        "sha256": sha.hexdigest(),
+        "codecs": codec_use,
+        "out_path": spec.out_path,
+        "wall_s": round(time.monotonic() - t0, 4),
+    }
+
+
+def load_manifest(out_dir: str) -> dict[str, dict]:
+    """partition_id -> latest manifest entry."""
+    path = os.path.join(out_dir, MANIFEST)
+    entries: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    e = json.loads(line)
+                    entries[e["partition_id"]] = e
+    return entries
+
+
+def _entry_verified(entry: dict, spec: PartitionSpec) -> bool:
+    """An entry is trusted iff the output it describes is still on disk,
+    byte-for-byte (size check; sha on demand would also be exact)."""
+    return (
+        entry.get("out_path") == spec.out_path
+        and tuple(entry.get("row_groups", ())) == spec.row_groups
+        and os.path.exists(spec.out_path)
+        and os.path.getsize(spec.out_path) == entry.get("file_bytes")
+    )
+
+
+class _EncodePartitions:
+    """map_batches callable over partition-descriptor rows (1 task each)."""
+
+    def __init__(self, codecs: dict[str, str] | None, batch_rows: int):
+        self.codecs = codecs
+        self.batch_rows = batch_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            spec = PartitionSpec(
+                partition_id=row["partition_id"],
+                input_path=row["input_path"],
+                row_groups=tuple(row["row_groups"]),
+                num_rows=row["num_rows"],
+                out_path=row["out_path"],
+            )
+            entry = encode_partition(
+                spec, codecs=self.codecs, batch_rows=self.batch_rows
+            )
+            out.append({"entry": json.dumps(entry)})
+        return pa.Table.from_pylist(out)
+
+
+def run_encode_job(
+    paths: list[str],
+    out_dir: str,
+    *,
+    resume: bool = True,
+    codecs: dict[str, str] | None = None,
+    batch_rows: int = 65536,
+    max_rows_per_partition: int = 1_000_000,
+) -> dict:
+    """Encode a multi-file dataset with per-partition lineage + exact resume.
+
+    Returns a job report: totals, ratio, skipped/encoded partition counts.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    specs = plan_partitions(
+        paths, out_dir, max_rows_per_partition=max_rows_per_partition
+    )
+    manifest = load_manifest(out_dir) if resume else {}
+    skipped = [
+        s for s in specs if s.partition_id in manifest
+        and _entry_verified(manifest[s.partition_id], s)
+    ]
+    pending = [s for s in specs if s not in skipped]
+
+    new_entries: list[dict] = []
+    if pending:
+        rows = [
+            {**asdict(s), "row_groups": list(s.row_groups)} for s in pending
+        ]
+        ds = ray.data.from_items(rows)
+        result = ds.map_batches(
+            _EncodePartitions(codecs, batch_rows),
+            batch_size=1,
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
+        # stream manifest entries to disk as partitions finish
+        mpath = os.path.join(out_dir, MANIFEST)
+        with open(mpath, "a") as fh:
+            for out_row in result.iter_rows():
+                entry = json.loads(out_row["entry"])
+                fh.write(json.dumps(entry) + "\n")
+                fh.flush()
+                new_entries.append(entry)
+
+    all_entries = [manifest[s.partition_id] for s in skipped] + new_entries
+    report = {
+        "partitions": len(specs),
+        "encoded": len(new_entries),
+        "skipped": len(skipped),
+        "num_rows": sum(e["num_rows"] for e in all_entries),
+        "input_bytes": sum(e["input_bytes"] for e in all_entries),
+        "encoded_bytes": sum(e["encoded_bytes"] for e in all_entries),
+        "file_bytes": sum(e["file_bytes"] for e in all_entries),
+        "wall_s": sum(e["wall_s"] for e in new_entries),
+    }
+    if report["input_bytes"]:
+        report["ratio"] = report["encoded_bytes"] / report["input_bytes"]
+    with open(os.path.join(out_dir, SUCCESS), "w") as fh:
+        json.dump(report, fh)
+    return report
+
+
+def read_encoded(out_dir: str) -> "ray.data.Dataset":
+    """Dataset of encoded rows from a finished (or partial) job."""
+    paths = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".encoded.parquet")
+    )
+    return ray.data.read_parquet(paths)
+
+
+def decode_job_output(out_dir: str, **kwargs) -> "ray.data.Dataset":
+    """Decode a job's output back to original rows."""
+    from tbl_ray.stages.encode import decode_dataset
+
+    return decode_dataset(read_encoded(out_dir), **kwargs)

@@ -26,6 +26,19 @@ import ray.data
 
 from tbl_ray.codecs import EncodedChunk, decode_chunk, encode_array, encode_auto
 
+
+def _default_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that always leave CPUs for upstream
+    read tasks — a fixed pool equal to the CPU count deadlocks the
+    streaming executor (actors pin every CPU, reads never schedule)."""
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 - not initialised yet
+        total = 4
+    return (1, max(1, total - 1))
+
 ENCODED_SCHEMA = pa.schema(
     [
         pa.field("chunk_id", pa.string()),
@@ -123,7 +136,7 @@ def encode_dataset(
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency or 8,
+        concurrency=concurrency or _default_pool(),
     )
 
 
@@ -139,5 +152,5 @@ def decode_dataset(
         # one encoded row can decode to a large table; keep batches small
         batch_size=4,
         zero_copy_batch=True,
-        concurrency=concurrency or 8,
+        concurrency=concurrency or _default_pool(),
     )

@@ -1,0 +1,107 @@
+"""Manifest-resume suite (SURVEY.md §5.4): interrupted runs resume exactly."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tbl_ray.pipelines.encode_job import (
+    MANIFEST,
+    SUCCESS,
+    decode_job_output,
+    load_manifest,
+    plan_partitions,
+    run_encode_job,
+)
+from tbl_ray.webtable import generate_batch, write_webtable
+
+
+@pytest.fixture(scope="module")
+def web_shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webshards")
+    paths = write_webtable(str(d), 12000, seed=42, batch_rows=2000, files=3)
+    return paths
+
+
+def test_plan_partitions_deterministic(web_shards, tmp_path):
+    a = plan_partitions(web_shards, str(tmp_path), max_rows_per_partition=3000)
+    b = plan_partitions(web_shards, str(tmp_path), max_rows_per_partition=3000)
+    assert a == b
+    assert sum(p.num_rows for p in a) == 12000
+    assert len({p.partition_id for p in a}) == len(a)
+
+
+def test_job_roundtrip_and_footprint(web_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    report = run_encode_job(web_shards, out, batch_rows=2000)
+    assert report["encoded"] == report["partitions"] > 0
+    assert report["num_rows"] == 12000
+    assert os.path.exists(os.path.join(out, SUCCESS))
+    assert len(load_manifest(out)) == report["partitions"]
+
+    got = pa.Table.from_pylist(decode_job_output(out, concurrency=2).take_all())
+    want = pa.concat_tables([pq.read_table(p) for p in web_shards])
+    got = got.sort_by("url")
+    want = want.sort_by("url")
+    for name in want.schema.names:
+        assert got.column(name).combine_chunks().equals(
+            want.column(name).combine_chunks()
+        ), name
+
+    snappy_bytes = sum(os.path.getsize(p) for p in web_shards)
+    assert report["file_bytes"] <= snappy_bytes, (
+        f"encoded {report['file_bytes']} > reference snappy {snappy_bytes}"
+    )
+
+
+def test_job_resume_skips_verified(web_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    r1 = run_encode_job(web_shards, out, batch_rows=2000)
+    r2 = run_encode_job(web_shards, out, batch_rows=2000)
+    assert r2["encoded"] == 0
+    assert r2["skipped"] == r1["partitions"]
+    assert r2["num_rows"] == r1["num_rows"]
+    assert r2["file_bytes"] == r1["file_bytes"]
+
+
+def test_job_resume_after_partial_failure(web_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    clean = run_encode_job(web_shards, out, batch_rows=2000)
+    manifest = load_manifest(out)
+    # simulate a crash: one output vanished, one truncated mid-write
+    victims = sorted(manifest)[:2]
+    os.remove(manifest[victims[0]]["out_path"])
+    with open(manifest[victims[1]]["out_path"], "wb") as fh:
+        fh.write(b"partial")
+    mtimes = {
+        pid: os.path.getmtime(e["out_path"])
+        for pid, e in manifest.items()
+        if pid not in victims
+    }
+
+    r = run_encode_job(web_shards, out, batch_rows=2000)
+    assert r["encoded"] == 2 and r["skipped"] == clean["partitions"] - 2
+    # untouched partitions were not rewritten
+    for pid, mt in mtimes.items():
+        assert os.path.getmtime(manifest[pid]["out_path"]) == mt
+    # final state identical to a clean run
+    assert r["num_rows"] == clean["num_rows"]
+    got = pa.Table.from_pylist(decode_job_output(out, concurrency=2).take_all())
+    want = pa.concat_tables([pq.read_table(p) for p in web_shards])
+    assert got.sort_by("url").column("text").combine_chunks().equals(
+        want.sort_by("url").column("text").combine_chunks()
+    )
+
+
+def test_manifest_lineage_fields(web_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    run_encode_job(web_shards, out, batch_rows=2000)
+    entry = next(iter(load_manifest(out).values()))
+    for key in (
+        "partition_id input_path row_groups num_rows input_bytes "
+        "encoded_bytes file_bytes sha256 codecs out_path wall_s"
+    ).split():
+        assert key in entry, key
+    assert entry["codecs"]  # per-column codec usage recorded
