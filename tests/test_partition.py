@@ -1,0 +1,74 @@
+"""Partitioned-output suite: key partitioning + salted skew + budgets."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from tbl_ray.stages.partition import (
+    PartitionError,
+    partition_by_bytes,
+    partition_by_key,
+    partition_by_rows,
+    plan_key_partitions,
+)
+from tbl_ray.webtable import generate_batch
+
+
+@pytest.fixture(scope="module")
+def web_ds_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webpart")
+    p = str(d / "web.parquet")
+    pq.write_table(generate_batch(0, 20000, seed=42), p)
+    return p
+
+
+def test_plan_key_partitions_budget():
+    plan = plan_key_partitions({"en": 10000, "de": 900, "fr": 10}, 1000)
+    assert plan == {"en": 10, "de": 1, "fr": 1}
+
+
+def test_partition_by_key_salted(web_ds_path, tmp_path):
+    out = str(tmp_path / "bylang")
+    ds = ray.data.read_parquet(web_ds_path)
+    rows = partition_by_key(ds, "lang", out, max_rows_per_file=3000)
+    # every file under budget; total rows conserved
+    assert sum(r["rows"] for r in rows) == 20000
+    assert all(r["rows"] <= 3000 for r in rows)
+    # hot key (en, Zipf head) fanned out into multiple salted shards
+    en_files = [r for r in rows if f"lang=en{os.sep}" in r["path"]]
+    assert len(en_files) > 1
+    # read back one partition file: single lang value
+    t = pq.read_table(en_files[0]["path"])
+    assert set(t.column("lang").to_pylist()) == {"en"}
+    # whole output equals input (by url multiset); files carry the key
+    # column themselves, so read them directly (not via hive discovery)
+    import pyarrow as pa
+
+    back = pa.concat_tables([pq.read_table(r["path"]) for r in rows]).sort_by("url")
+    want = pq.read_table(web_ds_path).sort_by("url")
+    assert back.column("url").equals(want.column("url"))
+    assert back.column("text").equals(want.column("text"))
+
+
+def test_partition_by_rows(web_ds_path, tmp_path):
+    out = str(tmp_path / "byrows")
+    ds = ray.data.read_parquet(web_ds_path)
+    partition_by_rows(ds, out, 5000)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= 4
+    total = sum(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows for f in files)
+    assert total == 20000
+
+
+def test_partition_by_bytes(web_ds_path, tmp_path):
+    out = str(tmp_path / "bybytes")
+    ds = ray.data.read_parquet(web_ds_path)
+    partition_by_bytes(ds, out, 4 << 20)
+    total = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert total == 20000
