@@ -1,44 +1,398 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() conformance.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in tbl_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every operator from SURVEY.md §2 (the reference's 14-transform chain,
+slices, value_counts, sorts, summaries) has a queries() entry with a DuckDB
+oracle; the training-data extensions (dedup / similarity / text analysis /
+codec round-trip) are included with oracles where SQL can express them and
+rows-only checks where it can't. Column names in Ray results and oracle SQL
+match exactly (the driver hashes values under sorted column names).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _lineitem(sf_dir: str):
+    from tbl_ray.sources import read_table
+
+    return read_table(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def _orders(sf_dir: str):
+    from tbl_ray.sources import read_table
+
+    return read_table(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _docs(sf_dir: str):
+    from tbl_ray.sources import read_table
+
+    return read_table(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _spec_query(table_fn, **spec_kwargs):
+    def run(sf_dir: str):
+        from tbl_ray import TransformSpec, apply_transforms
+
+        return apply_transforms(table_fn(sf_dir), TransformSpec(**spec_kwargs))
+
+    return run
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: auto-selected columnar encode of sf0.001 documents;
+    returns the per-column encode-metrics table (the Ray analogue of
+    `tbl schema`'s per-column bytes view)."""
+    from tbl_ray.sources import read_table
+    from tbl_ray.stages.encode import encode_dataset
+
+    ds = read_table("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_dataset(ds, batch_size=65536, concurrency=2)
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for col, codec, payload in zip(r["columns"], r["codecs"], r["payloads"]):
+                rows.append(
+                    {
+                        "column": col,
+                        "codec": codec,
+                        "num_rows": r["num_rows"],
+                        "encoded_bytes": len(payload),
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+    return enc.map_batches(explode, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- the 14-transform chain (SURVEY.md §2.2/§2.6) ----
+    q["select"] = _spec_query(_lineitem, select=["l_orderkey", "l_quantity"])
+    q["drop"] = _spec_query(_orders, drop=["o_orderpriority"])
+    q["rename"] = _spec_query(_orders, rename=["o_orderkey=okey"])
+    q["cast"] = _spec_query(
+        _lineitem, cast=["l_linenumber=i64"], select=["l_orderkey", "l_linenumber"]
+    )
+    q["with_column"] = _spec_query(
+        _orders, with_columns=["flag:i32:val=7"], select=["o_orderkey", "flag"]
+    )
+    q["set_column"] = _spec_query(
+        _orders, set=["o_orderstatus=X"], select=["o_orderkey", "o_orderstatus"]
+    )
+    q["nullify"] = _spec_query(
+        _orders, nullify=["o_totalprice"], select=["o_orderkey", "o_totalprice"]
+    )
+    q["replace"] = _spec_query(
+        _lineitem,
+        replace=["l_returnflag.A=Z"],
+        select=["l_orderkey", "l_linenumber", "l_returnflag"],
+    )
+    q["filter_eq"] = _spec_query(_lineitem, filter=["l_returnflag=A"])
+    q["filter_ne"] = _spec_query(_lineitem, filter=["l_linestatus!=O"])
+    q["filter_gt"] = _spec_query(_lineitem, filter=["l_quantity>45.0"])
+    q["filter_ge"] = _spec_query(_lineitem, filter=["l_extendedprice>=90000"])
+    q["filter_le"] = _spec_query(_orders, filter=["o_totalprice<=30000"])
+    q["filter_lt"] = _spec_query(_lineitem, filter=["l_quantity<3"])
+    q["filter_not_null"] = _spec_query(_orders, filter=["o_custkey.is_not_null"])
+    # with_columns runs BEFORE filter in the fixed chain order
+    # (transform.rs:5-24), so the null column is filterable; nullify would
+    # run after the filter and match nothing.
+    q["filter_is_null"] = _spec_query(
+        _orders,
+        with_columns=["nullcol:str"],
+        filter=["nullcol.is_null"],
+        select=["o_orderkey", "nullcol"],
+    )
+    q["head"] = _spec_query(_lineitem, head=50)
+    q["offset_head"] = _spec_query(_lineitem, offset=100, head=50)
+
+    def tail(sf_dir: str):
+        from tbl_ray import TransformSpec, apply_transforms
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "events.parquet"))
+        return apply_transforms(ds, TransformSpec(tail=50))
+
+    q["tail"] = tail
+    q["value_counts"] = _spec_query(_lineitem, value_counts="l_returnflag")
+    q["value_counts_events"] = _spec_query_events_counts()
+
+    def sort_topk(sf_dir: str):
+        from tbl_ray import TransformSpec, apply_transforms
+
+        sorted_ds = apply_transforms(
+            _lineitem(sf_dir),
+            TransformSpec(
+                select=["l_orderkey", "l_linenumber", "l_extendedprice"],
+                sort=["l_extendedprice:desc", "l_orderkey", "l_linenumber"],
+            ),
+        )
+        return sorted_ds.limit(100)
+
+    q["sort_topk"] = sort_topk
+
+    def row_count(sf_dir: str):
+        from tbl_ray.sources.parquet import total_rows
+
+        n = total_rows([os.path.join(sf_dir, "lineitem.parquet")])
+        return pa.table({"n_rows": pa.array([n], pa.int64())})
+
+    q["row_count"] = row_count
+
+    q["chain"] = _spec_query(
+        _lineitem,
+        with_columns=["src:str:val=web"],
+        filter=["l_quantity>25.0", "l_returnflag!=N"],
+        drop=["l_shipdate"],
+        select=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "src"],
+        rename=["l_quantity=qty"],
+    )
+
+    # ---- training-data extensions ----
+    def dedup_exact(sf_dir: str):
+        from tbl_ray.functions.dedup import exact_dedup
+
+        return exact_dedup(_docs(sf_dir), "text", "doc_id")
+
+    q["dedup_exact"] = dedup_exact
+
+    def token_count(sf_dir: str):
+        from tbl_ray.functions.text import token_count as tc
+
+        return tc(_docs(sf_dir)).select_columns(["doc_id", "n_tokens"])
+
+    q["token_count"] = token_count
+
+    def text_len(sf_dir: str):
+        from tbl_ray.functions.text import text_stats
+
+        return text_stats(_docs(sf_dir)).select_columns(["doc_id", "text_len"])
+
+    q["text_len"] = text_len
+
+    def langid(sf_dir: str):
+        from tbl_ray.functions.text import langid as li
+
+        return li(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
+
+    q["langid"] = langid
+
+    def quality(sf_dir: str):
+        from tbl_ray.functions.text import text_stats
+
+        return text_stats(_docs(sf_dir)).select_columns(["doc_id", "quality"])
+
+    q["quality"] = quality
+
+    def fingerprint(sf_dir: str):
+        from tbl_ray.functions.text import fingerprint as fp
+
+        return fp(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+
+    q["fingerprint"] = fingerprint
+
+    def dedup_minhash(sf_dir: str):
+        from tbl_ray.functions.dedup import minhash_dedup
+
+        return minhash_dedup(_docs(sf_dir), "text", "doc_id", threshold=0.85)
+
+    q["dedup_minhash"] = dedup_minhash
+
+    def simhash_col(sf_dir: str):
+        from tbl_ray.functions.dedup import simhash
+
+        return simhash(_docs(sf_dir)).select_columns(["doc_id", "simhash"])
+
+    q["simhash"] = simhash_col
+
+    def ann_topk(sf_dir: str):
+        from tbl_ray.functions.similarity import knn_brute
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        first = ds.take_batch(1, batch_format="pyarrow")
+        qv = np.asarray(first.column("embedding")[0].as_py(), dtype=np.float32)[None, :]
+        res = knn_brute(ds, qv, k=10)
+        return pa.table({"vec_id": pa.array([r["id"] for r in res[0]], pa.int64())})
+
+    q["ann_topk"] = ann_topk
+
+    def ann_ivf(sf_dir: str):
+        from tbl_ray.functions.similarity import knn_ivf
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        first = ds.take_batch(1, batch_format="pyarrow")
+        qv = np.asarray(first.column("embedding")[0].as_py(), dtype=np.float32)[None, :]
+        res = knn_ivf(ds, qv, k=10, n_clusters=8, n_probe=4)
+        return pa.table({"vec_id": pa.array([r["id"] for r in res[0]], pa.int64())})
+
+    q["ann_ivf"] = ann_ivf
+
+    def encode_roundtrip(sf_dir: str):
+        """Codec round-trip invariant on real data: decoded == original,
+        reported per column with codec + ratio."""
+        import pyarrow.parquet as pq
+
+        from tbl_ray.codecs import EncodedChunk, decode_chunk
+        from tbl_ray.codecs.base import arrays_identical
+        from tbl_ray.stages.encode import ColumnEncoder, decode_table
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        enc = ColumnEncoder()(t)
+        back = decode_table(enc)
+        rows = []
+        for col, codec, payload in zip(
+            enc.column("columns")[0].as_py(),
+            enc.column("codecs")[0].as_py(),
+            enc.column("payloads")[0].as_py(),
+        ):
+            ok = arrays_identical(
+                back.column(col).combine_chunks(), t.column(col).combine_chunks()
+            )
+            rows.append(
+                {
+                    "column": col,
+                    "codec": codec,
+                    "bit_identical": ok,
+                    "encoded_bytes": len(payload),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    q["encode_roundtrip"] = encode_roundtrip
+
+    def webtable_invariant(sf_dir: str):
+        """Per-row invariant: extract_text(html) byte-identical to text
+        after a full encode->decode cycle of the synthetic web table."""
+        import pyarrow.compute as pc
+
+        from tbl_ray.stages.encode import ColumnEncoder, decode_table
+        from tbl_ray.webtable import extract_text, generate_batch
+
+        t = generate_batch(0, 5000, seed=42)
+        back = decode_table(ColumnEncoder()(t))
+        extracted = extract_text(back.column("html").combine_chunks())
+        ok = extracted.equals(back.column("text").combine_chunks())
+        n_bad = int(
+            pc.sum(
+                pc.cast(
+                    pc.not_equal(extracted, back.column("text").combine_chunks()),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "text_identical": pa.array([ok]),
+                "mismatches": pa.array([n_bad], pa.int64()),
+            }
+        )
+
+    q["webtable_invariant"] = webtable_invariant
+
+    return q
+
+
+def _spec_query_events_counts():
+    def run(sf_dir: str):
+        from tbl_ray import TransformSpec, apply_transforms
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "events.parquet"))
+        return apply_transforms(ds, TransformSpec(value_counts="event_type"))
+
+    return run
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "select": "SELECT l_orderkey, l_quantity FROM lineitem",
+        "drop": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+            " o_orderdate FROM orders"
+        ),
+        "rename": (
+            "SELECT o_orderkey AS okey, o_custkey, o_orderstatus, o_totalprice,"
+            " o_orderdate, o_orderpriority FROM orders"
+        ),
+        "cast": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber"
+            " FROM lineitem"
+        ),
+        "with_column": "SELECT o_orderkey, CAST(7 AS INTEGER) AS flag FROM orders",
+        "set_column": "SELECT o_orderkey, 'X' AS o_orderstatus FROM orders",
+        "nullify": (
+            "SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice FROM orders"
+        ),
+        "replace": (
+            "SELECT l_orderkey, l_linenumber, CASE WHEN l_returnflag='A' THEN 'Z'"
+            " ELSE l_returnflag END AS l_returnflag FROM lineitem"
+        ),
+        "filter_eq": "SELECT * FROM lineitem WHERE l_returnflag = 'A'",
+        "filter_ne": "SELECT * FROM lineitem WHERE l_linestatus != 'O'",
+        "filter_gt": "SELECT * FROM lineitem WHERE l_quantity > 45.0",
+        "filter_ge": "SELECT * FROM lineitem WHERE l_extendedprice >= 90000",
+        "filter_le": "SELECT * FROM orders WHERE o_totalprice <= 30000",
+        "filter_lt": "SELECT * FROM lineitem WHERE l_quantity < 3",
+        "filter_not_null": "SELECT * FROM orders WHERE o_custkey IS NOT NULL",
+        "filter_is_null": (
+            "SELECT o_orderkey, CAST(NULL AS VARCHAR) AS nullcol FROM orders"
+        ),
+        "head": "SELECT * FROM lineitem LIMIT 50",
+        "offset_head": "SELECT * FROM lineitem LIMIT 50 OFFSET 100",
+        "tail": (
+            "SELECT * FROM events OFFSET (SELECT count(*) - 50 FROM events)"
+        ),
+        "value_counts": (
+            "SELECT l_returnflag, count(l_returnflag) AS count FROM lineitem"
+            " GROUP BY l_returnflag"
+        ),
+        "value_counts_events": (
+            "SELECT event_type, count(event_type) AS count FROM events"
+            " GROUP BY event_type"
+        ),
+        "sort_topk": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
+            " ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+        ),
+        "row_count": "SELECT count(*) AS n_rows FROM lineitem",
+        "chain": (
+            "SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag,"
+            " 'web' AS src FROM lineitem"
+            " WHERE l_quantity > 25.0 AND l_returnflag != 'N'"
+        ),
+        "dedup_exact": (
+            "SELECT d.* FROM documents d JOIN (SELECT text, min(doc_id) AS doc_id"
+            " FROM documents GROUP BY text) k ON d.doc_id = k.doc_id"
+        ),
+        "token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens"
+            " FROM documents"
+        ),
+        "text_len": "SELECT doc_id, length(text) AS text_len FROM documents",
+        "ann_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id FROM embeddings e, q"
+            " ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,"
+            " e.vec_id LIMIT 10"
+        ),
+        # langid / quality / fingerprint / dedup_minhash / simhash / ann_ivf /
+        # encode_roundtrip / webtable_invariant: non-SQL-expressible
+        # (heuristics, sketches, approximate search, codec internals) ->
+        # rows-only checks.
+    }

@@ -1,0 +1,461 @@
+"""Deduplication family — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine. Ray-Data-first:
+
+- signatures/sketches are computed **vectorized per batch** (numpy over
+  Arrow buffers; per-row Python only over batch-unique words);
+- candidate generation is a **bucket groupby** (the only shuffle, moving
+  small (id, bucket, signature) rows — never the documents themselves);
+- pair verification happens inside the bucket's ``map_groups``;
+- final duplicate-group resolution is a driver-side union-find over the
+  (small) verified pair list, broadcast back as a drop-set.
+
+This is the standard web-scale shape: O(n) sketch -> bucket shuffle of
+sketches only -> tiny pair set. The documents table never moves twice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from tbl_ray.codecs.base import binary_parts
+from tbl_ray.webtable import _mix
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_SHINGLE = 8  # byte-level shingle width (fits one uint64 window)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", column: str, id_col: str
+) -> "ray.data.Dataset":
+    """Keep the min-``id_col`` row per distinct ``column`` value.
+
+    Hash-partition shuffle on the dedup key (Ray groupby), then first-row
+    per group — the scale path for exact dedup."""
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        return t.sort_by(id_col).slice(0, 1)
+
+    return ds.groupby(column).map_groups(keep_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
+
+
+def _window_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-position 8-byte-shingle hashes + per-row segment starts.
+
+    Windows crossing a row boundary are masked to U64_MAX so per-row
+    ``minimum.reduceat`` ignores them."""
+    offsets, data = binary_parts(col)
+    n = len(col)
+    lens = np.diff(offsets)
+    if len(data) == 0:
+        return np.zeros(0, np.uint64), np.zeros(n, np.int64), lens
+    pad = np.concatenate([data, np.zeros(_SHINGLE, np.uint8)])
+    w64 = (
+        np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(pad, _SHINGLE)[: len(data)]
+        )
+        .view(">u8")
+        .ravel()
+        .astype(np.uint64)
+    )
+    h = _mix(w64)
+    pos = np.arange(len(data), dtype=np.int64)
+    row_start = np.repeat(offsets[:-1], lens)
+    row_len = np.repeat(lens, lens)
+    invalid = (pos - row_start) > (row_len - _SHINGLE)
+    h[invalid] = _U64_MAX
+    starts = offsets[:-1].copy()
+    starts[lens == 0] = 0  # keep reduceat indices valid; fixed up by caller
+    return h, starts, lens
+
+
+def minhash_signatures(col: pa.Array, n_hashes: int = 32, seed: int = 7) -> np.ndarray:
+    """(n_rows, n_hashes) uint64 MinHash signature matrix.
+
+    One base shingle hash per position; the i-th permutation is the
+    universal-hash ``a_i * h + b_i`` (wraparound), minimized per row with
+    ``np.minimum.reduceat`` — all vectorized."""
+    h, starts, lens = _window_hashes(col)
+    n = len(lens)
+    sig = np.full((n, n_hashes), _U64_MAX, dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=n_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_hashes, dtype=np.uint64)
+    empty = lens == 0
+    with np.errstate(over="ignore"):
+        for i in range(n_hashes):
+            hi = a[i] * h + b[i]
+            hi[h == _U64_MAX] = _U64_MAX  # keep masked windows masked
+            mins = np.minimum.reduceat(hi, starts)
+            mins[empty] = _U64_MAX
+            sig[:, i] = mins
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_rows, bands) uint64 LSH bucket keys (chained mix over the band)."""
+    n, n_hashes = sig.shape
+    r = n_hashes // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bnd in range(bands):
+            acc = np.full(n, np.uint64(bnd + 1), dtype=np.uint64)
+            for j in range(bnd * r, (bnd + 1) * r):
+                acc = _mix(acc ^ sig[:, j])
+            out[:, bnd] = acc
+    return out
+
+
+class _MinhashSketch:
+    """map_batches stage: (id, band, bucket, sig) rows — sketches only."""
+
+    def __init__(self, text_col: str, id_col: str, n_hashes: int, bands: int):
+        self.text_col, self.id_col = text_col, id_col
+        self.n_hashes, self.bands = n_hashes, bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.text_col).combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        sig = minhash_signatures(col, self.n_hashes)
+        bh = band_hashes(sig, self.bands)
+        n = t.num_rows
+        ids = np.asarray(t.column(self.id_col))
+        return pa.table(
+            {
+                self.id_col: np.repeat(ids, self.bands),
+                "band": np.tile(np.arange(self.bands), n),
+                "bucket": bh.ravel(),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sig, self.bands, axis=0).ravel()),
+                    self.n_hashes,
+                ),
+            }
+        )
+
+
+def _bucket_pairs(threshold: float, id_col: str):
+    """map_groups over one (band, bucket): verified candidate pairs."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n < 2 or n > 1000:  # oversized bucket = degenerate hash; skip
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        ids = np.asarray(t.column(id_col))
+        sig = np.stack(
+            [np.asarray(v.values) for v in t.column("sig").combine_chunks()]
+        ).astype(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = est >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
+             "est_jaccard": est[keep]}
+        )
+
+    return pairs
+
+
+def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """id -> component root (driver-side; the pair list is tiny by design)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> list[dict]:
+    """Verified near-duplicate pairs (deduplicated across bands)."""
+    sk = ds.map_batches(
+        _MinhashSketch(text_col, id_col, n_hashes, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pair_ds = sk.groupby(["band", "bucket"]).map_groups(
+        _bucket_pairs(threshold, id_col), batch_format="pyarrow"
+    )
+    seen = {}
+    for r in pair_ds.take_all():
+        key = (r["id_a"], r["id_b"])
+        if key not in seen or r["est_jaccard"] > seen[key]:
+            seen[key] = r["est_jaccard"]
+    return [
+        {"id_a": a, "id_b": b, "est_jaccard": j} for (a, b), j in sorted(seen.items())
+    ]
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Drop near-duplicates, keeping the min-id doc of each group."""
+    pairs = minhash_dup_pairs(ds, text_col, id_col, **kwargs)
+    roots = union_find([(p["id_a"], p["id_b"]) for p in pairs])
+    drop = {x for x, r in roots.items() if x != r}
+    if not drop:
+        return ds
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([i not in d for i in t.column(id_col).to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(col: pa.Array, seed: int = 11) -> np.ndarray:
+    """64-bit SimHash per row over word tokens.
+
+    Tokens split with an Arrow kernel; only *batch-unique* words are hashed
+    in Python (dictionary-encode first); the ±1 bit accumulation is
+    ``np.add.reduceat`` per bit — vectorized over all words."""
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    words = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(words)
+    counts = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    n = len(col)
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    denc = flat.dictionary_encode()
+    uniq = denc.dictionary.to_pylist()
+    import zlib
+
+    uh = np.array(
+        [zlib.crc32(w.encode()) | (zlib.adler32(w.encode()) << 32) for w in uniq],
+        dtype=np.uint64,
+    )
+    uh = _mix(uh + np.uint64(seed))
+    wh = uh[np.asarray(denc.indices)]
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1].copy()
+    empty = counts == 0
+    starts[empty] = 0
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        bit = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        s = np.add.reduceat(bit, starts)
+        s[empty] = 0
+        out |= (s > 0).astype(np.uint64) << np.uint64(b)
+    return out
+
+
+def simhash(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Append a ``simhash`` uint64 column."""
+
+    def add(t: pa.Table) -> pa.Table:
+        h = simhash_batch(t.column(text_col).combine_chunks())
+        return t.append_column("simhash", pa.array(h, type=pa.uint64()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_dup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> list[dict]:
+    """Near-dup pairs by SimHash banding (4 x 16-bit bands -> bucket
+    groupby -> in-bucket Hamming verification)."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = simhash_batch(t.column(text_col).combine_chunks())
+        ids = np.asarray(t.column(id_col))
+        rows = {
+            id_col: np.repeat(ids, 4),
+            "band": np.tile(np.arange(4), len(ids)),
+            "bucket": np.stack(
+                [(h >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)],
+                axis=1,
+            ).ravel(),
+            "simhash": np.repeat(h, 4),
+        }
+        return pa.table(rows)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n < 2 or n > 1000:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(t.column(id_col))
+        h = np.asarray(t.column("simhash")).astype(np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        x = h[ia] ^ h[ib]
+        ham = np.bitwise_count(x.astype(np.uint64)) if hasattr(np, "bitwise_count") else np.array(
+            [bin(int(v)).count("1") for v in x]
+        )
+        keep = ham <= max_hamming
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
+             "hamming": ham[keep].astype(np.int64)}
+        )
+
+    sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    pair_ds = sk.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    seen = {}
+    for r in pair_ds.take_all():
+        key = (r["id_a"], r["id_b"])
+        if key not in seen or r["hamming"] < seen[key]:
+            seen[key] = r["hamming"]
+    return [{"id_a": a, "id_b": b, "hamming": h} for (a, b), h in sorted(seen.items())]
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact character-n-gram Jaccard similarity of two strings."""
+    if len(a) < n and len(b) < n:
+        return 1.0 if a == b else 0.0
+    sa = {a[i : i + n] for i in range(max(len(a) - n + 1, 0))}
+    sb = {b[i : i + n] for i in range(max(len(b) - n + 1, 0))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 13,
+    dim: int | None = None,
+) -> list[dict]:
+    """Cosine near-duplicates via random-hyperplane LSH: sign-pattern bucket
+    per table (groupby of small sketch rows), exact cosine verification
+    inside buckets, pair dedup across tables."""
+    if dim is None:
+        first = ds.take_batch(1, batch_format="pyarrow")
+        dim = len(first.column(vec_col)[0].as_py())
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    class Sketch:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = np.stack(
+                [np.asarray(v.values, dtype=np.float32) for v in t.column(vec_col).combine_chunks()]
+            )
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            unit = vecs / np.maximum(norms, 1e-12)
+            ids = np.asarray(t.column(id_col))
+            out_ids, out_tbl, out_bkt, out_vec = [], [], [], []
+            for ti in range(len(self.planes)):
+                proj = unit @ self.planes[ti].T  # (n, n_planes)
+                bits = (proj > 0).astype(np.uint64)
+                bucket = np.zeros(len(ids), dtype=np.uint64)
+                for j in range(bits.shape[1]):
+                    bucket |= bits[:, j] << np.uint64(j)
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), ti))
+                out_bkt.append(bucket)
+                out_vec.append(unit)
+            return pa.table(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "table": np.concatenate(out_tbl),
+                    "bucket": np.concatenate(out_bkt),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array(np.concatenate(out_vec).ravel()), dim
+                    ),
+                }
+            )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n < 2 or n > 2000:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = np.asarray(t.column(id_col))
+        vecs = np.stack([np.asarray(v.values) for v in t.column("vec").combine_chunks()])
+        sims = vecs @ vecs.T
+        ia, ib = np.triu_indices(n, k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
+             "cosine": s[keep].astype(np.float64)}
+        )
+
+    sk = ds.map_batches(Sketch, batch_format="pyarrow", concurrency=(1, 4))
+    pair_ds = sk.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    seen = {}
+    for r in pair_ds.take_all():
+        key = (r["id_a"], r["id_b"])
+        if key not in seen or r["cosine"] > seen[key]:
+            seen[key] = r["cosine"]
+    return [{"id_a": a, "id_b": b, "cosine": c} for (a, b), c in sorted(seen.items())]

@@ -1,0 +1,176 @@
+"""Text analysis operators — language ID, quality scoring, token counting,
+document fingerprinting. Vectorized (`pyarrow.compute` regex/string kernels
++ numpy) inside ``map_batches``; no per-row Python in hot paths except the
+noted C-call fingerprint.
+
+These extend the reference (which has no string function library,
+SURVEY.md §2.8) with the operations a 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# small built-in marker vocabularies for the n-gram/stopword langid heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "que", "con", "por"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "zhe", "bu", "ren"],
+}
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count: number of ``\\S+`` runs (vectorized regex)."""
+    text = t.column(text_col)
+    n = pc.count_substring_regex(text, r"\S+")
+    return t.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def text_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / digit / stopword statistics + quality score.
+
+    quality = heuristics over length, punctuation density, stopword density
+    and mean token length — the usual cheap pre-filters for web text.
+    """
+    text = t.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), pa.float64())
+    n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(text, _marker_pattern(_LANG_MARKERS["en"])),
+        pa.float64(),
+    )
+    safe_tokens = pc.max_element_wise(n_tokens, 1.0)
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    mean_tok_len = pc.divide(n_chars, safe_tokens)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    digit_ratio = pc.divide(n_digit, safe_chars)
+    stop_ratio = pc.divide(n_stop, safe_tokens)
+
+    # quality in [0,1]: long enough, readable token lengths, some stopwords,
+    # not digit/punct-soup
+    ln = np.asarray(n_chars)
+    q = (
+        np.clip(ln / 500.0, 0, 1) * 0.3
+        + np.clip(1.0 - np.abs(np.asarray(mean_tok_len) - 5.0) / 5.0, 0, 1) * 0.3
+        + np.clip(np.asarray(stop_ratio) * 4.0, 0, 1) * 0.2
+        + np.clip(1.0 - np.asarray(digit_ratio) * 5.0, 0, 1) * 0.1
+        + np.clip(1.0 - np.asarray(punct_ratio) * 10.0, 0, 1) * 0.1
+    )
+    out = t
+    for name, arr in [
+        ("text_len", pc.cast(n_chars, pa.int64())),
+        ("n_tokens", pc.cast(n_tokens, pa.int64())),
+        ("punct_ratio", punct_ratio),
+        ("digit_ratio", digit_ratio),
+        ("stopword_ratio", stop_ratio),
+        ("quality", pa.array(q, type=pa.float64())),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+def langid_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: density of per-language marker words
+    (vectorized regex count per language, argmax)."""
+    text = t.column(text_col)
+    n_tokens = np.maximum(
+        np.asarray(pc.count_substring_regex(text, r"\S+"), dtype=np.float64), 1.0
+    )
+    langs = list(_LANG_MARKERS)
+    scores = np.zeros((len(langs), t.num_rows))
+    for i, lang in enumerate(langs):
+        hits = pc.count_substring_regex(text, _marker_pattern(_LANG_MARKERS[lang]))
+        scores[i] = np.asarray(hits, dtype=np.float64) / n_tokens
+    best = np.argmax(scores, axis=0)
+    confident = scores.max(axis=0) > 0.01
+    pred = np.where(confident, np.array(langs, dtype=object)[best], "und")
+    return t.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint per document.
+
+    Vectorized: splitmix64 of every byte mixed with its *in-row* position
+    (so the hash is order-sensitive but content-pure — never sees
+    neighboring rows), XOR-folded per row via ``np.bitwise_xor.reduceat``.
+    O(bytes), no per-row Python."""
+    from tbl_ray.codecs.base import binary_parts
+    from tbl_ray.webtable import _mix
+
+    col = t.column(text_col).combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    offsets, data = binary_parts(col)
+    n = len(col)
+    if len(data) == 0:
+        return t.append_column("fingerprint", pa.array([0] * n, type=pa.uint64()))
+    pos = np.arange(len(data), dtype=np.uint64)
+    row_start = np.repeat(offsets[:-1].astype(np.uint64), np.diff(offsets))
+    with np.errstate(over="ignore"):
+        h = _mix(
+            data.astype(np.uint64)
+            + np.uint64(1)
+            + (pos - row_start) * np.uint64(0x9E3779B97F4A7C15)
+        )
+    starts = offsets[:-1].copy()
+    empty = np.diff(offsets) == 0
+    # reduceat needs valid indices; empty rows fixed up after
+    starts[empty] = 0
+    fp = np.bitwise_xor.reduceat(h, starts)
+    fp[empty] = 0
+    return t.append_column("fingerprint", pa.array(fp, type=pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level wrappers
+# ---------------------------------------------------------------------------
+
+
+def _wrap(fn, **kw):
+    def inner(t: pa.Table) -> pa.Table:
+        return fn(t, **kw)
+
+    return inner
+
+
+def token_count(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(
+        _wrap(token_count_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def text_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(
+        _wrap(text_stats_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def langid(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(
+        _wrap(langid_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def fingerprint(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    return ds.map_batches(
+        _wrap(fingerprint_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,62 @@
+"""Driver-contract conformance: every queries() entry runs; every
+oracle_sql() entry matches the Ray result (row count + order-insensitive
+value comparison at sf0.001 in-suite; the driver re-runs at sf0.01)."""
+
+import os
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(name, sf_dir):
+    df = _to_pandas(QUERIES[name](sf_dir))
+    assert df.shape[0] >= 0 and df.shape[1] >= 1
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, sf_dir, duck):
+    got = _canon(_to_pandas(QUERIES[name](sf_dir)))
+    want = _canon(duck.execute(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False)
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 1
+    assert "codec" in df.columns

@@ -1,0 +1,250 @@
+"""Text analysis, dedup family, similarity search, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from tbl_ray.functions.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_batch,
+    simhash_dup_pairs,
+    union_find,
+)
+from tbl_ray.functions.similarity import knn_brute, knn_ivf, train_centroids
+from tbl_ray.functions.text import (
+    fingerprint_batch,
+    langid_batch,
+    text_stats_batch,
+    token_count_batch,
+)
+
+
+def docs_ds(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- text ----------------------------------------------------------------
+
+
+def test_token_count_matches_duck(sf_dir, duck):
+    t = token_count_batch(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet").take_batch(
+            10**6, batch_format="pyarrow"
+        )
+    )
+    want = duck.execute(
+        "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) n FROM documents ORDER BY doc_id"
+    ).fetch_arrow_table()
+    got = t.select(["doc_id", "n_tokens"]).sort_by("doc_id")
+    assert got.column("n_tokens").to_pylist() == want.column("n").to_pylist()
+
+
+def test_text_stats_quality_range():
+    t = pa.table({"text": ["the cat sat on the mat with a hat", "", "1234!!!"]})
+    out = text_stats_batch(t)
+    q = out.column("quality").to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+    assert q[0] > q[2]  # wordy text beats digit/punct soup
+
+
+def test_langid_heuristic():
+    t = pa.table(
+        {
+            "text": [
+                "the cat is in the house and that was for the dog",
+                "der hund ist nicht mit der katze und das haus",
+                "le chat est dans la maison et les chiens pour une",
+            ]
+        }
+    )
+    out = langid_batch(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr"]
+
+
+def test_fingerprint_content_pure():
+    a = fingerprint_batch(pa.table({"text": ["hello world", "abc", ""]}))
+    b = fingerprint_batch(pa.table({"text": ["hello world", "different", ""]}))
+    fa, fb = a.column("fingerprint").to_pylist(), b.column("fingerprint").to_pylist()
+    assert fa[0] == fb[0]  # same content, same fingerprint (neighbors differ)
+    assert fa[1] != fb[1]
+    assert fa[2] == 0
+
+
+# -- dedup ---------------------------------------------------------------
+
+
+def _dup_docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "compression engines pick codecs from sampled statistics per column",
+        "ray data streams arrow batches through actor pools with backpressure",
+    ]
+    texts, ids = [], []
+    i = 0
+    for t in base:
+        for variant in (t, t, t + " extra", t.replace("the", "a")):
+            texts.append(variant)
+            ids.append(i)
+            i += 1
+    # unrelated rows
+    for j in range(5):
+        texts.append(f"completely unrelated document number {j} about nothing at all")
+        ids.append(i)
+        i += 1
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+
+def test_exact_dedup():
+    t = _dup_docs()
+    ds = ray.data.from_arrow(t)
+    out = pa.Table.from_pylist(exact_dedup(ds, "text", "doc_id").take_all())
+    texts = t.column("text").to_pylist()
+    # exact dups: each base text appears twice -> one kept (the min id)
+    assert out.num_rows == len(set(texts))
+    kept = set(out.column("doc_id").to_pylist())
+    for i, txt in enumerate(texts):
+        first = texts.index(txt)
+        assert (i in kept) == (i == first)
+
+
+def test_minhash_signatures_similarity():
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    sig = minhash_signatures(pa.array([a, a, a + " x", "zzz completely different text"]))
+    same = (sig[0] == sig[1]).mean()
+    near = (sig[0] == sig[2]).mean()
+    far = (sig[0] == sig[3]).mean()
+    assert same == 1.0 and near > 0.5 and far < 0.3
+
+
+def test_minhash_dedup_pipeline():
+    t = _dup_docs()
+    ds = ray.data.from_arrow(t)
+    pairs = minhash_dup_pairs(ds, "text", "doc_id", threshold=0.9)
+    # exact duplicate pairs (0,1), (4,5), (8,9) must be found
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert {(0, 1), (4, 5), (8, 9)} <= found
+    kept = pa.Table.from_pylist(minhash_dedup(ds, "text", "doc_id", threshold=0.9).take_all())
+    assert kept.num_rows < t.num_rows
+    # one representative of every exact-dup pair survives
+    ids = set(kept.column("doc_id").to_pylist())
+    assert 0 in ids and 1 not in ids
+
+
+def test_union_find():
+    roots = union_find([(1, 2), (2, 3), (10, 11)])
+    assert roots[3] == 1 and roots[2] == 1 and roots[11] == 10
+
+
+def test_simhash_near():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    h = simhash_batch(pa.array([a, a + " ok", "totally different words entirely"]))
+    d01 = bin(int(h[0]) ^ int(h[1])).count("1")
+    d02 = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert d01 < d02
+
+
+def test_simhash_dup_pairs():
+    t = _dup_docs()
+    pairs = simhash_dup_pairs(ray.data.from_arrow(t), "text", "doc_id", max_hamming=3)
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert {(0, 1), (4, 5), (8, 9)} <= found
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdefgh", "abcdefxx") < 1.0
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 32)).astype(np.float32)
+    vecs = np.concatenate([base, base[:3] + rng.normal(scale=0.001, size=(3, 32)).astype(np.float32)])
+    ids = list(range(len(vecs)))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel()), 32
+            ),
+        }
+    )
+    pairs = embedding_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.99, n_tables=6, n_planes=6
+    )
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert {(0, 20), (1, 21), (2, 22)} <= found
+
+
+# -- similarity search ---------------------------------------------------
+
+
+def test_knn_brute_matches_numpy(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = ds.take_batch(10**6, batch_format="pyarrow")
+    vecs = np.stack([np.asarray(v.values) for v in t.column("embedding").combine_chunks()])
+    ids = np.asarray(t.column("vec_id"))
+    q = vecs[:2]
+    res = knn_brute(ds, q, k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = unit @ qu.T
+    for qi in range(2):
+        order = sorted(zip(-sims[:, qi], ids))[:5]
+        want = [int(i) for _, i in order]
+        got = [r["id"] for r in res[qi]]
+        assert got == want
+        assert res[qi][0]["id"] == int(ids[qi]) # self is nearest
+
+
+def test_knn_ivf_recall(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = ds.take_batch(10**6, batch_format="pyarrow")
+    vecs = np.stack([np.asarray(v.values) for v in t.column("embedding").combine_chunks()])
+    q = vecs[:3]
+    exact = knn_brute(ds, q, k=5)
+    approx = knn_ivf(ds, q, k=5, n_clusters=8, n_probe=4)
+    recall = np.mean(
+        [
+            len({r["id"] for r in approx[i]} & {r["id"] for r in exact[i]}) / 5
+            for i in range(3)
+        ]
+    )
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_train_centroids_unit_norm():
+    rng = np.random.default_rng(1)
+    c = train_centroids(rng.normal(size=(200, 16)), 4)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+
+
+# -- multimodal plumbing -------------------------------------------------
+
+
+def test_multimodal_stub_pipeline():
+    from tbl_ray.stages.multimodal import decode_images, fake_media_table
+
+    t = fake_media_table(64, payload_bytes=1024)
+    ds = ray.data.from_arrow(t)
+    out = pa.Table.from_pylist(decode_images(ds, batch_size=16, concurrency=2).take_all())
+    assert out.num_rows == 64
+    assert {"width", "height", "n_bytes", "features"} <= set(out.schema.names)
+    assert all(v == 1024 for v in out.column("n_bytes").to_pylist())
+    # deterministic: same payloads -> same fake features
+    out2 = pa.Table.from_pylist(decode_images(ds, batch_size=32, concurrency=2).take_all())
+    assert sorted(out.column("width").to_pylist()) == sorted(out2.column("width").to_pylist())
+
+
+def test_multimodal_strict_raises():
+    from tbl_ray.stages.multimodal import ImageDecode, fake_media_table
+
+    with pytest.raises(NotImplementedError):
+        ImageDecode(strict=True)(fake_media_table(4))
