@@ -1,0 +1,366 @@
+"""CLI — the reference's `tbl` surface on the Ray engine.
+
+`python -m tbl_ray.cli [PATHS] [options]` mirrors the reference CLI
+(crates/tbl-cli/src/cli/args.rs:197-444): the data command with the
+14-transform flags, `ls` and `schema` subcommands, the seven-way output
+mode router (crates/tbl-cli/src/cli/subcommands/data.rs:30-50) and the
+summary + confirm gate (data.rs:105-147; non-interactive here: disk-write
+modes require --confirm, --dry previews). The stubbed partition modes are
+REAL in this engine (tbl_ray.stages.partition), and --encode/--decode
+expose the codec job (our north-rule extension).
+
+This module owns its Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_ls_parser() -> argparse.ArgumentParser:
+    ls = argparse.ArgumentParser(prog="tbl-ray ls")
+    ls.add_argument("paths", nargs="*", default=None)
+    ls.add_argument("--tree", action="store_true")
+    ls.add_argument("--absolute", action="store_true")
+    ls.add_argument("-n", type=int, default=None)
+    return ls
+
+
+def _build_schema_parser() -> argparse.ArgumentParser:
+    sc = argparse.ArgumentParser(prog="tbl-ray schema")
+    sc.add_argument("paths", nargs="*", default=None)
+    sc.add_argument("--tree", action="store_true")
+    sc.add_argument("-n", type=int, default=None)
+    return sc
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    """The data command (no subcommand — reference args.rs:20-25);
+    `ls`/`schema` are dispatched on the first token in main()."""
+    d = argparse.ArgumentParser(
+        prog="tbl-ray", description="Ray-Data-native tbl: read/transform/write parquet"
+    )
+    d.add_argument("paths", nargs="*", default=None)
+    d.add_argument("--tree", action="store_true")
+    # transforms (fixed application order regardless of flag order)
+    d.add_argument("--columns", "--select", dest="select", nargs="+", default=[])
+    d.add_argument("--drop", nargs="+", default=[])
+    d.add_argument("--with-columns", "--with", dest="with_columns", nargs="+", default=[])
+    d.add_argument("--rename", nargs="+", default=[])
+    d.add_argument("--cast", nargs="+", default=[])
+    d.add_argument("--set", nargs="+", default=[])
+    d.add_argument("--nullify", nargs="+", default=[])
+    d.add_argument("--replace", nargs="+", default=[])
+    d.add_argument("--filter", nargs="+", default=[])
+    d.add_argument("--sort", nargs="+", default=[])
+    d.add_argument("--head", "--limit", dest="head", type=int, default=None)
+    d.add_argument("--tail", type=int, default=None)
+    d.add_argument("--offset", type=int, default=None)
+    d.add_argument("--value-counts", dest="value_counts", default=None)
+    # output
+    d.add_argument("--no-summary", action="store_true")
+    d.add_argument("-n", dest="n_rows", default=None, help="stdout rows (or 'all')")
+    d.add_argument("--csv", action="store_true")
+    d.add_argument("--json", action="store_true")
+    d.add_argument("--jsonl", action="store_true")
+    d.add_argument("--hex", action="store_true")
+    d.add_argument("--inplace", action="store_true")
+    d.add_argument("--output-file", dest="output_file", default=None)
+    d.add_argument("--output-dir", dest="output_dir", default=None)
+    d.add_argument("--output-prefix", dest="output_prefix", default=None)
+    d.add_argument("--output-postfix", dest="output_postfix", default=None)
+    d.add_argument("--partition", default=None, metavar="COLUMN")
+    d.add_argument("--partition-by-rows", dest="partition_by_rows", type=int, default=None)
+    d.add_argument("--partition-by-bytes", dest="partition_by_bytes", type=int, default=None)
+    # north-rule extensions
+    d.add_argument("--encode", action="store_true", help="codec-encode to --output-dir (resumable job)")
+    d.add_argument("--decode", action="store_true", help="decode an encoded dir back to parquet")
+    d.add_argument("--no-resume", action="store_true")
+    d.add_argument("--confirm", action="store_true")
+    d.add_argument("--dry", action="store_true")
+    d.add_argument("--num-cpus", type=int, default=None)
+    return d
+
+
+def decide_output_mode(args) -> str:
+    """Exactly one of the reference's output modes (data.rs:30-50)."""
+    modes = [
+        ("single_file", args.output_file is not None),
+        ("directory", args.output_dir is not None and not args.encode and not args.decode),
+        ("inplace", args.inplace),
+        ("partition", args.partition is not None or args.partition_by_rows or args.partition_by_bytes),
+        ("encode", args.encode),
+        ("decode", args.decode),
+    ]
+    chosen = [name for name, on in modes if on]
+    if len(chosen) > 1:
+        raise SystemExit(f"error: conflicting output modes: {chosen}")
+    return chosen[0] if chosen else "stdout"
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _gather(paths, tree):
+    from tbl_ray.sources.inputs import gather_paths
+
+    return gather_paths(paths or [os.getcwd()], tree=tree)
+
+
+def _spec_from_args(args):
+    from tbl_ray.transforms import TransformSpec
+
+    return TransformSpec(
+        with_columns=args.with_columns,
+        filter=args.filter,
+        drop=args.drop,
+        cast=args.cast,
+        set=args.set,
+        nullify=args.nullify,
+        replace=args.replace,
+        select=args.select,
+        offset=args.offset,
+        head=args.head,
+        tail=args.tail,
+        value_counts=args.value_counts,
+        sort=args.sort,
+        rename=args.rename,
+    )
+
+
+def _print_stdout(ds, n_rows, hex_mode) -> None:
+    """Pretty print first n rows + '<k> rows omitted' footer (output.rs:27-72)."""
+    import pyarrow as pa
+
+    from tbl_ray.sinks.writers import hex_encode_binary_columns
+
+    cap = None if n_rows == "all" else int(n_rows or 20)
+    total = ds.count()
+    shown = ds if cap is None else ds.limit(cap)
+    t = pa.Table.from_pylist(shown.take_all())
+    if hex_mode or True:  # binary is always hex-encoded for display
+        if t.num_rows:
+            t = hex_encode_binary_columns(t)
+    print(t.to_pandas().to_string(index=False))
+    if cap is not None and total > cap:
+        print(f"{total - cap} rows omitted")
+
+
+def _summary(mode, in_paths, out_paths, spec) -> None:
+    from tbl_ray.sources.outputs import get_common_prefix
+
+    print(f"mode: {mode}", file=sys.stderr)
+    if in_paths:
+        prefix = get_common_prefix(in_paths) if len(in_paths) > 1 else ""
+        print(f"inputs: {len(in_paths)} file(s) under {prefix or in_paths[0]}", file=sys.stderr)
+    active = {
+        k: v
+        for k, v in vars(spec).items()
+        if v not in (None, [], {}) and k != "spec"
+    }
+    if active:
+        print(f"transforms: {active}", file=sys.stderr)
+    if out_paths:
+        print(f"outputs: {len(out_paths)} file(s)", file=sys.stderr)
+
+
+def _confirm_gate(args, writes: bool) -> bool:
+    """Disk writes require --confirm (reference gates via inquire prompt,
+    data.rs:105-147); --dry always previews only."""
+    if args.dry:
+        print("dry run: no files written", file=sys.stderr)
+        return False
+    if writes and not args.confirm:
+        print("refusing to write without --confirm (or use --dry)", file=sys.stderr)
+        return False
+    return True
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "ls":
+        return _ls(_build_ls_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "schema":
+        return _schema(_build_schema_parser().parse_args(argv[1:]))
+    return _data(_build_parser().parse_args(argv))
+
+
+def _ls(args) -> int:
+    from tbl_ray.sources.summary import summarize_file
+
+    paths = _gather(args.paths, args.tree)
+    total_rows = 0
+    total_bytes = 0
+    cap = args.n or len(paths)
+    for p in paths[:cap]:
+        s = summarize_file(p)
+        total_rows += s.n_rows
+        total_bytes += s.n_bytes_compressed
+        name = p if args.absolute else os.path.basename(p)
+        print(f"{name}  {s.n_rows} rows  {s.n_bytes_compressed} bytes")
+    if len(paths) > cap:
+        print(f"... {len(paths) - cap} more files")
+    print(f"{len(paths)} files, {total_rows} rows, {total_bytes} bytes")
+    return 0
+
+
+def _schema(args) -> int:
+    from tbl_ray.sources.summary import summarize_by_schema, summarize_files
+
+    paths = _gather(args.paths, args.tree)
+    groups = summarize_by_schema(summarize_files(paths))
+    shown = [summ for _schema, summ in groups.values()]
+    shown.sort(key=lambda s: -s.n_rows)
+    for i, summ in enumerate(shown[: args.n or len(shown)]):
+        print(f"schema group {i}: {summ.n_files} files, {summ.n_rows} rows")
+        for name, col in summ.columns.items():
+            pct = (
+                100.0 * col.compressed_bytes / max(summ.n_bytes_compressed, 1)
+            )
+            print(
+                f"  {name}: {col.dtype}  disk={col.compressed_bytes}"
+                f"  full={col.uncompressed_bytes}  ({pct:.1f}% of disk)"
+            )
+    return 0
+
+
+def _data(args) -> int:
+    mode = decide_output_mode(args)
+    paths = _gather(args.paths, args.tree)
+    if not paths:
+        print("no tabular files found", file=sys.stderr)
+        return 1
+    spec = _spec_from_args(args)
+
+    _init_ray(args.num_cpus)
+    from tbl_ray.sources import read_table
+    from tbl_ray.transforms import apply_transforms
+
+    if mode == "stdout":
+        ds = apply_transforms(read_table(paths), spec)
+        if args.csv or args.json or args.jsonl:
+            import pyarrow as pa
+
+            from tbl_ray.sinks.writers import hex_encode_binary_columns
+
+            t = pa.Table.from_pylist(ds.take_all())
+            if t.num_rows:
+                t = hex_encode_binary_columns(t)
+            if args.csv:
+                sys.stdout.write(t.to_pandas().to_csv(index=False))
+            else:
+                sys.stdout.write(
+                    t.to_pandas().to_json(
+                        orient="records", lines=args.jsonl, default_handler=str
+                    )
+                    or ""
+                )
+                sys.stdout.write("\n")
+        else:
+            _print_stdout(ds, args.n_rows, args.hex)
+        return 0
+
+    if mode == "encode":
+        if not args.output_dir:
+            raise SystemExit("--encode requires --output-dir")
+        if not _confirm_gate(args, writes=True):
+            return 0
+        from tbl_ray.pipelines.encode_job import run_encode_job
+
+        report = run_encode_job(
+            paths, args.output_dir, resume=not args.no_resume
+        )
+        print(report)
+        return 0
+
+    if mode == "decode":
+        if not args.output_dir or not args.output_file:
+            raise SystemExit("--decode requires --output-dir (encoded) and --output-file")
+        if not _confirm_gate(args, writes=True):
+            return 0
+        from tbl_ray.pipelines.encode_job import decode_job_output
+        from tbl_ray.sinks.writers import write_parquet_atomic
+
+        write_parquet_atomic(decode_job_output(args.output_dir), args.output_file)
+        return 0
+
+    if mode == "partition":
+        if not args.output_dir:
+            raise SystemExit("partition modes require --output-dir")
+        if not _confirm_gate(args, writes=True):
+            return 0
+        ds = apply_transforms(read_table(paths), spec)
+        from tbl_ray.stages.partition import (
+            partition_by_bytes,
+            partition_by_key,
+            partition_by_rows,
+        )
+
+        if args.partition:
+            rows = partition_by_key(
+                ds, args.partition, args.output_dir,
+                max_rows_per_file=args.partition_by_rows,
+            )
+            print(f"wrote {len(rows)} partition files")
+        elif args.partition_by_rows:
+            partition_by_rows(ds, args.output_dir, args.partition_by_rows)
+        else:
+            partition_by_bytes(ds, args.output_dir, args.partition_by_bytes)
+        return 0
+
+    if mode == "single_file":
+        ds = apply_transforms(read_table(paths), spec)
+        _summary(mode, paths, [args.output_file], spec)
+        if not _confirm_gate(args, writes=True):
+            return 0
+        from tbl_ray.sinks.writers import write_csv, write_json, write_parquet_atomic
+
+        if args.csv:
+            write_csv(ds, args.output_file)
+        elif args.json or args.jsonl:
+            write_json(ds, args.output_file, lines=args.jsonl)
+        else:
+            write_parquet_atomic(ds, args.output_file)
+        return 0
+
+    # directory / inplace: one pipeline per input file (data.rs:71-93)
+    from tbl_ray.sinks.writers import write_parquet_atomic
+    from tbl_ray.sources.outputs import OutputPathSpec, get_output_paths
+
+    in_paths, out_paths = get_output_paths(
+        OutputPathSpec(
+            inputs=paths,
+            output_dir=None if mode == "inplace" else args.output_dir,
+            tree=args.tree,
+            file_prefix=args.output_prefix,
+            file_postfix=args.output_postfix,
+            sort=True,
+        )
+    )
+    _summary(mode, in_paths, out_paths, spec)
+    if not _confirm_gate(args, writes=True):
+        return 0
+    os.makedirs(args.output_dir, exist_ok=True) if args.output_dir else None
+    for ip, op in zip(in_paths, out_paths):
+        os.makedirs(os.path.dirname(op) or ".", exist_ok=True)
+        write_parquet_atomic(apply_transforms(read_table([ip]), spec), op)
+    print(f"wrote {len(out_paths)} file(s)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
