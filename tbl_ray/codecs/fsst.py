@@ -115,9 +115,12 @@ def _encode_tables(symbols: list[bytes]):
     # little-endian symbol values: byte 0 of the stream is the LSB, so the
     # length-L prefix of a window w is just ``w & ((1 << 8L) - 1)`` — no
     # byte-swap pass over the data
-    long_val = np.zeros(_HASH_SIZE, dtype=np.uint64)  # symbol bytes, LE
-    long_len = np.zeros(_HASH_SIZE, dtype=np.int32)  # 0 = empty slot
-    long_code = np.full(_HASH_SIZE, _ESC, dtype=np.uint8)
+    # two-way set-associative: gain-ordered insertion, way 2 catches hash
+    # conflicts (probed only on way-1 misses — cheap, recovers most of the
+    # ratio a 1-way table loses on shared 3-byte prefixes)
+    long_val = np.zeros((2, _HASH_SIZE), dtype=np.uint64)  # symbol bytes, LE
+    long_len = np.zeros((2, _HASH_SIZE), dtype=np.int32)  # 0 = empty slot
+    long_code = np.full((2, _HASH_SIZE), _ESC, dtype=np.uint8)
     short2 = np.full(65536, _ESC, dtype=np.uint8)
     short1 = np.full(256, _ESC, dtype=np.uint8)
     for code, s in enumerate(symbols):
@@ -125,10 +128,12 @@ def _encode_tables(symbols: list[bytes]):
         if L >= 3:
             first3 = np.uint64(int.from_bytes(s[:3], "little"))
             slot = int(_hash3(np.array([first3], dtype=np.uint64))[0])
-            if long_len[slot] == 0:  # first (highest-gain) symbol wins
-                long_val[slot] = int.from_bytes(s, "little")
-                long_len[slot] = L
-                long_code[slot] = code
+            for way in (0, 1):
+                if long_len[way, slot] == 0:
+                    long_val[way, slot] = int.from_bytes(s, "little")
+                    long_len[way, slot] = L
+                    long_code[way, slot] = code
+                    break
         elif L == 2:
             short2[int.from_bytes(s, "little")] = code
         else:
@@ -186,10 +191,22 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
         w = w64[cur]
         room = seg_ends[active_idx] - cur
 
-        # long match: single hash-slot candidate on the 3-byte prefix
+        # long match: two-way hash-slot candidates on the 3-byte prefix
         slot = _hash3(w & np.uint64(0xFFFFFF))
-        sl = long_len[slot]
-        long_ok = (sl > 0) & (sl <= room) & ((w & len_mask[sl]) == long_val[slot])
+        sl = long_len[0][slot]
+        long_ok = (sl > 0) & (sl <= room) & ((w & len_mask[sl]) == long_val[0][slot])
+        lcode = long_code[0][slot]
+        miss = np.flatnonzero(~long_ok)
+        if len(miss):
+            mslot = slot[miss]
+            sl2 = long_len[1][mslot]
+            ok2 = (sl2 > 0) & (sl2 <= room[miss]) & (
+                (w[miss] & len_mask[sl2]) == long_val[1][mslot]
+            )
+            hit2 = miss[ok2]
+            long_ok[hit2] = True
+            sl[hit2] = sl2[ok2]
+            lcode[hit2] = long_code[1][mslot[ok2]]
 
         c2 = short2[(w & np.uint64(0xFFFF)).astype(np.int32)]
         two_ok = (c2 != _ESC) & (room >= 2)
@@ -197,7 +214,7 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
         one_ok = c1 != _ESC
 
         mcode = np.where(
-            long_ok, long_code[slot], np.where(two_ok, c2, c1)
+            long_ok, lcode, np.where(two_ok, c2, c1)
         ).astype(np.uint8)
         # escapes: emit 255 + literal; record code=255, advance 1
         esc = ~(long_ok | two_ok | one_ok)
@@ -248,46 +265,46 @@ def _decode_stream(
     is_seg_start = np.zeros(n, dtype=bool)
     is_seg_start[seg_start_pos[seg_start_pos < n]] = True
 
-    is255 = enc == _ESC
-    prev255 = np.concatenate(([False], is255[:-1]))
-    run_start = is255 & (~prev255 | is_seg_start)
-    # position parity within each maximal 255-run (reset at segment starts)
-    run_id = np.cumsum(run_start)
-    pos_all = np.arange(n)
-    start_pos_of_run = np.zeros(n, dtype=np.int64)
-    if run_start.any():
-        starts = pos_all[run_start]
-        start_pos_of_run = starts[np.maximum(run_id - 1, 0)]
-    pos_in_run = pos_all - start_pos_of_run
-    is_escape = is255 & (pos_in_run % 2 == 0)
-    is_literal = np.concatenate(([False], is_escape[:-1])) & ~is_seg_start
+    # escape resolution, sparse: only the (rare) 255-bytes need the run
+    # parity; everything here is O(#255s), not O(stream)
+    idx255 = np.flatnonzero(enc == _ESC)
+    is_escape = np.zeros(n, dtype=bool)
+    is_literal = np.zeros(n, dtype=bool)
+    if len(idx255):
+        prev_is255 = np.zeros(len(idx255), dtype=bool)
+        prev_is255[1:] = idx255[1:] - 1 == idx255[:-1]
+        run_start = ~prev_is255 | is_seg_start[idx255]
+        run_id = np.cumsum(run_start) - 1
+        first_of_run = idx255[run_start][run_id]
+        esc_local = ((idx255 - first_of_run) % 2) == 0
+        esc_pos = idx255[esc_local]
+        is_escape[esc_pos] = True
+        lit_pos = esc_pos + 1
+        lit_pos = lit_pos[lit_pos < n]
+        lit_pos = lit_pos[~is_seg_start[lit_pos]]
+        is_literal[lit_pos] = True
 
-    # lookup table: learned symbols then 256 single-byte pseudo-symbols
-    sym_data = np.frombuffer(
-        b"".join(symbols) + bytes(range(256)), dtype=np.uint8
-    )
-    sym_starts = np.zeros(_MAX_TABLE + 256 + 1, dtype=np.int64)
+    # LUT decode: one (8-byte row, length) per code — learned symbols first,
+    # then 256 single-byte pseudo-symbols for literals. The whole expansion
+    # is one row gather + one boolean compaction (row-major order preserves
+    # the stream), with no index-array construction (np.repeat/arange over
+    # the output was the decode bottleneck).
+    lut = np.zeros((_MAX_TABLE + 256, _MAX_SYM), dtype=np.uint8)
     lens = np.ones(_MAX_TABLE + 256, dtype=np.int64)
-    off = 0
     for code, s in enumerate(symbols):
-        sym_starts[code] = off
+        lut[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
         lens[code] = len(s)
-        off += len(s)
-    for b in range(256):
-        sym_starts[_MAX_TABLE + b] = off + b
+    lut[_MAX_TABLE :, 0] = np.arange(256, dtype=np.uint8)
 
     eff_code = enc.astype(np.int64)
     eff_code[is_literal] = enc[is_literal].astype(np.int64) + _MAX_TABLE
     emit = ~is_escape  # literals and symbol codes emit; escape markers don't
     e_codes = eff_code[emit]
     e_lens = lens[e_codes]
-    out_offs = np.concatenate(([0], np.cumsum(e_lens)))
-    total = int(out_offs[-1])
-    intra = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], e_lens)
-    src = np.repeat(sym_starts[e_codes], e_lens) + intra
-    out = sym_data[src]
-    if total != out_size:
-        raise ValueError(f"fsst decode size mismatch: {total} != {out_size}")
+    mask_tab = np.arange(_MAX_SYM) < np.arange(_MAX_SYM + 1)[:, None]  # (9,8)
+    out = lut[e_codes][mask_tab[e_lens]]
+    if len(out) != out_size:
+        raise ValueError(f"fsst decode size mismatch: {len(out)} != {out_size}")
     return out
 
 
