@@ -72,6 +72,7 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output-prefix", dest="output_prefix", default=None)
     d.add_argument("--output-postfix", dest="output_postfix", default=None)
     d.add_argument("--partition", default=None, metavar="COLUMN")
+    d.add_argument("--partition-by-value", dest="partition_by_value", type=int, default=None)
     d.add_argument("--partition-by-rows", dest="partition_by_rows", type=int, default=None)
     d.add_argument("--partition-by-bytes", dest="partition_by_bytes", type=int, default=None)
     # north-rule extensions
@@ -308,9 +309,15 @@ def _data(args) -> int:
             partition_by_bytes,
             partition_by_key,
             partition_by_rows,
+            partition_by_value,
         )
 
-        if args.partition:
+        if args.partition and args.partition_by_value:
+            rows = partition_by_value(
+                ds, args.partition, args.output_dir, args.partition_by_value
+            )
+            print(f"wrote {len(rows)} range files")
+        elif args.partition:
             rows = partition_by_key(
                 ds, args.partition, args.output_dir,
                 max_rows_per_file=args.partition_by_rows,

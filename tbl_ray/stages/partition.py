@@ -181,6 +181,65 @@ def partition_by_key(
     return rows
 
 
+def partition_by_value(
+    ds: "ray.data.Dataset",
+    column: str,
+    out_dir: str,
+    values_per_partition: int,
+    *,
+    compression: str = "snappy",
+) -> list[dict]:
+    """``--partition-by-value SIZE`` semantics (args.rs:397-401): sort the
+    distinct key values, group them into ranges of ``values_per_partition``
+    values, one output file per range (``range-{i:04d}.parquet``)."""
+    key_rows = _key_counts(ds, column)
+    keys_sorted = sorted(key_rows, key=lambda k: (k is None, k))
+    range_of_key = {
+        k: i // values_per_partition for i, k in enumerate(keys_sorted)
+    }
+    n_ranges = (len(keys_sorted) + values_per_partition - 1) // values_per_partition
+
+    import ray
+
+    plan_ref = ray.put(range_of_key)
+
+    class Tag:
+        def __init__(self):
+            self.ranges = ray.get(plan_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(column).combine_chunks()
+            denc = col.dictionary_encode()
+            uniq = denc.dictionary.to_pylist()
+            range_u = np.array(
+                [self.ranges[k] for k in uniq] + [self.ranges.get(None, 0)],
+                dtype=np.int64,
+            )
+            idx = np.asarray(
+                pc.fill_null(denc.indices.cast(pa.int64()), len(uniq))
+            )
+            return t.append_column("__shard__", pa.array(range_u[idx]))
+
+    def write_group(t: pa.Table) -> pa.Table:
+        rid = t.column("__shard__")[0].as_py()
+        path = os.path.join(out_dir, f"range-{rid:04d}.parquet")
+        os.makedirs(out_dir, exist_ok=True)
+        body = t.drop_columns(["__shard__"]).sort_by(column)
+        pq.write_table(body, path + "_tmp", compression=compression)
+        os.replace(path + "_tmp", path)
+        return pa.table(
+            {"path": [path], "rows": [body.num_rows],
+             "bytes": [os.path.getsize(path)]}
+        )
+
+    tagged = ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 8))
+    rows = tagged.groupby("__shard__").map_groups(
+        write_group, batch_format="pyarrow"
+    ).take_all()
+    assert len(rows) <= n_ranges
+    return rows
+
+
 def partition_by_rows(
     ds: "ray.data.Dataset", out_dir: str, rows_per_file: int, **write_kwargs
 ) -> None:

@@ -72,3 +72,23 @@ def test_partition_by_bytes(web_ds_path, tmp_path):
         if f.endswith(".parquet")
     )
     assert total == 20000
+
+
+def test_partition_by_value(web_ds_path, tmp_path):
+    from tbl_ray.stages.partition import partition_by_value
+
+    out = str(tmp_path / "byvalue")
+    ds = ray.data.read_parquet(web_ds_path)
+    rows = sorted(
+        partition_by_value(ds, "lang", out, values_per_partition=4),
+        key=lambda r: r["path"],
+    )
+    assert sum(r["rows"] for r in rows) == 20000
+    # 10 langs / 4 per range -> 3 range files
+    assert len(rows) == 3
+    import pyarrow.parquet as _pq
+
+    langs0 = set(_pq.read_table(rows[0]["path"]).column("lang").to_pylist())
+    langs1 = set(_pq.read_table(rows[1]["path"]).column("lang").to_pylist())
+    assert not (langs0 & langs1)  # disjoint value ranges
+    assert max(langs0) < min(langs1)  # contiguous sorted ranges
