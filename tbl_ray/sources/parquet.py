@@ -111,6 +111,11 @@ def read_table_slice(
     O(row group), not O(file).
     """
     import pyarrow.parquet as _pq
+    from ray.data import DataContext
+
+    # ordered-window semantics require ordered execution (union parts must
+    # come back in append order)
+    DataContext.get_current().execution_options.preserve_order = True
 
     plan = file_slice_plan(paths, offset, length)
     parts: list[ray.data.Dataset] = []
