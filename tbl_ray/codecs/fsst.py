@@ -184,7 +184,16 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
     seg_ids_all: list[np.ndarray] = []
     codes_all: list[np.ndarray] = []
     pos_list: list[np.ndarray] = []
+    bytepos_all: list[np.ndarray] = []
+    # every segment is active contiguously from iteration 0, so a record
+    # emitted at iteration k sits at stream position k of its segment; its
+    # BYTE position is k + (escapes so far) — tracked incrementally. This
+    # replaces the global stable argsort + full-size cumsum with a direct
+    # scatter at the end.
+    esc_sofar = np.zeros(n_segs, dtype=np.int32)
+    iters_active = np.zeros(n_segs, dtype=np.int32)
 
+    k = 0
     active_idx = np.arange(n_segs, dtype=np.int32)
     while len(active_idx):
         cur = cursors[active_idx]
@@ -226,27 +235,28 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
         seg_ids_all.append(active_idx.copy())
         codes_all.append(mcode)
         pos_list.append(cur)
+        bytepos_all.append(np.int32(k) + esc_sofar[active_idx])
+        esc_sofar[active_idx] += esc
+        iters_active[active_idx] = k + 1
 
         cursors[active_idx] = cur + step
         still = cursors[active_idx] < seg_ends[active_idx]
         active_idx = active_idx[still]
+        k += 1
 
     seg_ids = np.concatenate(seg_ids_all)
     codes = np.concatenate(codes_all)
     escs = codes == _ESC  # only escapes carry code 255 (symbol codes < 255)
-    lits = data[np.concatenate(pos_list)]  # literal byte (used where escaped)
-    # iteration-major -> segment-major (stable keeps iteration order per seg)
-    order = np.argsort(seg_ids, kind="stable")
-    seg_ids, codes, lits, escs = seg_ids[order], codes[order], lits[order], escs[order]
+    bytepos = np.concatenate(bytepos_all)
 
-    out_lens = 1 + escs.astype(np.int64)
-    offs = np.concatenate(([0], np.cumsum(out_lens)))
-    out = np.zeros(int(offs[-1]), dtype=np.uint8)
-    out[offs[:-1]] = codes
-    out[offs[:-1][escs] + 1] = lits[escs]
-    seg_enc_lens = np.bincount(seg_ids, weights=out_lens, minlength=n_segs).astype(
-        np.int64
-    )
+    seg_enc_lens = (iters_active + esc_sofar).astype(np.int64)
+    stream_starts = np.concatenate(([0], np.cumsum(seg_enc_lens)))
+    out = np.zeros(int(stream_starts[-1]), dtype=np.uint8)
+    abs_pos = stream_starts[seg_ids] + bytepos
+    out[abs_pos] = codes
+    if escs.any():
+        esc_positions = np.concatenate(pos_list)[escs]
+        out[abs_pos[escs] + 1] = data[esc_positions]
     return out, seg_enc_lens
 
 
