@@ -216,22 +216,29 @@ def run_scaling() -> dict:
 
     ray.shutdown()
 
+    reps = int(os.environ.get("TBL_RAY_SCALE_REPS", "3"))
     results = {}
     for cpus in pair:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        if out.returncode != 0:
-            log(out.stderr[-2000:])
-            raise RuntimeError(f"scaling run at {cpus} cpus failed")
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-        log(f"  {cpus} cpus: encode {results[cpus]['encode_s']}s "
-            f"({results[cpus]['encode_gb_s']} GB/s)")
+        best = None
+        for rep in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            if out.returncode != 0:
+                log(out.stderr[-2000:])
+                raise RuntimeError(f"scaling run at {cpus} cpus failed")
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            log(f"  {cpus} cpus rep {rep}: encode {r['encode_s']}s")
+            # best-of-N: the host is time-shared, min wall is the robust stat
+            if best is None or r["encode_s"] < best["encode_s"]:
+                best = r
+        results[cpus] = best
+        log(f"  {cpus} cpus best: {best['encode_s']}s ({best['encode_gb_s']} GB/s)")
 
     lo, hi = pair
     t_lo, t_hi = results[lo]["encode_s"], results[hi]["encode_s"]

@@ -92,6 +92,22 @@ def plan_partitions(
     return specs
 
 
+_TARGET_CHUNK_BYTES = 64 << 20  # cap uncompressed bytes per encode chunk
+
+
+def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
+    """Clamp chunk row count so wide rows (multi-MB html payloads) keep a
+    chunk under the byte budget — footer-only estimate, no data read."""
+    md = pf.metadata
+    if md.num_rows == 0:
+        return batch_rows
+    total_unc = sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    )
+    row_bytes = max(1, total_unc // md.num_rows)
+    return max(256, min(batch_rows, _TARGET_CHUNK_BYTES // row_bytes))
+
+
 def encode_partition(
     spec: PartitionSpec,
     *,
@@ -105,6 +121,7 @@ def encode_partition(
     t0 = time.monotonic()
     encoder = ColumnEncoder(codecs)
     pf = pq.ParquetFile(spec.input_path)
+    batch_rows = _adaptive_batch_rows(pf, batch_rows)
     tmp = spec.out_path + "_tmp"
     writer: pq.ParquetWriter | None = None
     input_bytes = 0

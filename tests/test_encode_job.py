@@ -105,3 +105,27 @@ def test_manifest_lineage_fields(web_shards, tmp_path):
     ).split():
         assert key in entry, key
     assert entry["codecs"]  # per-column codec usage recorded
+
+
+def test_adaptive_batch_rows(tmp_path):
+    """Wide binary rows shrink the chunk row budget (footer-only estimate)."""
+    import numpy as np
+
+    from tbl_ray.pipelines.encode_job import _adaptive_batch_rows
+
+    rng = np.random.default_rng(0)
+    wide = pa.table({"blob": [rng.bytes(1 << 20) for _ in range(32)]})
+    p = str(tmp_path / "wide.parquet")
+    pq.write_table(wide, p)
+    rows = _adaptive_batch_rows(pq.ParquetFile(p), 65536)
+    assert rows <= 256  # 1 MB rows -> 64 MB budget -> 64 rows, floor 256
+    narrow = pa.table({"x": list(range(10000))})
+    p2 = str(tmp_path / "narrow.parquet")
+    pq.write_table(narrow, p2)
+    assert _adaptive_batch_rows(pq.ParquetFile(p2), 65536) == 65536
+
+
+def test_state_package_reexports():
+    from tbl_ray.state import MANIFEST, PartitionSpec, load_manifest
+
+    assert MANIFEST == "manifest.jsonl"
