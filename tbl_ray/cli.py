@@ -76,6 +76,9 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--partition-by-rows", dest="partition_by_rows", type=int, default=None)
     d.add_argument("--partition-by-bytes", dest="partition_by_bytes", type=int, default=None)
     # north-rule extensions
+    d.add_argument("--df", action="store_true", help="interactive python with a collected DataFrame")
+    d.add_argument("--lf", action="store_true", help="interactive python with a lazy Dataset")
+    d.add_argument("--executable", default=None, help="python executable for --df/--lf")
     d.add_argument("--encode", action="store_true", help="codec-encode to --output-dir (resumable job)")
     d.add_argument("--decode", action="store_true", help="decode an encoded dir back to parquet")
     d.add_argument("--no-resume", action="store_true")
@@ -240,6 +243,11 @@ def _schema(args) -> int:
 
 
 def _data(args) -> int:
+    if args.df or args.lf:
+        from tbl_ray.python_repl import launch_interactive
+
+        paths = _gather(args.paths, args.tree)
+        return launch_interactive(paths, lazy=args.lf, executable=args.executable)
     mode = decide_output_mode(args)
     paths = _gather(args.paths, args.tree)
     if not paths:

@@ -96,3 +96,14 @@ def test_cli_output_dir(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     files = sorted(os.listdir(out_dir))
     assert files == ["nation_v2.parquet", "region_v2.parquet"]
+
+
+def test_interactive_codegen():
+    from tbl_ray.python_repl import interactive_code
+
+    code = interactive_code(["/a.parquet", "/b.parquet"], lazy=True)
+    assert "read_parquet(inputs)" in code and "'/a.parquet'" in code
+    compile(code, "<repl>", "exec")  # generated code must be valid python
+    code_df = interactive_code(["/a.parquet"], lazy=False)
+    assert "to_pandas()" in code_df
+    compile(code_df, "<repl>", "exec")
