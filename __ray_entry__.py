@@ -241,6 +241,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ann_ivf"] = ann_ivf
 
+    def partition_counts(sf_dir: str):
+        """Partition documents by lang (salted, budget 100 rows/file), then
+        aggregate per-key row totals back from the written files — equals
+        plain GROUP BY counts iff partitioning lost/duplicated nothing."""
+        import collections
+        import shutil
+        import tempfile
+
+        from tbl_ray.stages.partition import partition_by_key
+
+        out = tempfile.mkdtemp(prefix="tblray_part_")
+        try:
+            rows = partition_by_key(
+                _docs(sf_dir), "lang", out, max_rows_per_file=100
+            )
+            per_key: dict[str, int] = collections.defaultdict(int)
+            for r in rows:
+                key = os.path.basename(os.path.dirname(r["path"]))
+                per_key[key.split("=", 1)[1]] += r["rows"]
+            return pa.table(
+                {
+                    "lang": pa.array(sorted(per_key), pa.string()),
+                    "rows": pa.array(
+                        [per_key[k] for k in sorted(per_key)], pa.int64()
+                    ),
+                }
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    q["partition_counts"] = partition_counts
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip invariant on real data: decoded == original,
         reported per column with codec + ratio."""
@@ -385,6 +417,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "text_len": "SELECT doc_id, length(text) AS text_len FROM documents",
+        "partition_counts": (
+            "SELECT lang, count(lang) AS rows FROM documents GROUP BY lang"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)"
             " SELECT e.vec_id FROM embeddings e, q"
