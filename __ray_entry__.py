@@ -21,16 +21,20 @@ import numpy as np
 import pyarrow as pa
 
 
-def _lineitem(sf_dir: str):
+def _lineitem(sf_dir: str, spec=None):
     from tbl_ray.sources import read_table
+    from tbl_ray.sources.parquet import read_for_spec
 
-    return read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    return read_table(path) if spec is None else read_for_spec([path], spec)
 
 
-def _orders(sf_dir: str):
+def _orders(sf_dir: str, spec=None):
     from tbl_ray.sources import read_table
+    from tbl_ray.sources.parquet import read_for_spec
 
-    return read_table(os.path.join(sf_dir, "orders.parquet"))
+    path = os.path.join(sf_dir, "orders.parquet")
+    return read_table(path) if spec is None else read_for_spec([path], spec)
 
 
 def _docs(sf_dir: str):
@@ -43,7 +47,9 @@ def _spec_query(table_fn, **spec_kwargs):
     def run(sf_dir: str):
         from tbl_ray import TransformSpec, apply_transforms
 
-        return apply_transforms(table_fn(sf_dir), TransformSpec(**spec_kwargs))
+        spec = TransformSpec(**spec_kwargs)
+        ds = table_fn(sf_dir, spec)
+        return apply_transforms(ds, spec)
 
     return run
 

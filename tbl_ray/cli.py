@@ -257,10 +257,11 @@ def _data(args) -> int:
 
     _init_ray(args.num_cpus)
     from tbl_ray.sources import read_table
+    from tbl_ray.sources.parquet import read_for_spec
     from tbl_ray.transforms import apply_transforms
 
     if mode == "stdout":
-        ds = apply_transforms(read_table(paths), spec)
+        ds = apply_transforms(read_for_spec(paths, spec), spec)
         if args.csv or args.json or args.jsonl:
             import pyarrow as pa
 
@@ -312,7 +313,7 @@ def _data(args) -> int:
             raise SystemExit("partition modes require --output-dir")
         if not _confirm_gate(args, writes=True):
             return 0
-        ds = apply_transforms(read_table(paths), spec)
+        ds = apply_transforms(read_for_spec(paths, spec), spec)
         from tbl_ray.stages.partition import (
             partition_by_bytes,
             partition_by_key,
@@ -338,7 +339,7 @@ def _data(args) -> int:
         return 0
 
     if mode == "single_file":
-        ds = apply_transforms(read_table(paths), spec)
+        ds = apply_transforms(read_for_spec(paths, spec), spec)
         _summary(mode, paths, [args.output_file], spec)
         if not _confirm_gate(args, writes=True):
             return 0
@@ -372,7 +373,7 @@ def _data(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True) if args.output_dir else None
     for ip, op in zip(in_paths, out_paths):
         os.makedirs(os.path.dirname(op) or ".", exist_ok=True)
-        write_parquet_atomic(apply_transforms(read_table([ip]), spec), op)
+        write_parquet_atomic(apply_transforms(read_for_spec([ip], spec), spec), op)
     print(f"wrote {len(out_paths)} file(s)", file=sys.stderr)
     return 0
 

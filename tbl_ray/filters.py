@@ -117,6 +117,41 @@ def parse_filter(s: str) -> Filter:
     raise FilterError(f"Invalid filter format: {s!r}")
 
 
+def filters_to_expression(
+    filters: list[Filter], schema: pa.Schema
+) -> "pc.Expression | None":
+    """AND of the filters as a pyarrow dataset expression for row-group
+    predicate pushdown at the read ("prune at the read"). Returns None when
+    there are no filters; individual filters always also run as batch masks,
+    so the expression is a pure optimization."""
+    expr = None
+    for f in filters:
+        if f.column not in schema.names:
+            return None  # column created later in the chain — no pushdown
+        field = pc.field(f.column)
+        if f.op == "is_null":
+            e = field.is_null()
+        elif f.op == "is_not_null":
+            e = ~field.is_null()
+        else:
+            dtype = schema.field(f.column).type
+            try:
+                value = parse_literal(f.raw_value, dtype)
+            except DtypeError:
+                return None
+            scalar = pa.scalar(value, type=dtype)
+            e = {
+                "=": field == scalar,
+                "!=": field != scalar,
+                ">": field > scalar,
+                "<": field < scalar,
+                ">=": field >= scalar,
+                "<=": field <= scalar,
+            }[f.op]
+        expr = e if expr is None else expr & e
+    return expr
+
+
 def combined_mask(filters: list[Filter], table: pa.Table) -> pa.ChunkedArray | None:
     """AND of all filter masks over one batch (None when no filters)."""
     mask = None

@@ -30,12 +30,47 @@ def read_table(
     paths: list[str] | str,
     *,
     columns: list[str] | None = None,
+    filter_expr=None,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
-    """Lazy multi-file parquet scan with column pruning at the read."""
+    """Lazy multi-file parquet scan with column pruning and optional
+    row-group predicate pushdown at the read."""
     if isinstance(paths, str):
         paths = [paths]
-    return ray.data.read_parquet(paths, columns=columns, concurrency=concurrency)
+    kwargs = {}
+    if filter_expr is not None:
+        kwargs["filter"] = filter_expr
+    return ray.data.read_parquet(
+        paths, columns=columns, concurrency=concurrency, **kwargs
+    )
+
+
+def read_for_spec(paths: list[str] | str, spec) -> "ray.data.Dataset":
+    """Scan planned FROM the transform spec: read only the columns the chain
+    touches (when a --select bounds the output) and push the filter
+    conjunction into the parquet read as a dataset expression. Semantics are
+    unchanged — batch-level masks still run — this prunes I/O.
+    """
+    from tbl_ray.filters import filters_to_expression
+
+    if isinstance(paths, str):
+        paths = [paths]
+    schema = pq.read_schema(paths[0])
+    columns = None
+    if spec.select:
+        needed = set(spec.select)
+        needed.update(f.column for f in spec.parsed_filters())
+        needed.update(c for c, _ in spec.parsed_casts())
+        needed.update(c for c, _ in spec.parsed_sets())
+        needed.update(spec.nullify)
+        needed.update(c for c, _, _ in spec.parsed_replaces())
+        needed.update(spec.parsed_sort()[0])
+        needed.update(spec.drop)
+        if spec.value_counts:
+            needed.add(spec.value_counts)
+        columns = [n for n in schema.names if n in needed]
+    expr = filters_to_expression(spec.parsed_filters(), schema)
+    return read_table(paths, columns=columns, filter_expr=expr)
 
 
 def check_equal_schemas(paths: list[str]) -> "pq.ParquetSchema":

@@ -101,3 +101,41 @@ def test_summarize_by_schema_groups(three_files, tmp_path):
     assert len(groups) == 2
     sizes = sorted(s.n_rows for _schema, s in groups.values())
     assert sizes == [2, 60]
+
+
+def test_read_for_spec_pushdown(sf_dir, duck):
+    """Predicate + projection pushdown at the read: same results, fewer
+    columns scanned."""
+    from tbl_ray import TransformSpec, apply_transforms
+    from tbl_ray.sources.parquet import read_for_spec
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    spec = TransformSpec(
+        filter=["l_returnflag=A", "l_quantity>20.0"],
+        select=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    ds = read_for_spec([path], spec)
+    assert set(ds.schema().names) == {"l_orderkey", "l_quantity", "l_returnflag"}
+    got = apply_transforms(ds, spec).to_pandas().sort_values(
+        ["l_orderkey", "l_quantity"], ignore_index=True
+    )
+    want = duck.execute(
+        "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_returnflag='A' AND l_quantity>20.0 "
+        "ORDER BY l_orderkey, l_quantity"
+    ).df()
+    assert len(got) == len(want)
+    assert (got["l_orderkey"].values == want["l_orderkey"].values).all()
+
+
+def test_filters_to_expression_unpushable():
+    import pyarrow as pa
+
+    from tbl_ray.filters import filters_to_expression, parse_filter
+
+    schema = pa.schema([("x", pa.int64())])
+    # column not in schema (created later in chain) -> no pushdown
+    assert filters_to_expression([parse_filter("y=1")], schema) is None
+    assert filters_to_expression([], schema) is None
+    e = filters_to_expression([parse_filter("x>3"), parse_filter("x.is_not_null")], schema)
+    assert e is not None
