@@ -145,8 +145,12 @@ def encode_array(
     codec_name: str,
     *,
     name: str = "col",
+    codec_kwargs: dict | None = None,
 ) -> EncodedChunk:
-    """Encode one column-chunk with the named codec (nulls handled here)."""
+    """Encode one column-chunk with the named codec (nulls handled here).
+
+    ``codec_kwargs`` forwards codec-specific options (e.g. a pre-trained
+    FSST symbol table for per-partition amortization)."""
     arr = _combine(arr)
     try:
         codec = CODECS[codec_name]
@@ -154,6 +158,7 @@ def encode_array(
         raise CodecError(f"unknown codec {codec_name!r} (have {sorted(CODECS)})")
     fld = pa.field(name, arr.type)
     n = len(arr)
+    kw = codec_kwargs or {}
 
     if codec_name == "raw":
         params, buffers = codec.encode(arr)
@@ -177,7 +182,7 @@ def encode_array(
             )
         arr = _combine(pc.fill_null(arr, fill))
 
-    params, buffers = codec.encode(arr)
+    params, buffers = codec.encode(arr, **kw)
     return EncodedChunk(codec_name, fld, n, params, buffers, validity, null_count)
 
 

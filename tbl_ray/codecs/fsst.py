@@ -323,16 +323,33 @@ def _decode_stream(
 # ---------------------------------------------------------------------------
 
 
+def parse_symtab(symtab: bytes, n_syms: int) -> list[bytes]:
+    """Inverse of the symtab buffer layout (lens byte per symbol + bodies)."""
+    lens = list(symtab[:n_syms])
+    body = symtab[n_syms:]
+    symbols, off = [], 0
+    for L in lens:
+        symbols.append(body[off : off + L])
+        off += L
+    return symbols
+
+
 class FsstCodec:
     name = "fsst"
 
     def supports(self, dtype: pa.DataType) -> bool:
         return is_binary_like(dtype)
 
-    def encode(self, arr: pa.Array) -> tuple[dict, list[bytes]]:
+    def encode(
+        self, arr: pa.Array, symbols: list[bytes] | None = None
+    ) -> tuple[dict, list[bytes]]:
+        """``symbols`` lets callers reuse a table trained on an earlier
+        chunk of the same column (per-partition amortization — the table is
+        still stored per chunk, so decode never needs external state)."""
         offsets, data = binary_parts(arr)
         n = len(arr)
-        symbols = train_symbols(data[:_TRAIN_SAMPLE].tobytes())
+        if symbols is None:
+            symbols = train_symbols(data[:_TRAIN_SAMPLE].tobytes())
         enc, seg_enc_lens = _encode_stream(data, symbols)
 
         str_lens = np.diff(offsets).astype(np.uint64)
@@ -358,13 +375,7 @@ class FsstCodec:
 
     def decode(self, params, buffers, n, dtype):
         symtab, enc_b, seg_b, sl_b = buffers
-        n_syms = params["n_syms"]
-        lens = list(symtab[:n_syms])
-        body = symtab[n_syms:]
-        symbols, off = [], 0
-        for L in lens:
-            symbols.append(body[off : off + L])
-            off += L
+        symbols = parse_symtab(symtab, params["n_syms"])
         seg_enc_lens = unpack(seg_b, params["el_width"], params["n_segs"]).astype(
             np.int64
         )

@@ -155,14 +155,19 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray, stats: dict | None = None) -> 
 
 
 def encode_auto(
-    arr: pa.Array | pa.ChunkedArray, *, name: str = "col"
+    arr: pa.Array | pa.ChunkedArray,
+    *,
+    name: str = "col",
+    fsst_symbols: list | None = None,
 ) -> EncodedChunk:
     """Auto-select, encode, and guard: fall back to ``raw`` if the chosen
-    codec does not actually beat it on this chunk."""
+    codec does not actually beat it on this chunk. ``fsst_symbols`` reuses
+    a previously trained table when FSST is chosen."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     codec = choose_codec(arr)
-    chunk = encode_array(arr, codec, name=name)
+    kw = {"symbols": fsst_symbols} if (codec == "fsst" and fsst_symbols) else None
+    chunk = encode_array(arr, codec, name=name, codec_kwargs=kw)
     if codec != "raw":
         raw_size = arr.nbytes
         if chunk.payload_bytes >= raw_size:

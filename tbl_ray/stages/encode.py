@@ -61,18 +61,30 @@ class ColumnEncoder:
 
     def __init__(self, codecs: dict[str, str] | None = None):
         self.codecs = codecs or {}
+        # per-column FSST symbol tables, trained on the first chunk and
+        # reused for this actor's lifetime (chunks of one partition share a
+        # distribution; the table is still stored in every chunk payload)
+        self._fsst_symbols: dict[str, list] = {}
 
     def encode_table(self, table: pa.Table) -> pa.Table:
+        from tbl_ray.codecs.fsst import parse_symtab
+
         names, codec_names, payloads = [], [], []
         input_bytes = 0
         encoded_bytes = 0
         for name in table.schema.names:
             col = table.column(name).combine_chunks()
             forced = self.codecs.get(name)
+            cached = self._fsst_symbols.get(name)
             if forced:
-                chunk = encode_array(col, forced, name=name)
+                kw = {"symbols": cached} if (forced == "fsst" and cached) else None
+                chunk = encode_array(col, forced, name=name, codec_kwargs=kw)
             else:
-                chunk = encode_auto(col, name=name)
+                chunk = encode_auto(col, name=name, fsst_symbols=cached)
+            if chunk.codec == "fsst" and name not in self._fsst_symbols:
+                self._fsst_symbols[name] = parse_symtab(
+                    chunk.buffers[0], chunk.params["n_syms"]
+                )
             payload = chunk.to_payload()
             names.append(name)
             codec_names.append(chunk.codec)
