@@ -279,6 +279,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["partition_counts"] = partition_counts
 
+    def window_agg(sf_dir: str):
+        from tbl_ray.functions.windows import tumbling_window
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "events.parquet"))
+        return tumbling_window(
+            ds, ts_col="ts", key_col="event_type", value_col="value",
+            window="1d",
+        )
+
+    q["window_agg"] = window_agg
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip invariant on real data: decoded == original,
         reported per column with codec + ratio."""
@@ -425,6 +437,13 @@ def oracle_sql() -> dict[str, str]:
         "text_len": "SELECT doc_id, length(text) AS text_len FROM documents",
         "partition_counts": (
             "SELECT lang, count(lang) AS rows FROM documents GROUP BY lang"
+        ),
+        "window_agg": (
+            "SELECT event_type,"
+            " (epoch_us(ts) // 86400000000) * 86400000000 AS window_start,"
+            " count(value) AS n_events, sum(value) AS sum_value,"
+            " min(value) AS min_value, max(value) AS max_value"
+            " FROM events GROUP BY event_type, window_start"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)"

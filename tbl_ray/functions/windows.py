@@ -1,0 +1,91 @@
+"""Windowed aggregates over event streams (batch windows, no watermarks).
+
+The reference has no streaming concepts (SURVEY.md §2.9); these extend the
+engine for event-log processing the way Ray Data expresses it: a tumbling
+window is just a computed window-start key, and the aggregate uses the
+**pre-aggregation pattern** — partial aggregates per batch inside
+``map_batches`` (vectorized Arrow group_by), then a tiny keyed shuffle to
+merge partials — so the all-to-all exchange moves one row per
+(key, window) per block, never the events themselves.
+
+Oracle: ``GROUP BY key, epoch_us(ts) // size`` is exactly expressible in
+SQL, so the driver verifies this operator value-by-value.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def _window_start(ts: pa.ChunkedArray | pa.Array, size_us: int) -> pa.Array:
+    """Tumbling-window start (µs since epoch, floored to the window)."""
+    micros = pc.cast(ts, pa.int64())
+    return pc.multiply(pc.divide(micros, size_us), size_us)
+
+
+class _PartialWindowAgg:
+    """Per-batch partials: (key, window) -> count/sum/min/max of value."""
+
+    def __init__(self, ts_col: str, key_col: str, value_col: str, size_us: int):
+        self.ts_col, self.key_col = ts_col, key_col
+        self.value_col, self.size_us = value_col, size_us
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        win = _window_start(t.column(self.ts_col), self.size_us)
+        small = pa.table(
+            {
+                self.key_col: t.column(self.key_col),
+                "window_start": win,
+                self.value_col: t.column(self.value_col),
+            }
+        )
+        part = small.group_by([self.key_col, "window_start"]).aggregate(
+            [
+                (self.value_col, "count"),
+                (self.value_col, "sum"),
+                (self.value_col, "min"),
+                (self.value_col, "max"),
+            ]
+        )
+        return part.rename_columns(
+            [self.key_col, "window_start", "__n", "__sum", "__min", "__max"]
+        )
+
+
+def tumbling_window(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str | int = "1h",
+) -> "ray.data.Dataset":
+    """Tumbling-window aggregate: (key, window_start µs) ->
+    n_events, sum_value, min_value, max_value.
+
+    ``window`` is microseconds or a shorthand like ``"15m"``/``"1h"``/``"1d"``.
+    """
+    size_us = _parse_window(window)
+    partials = ds.map_batches(
+        _PartialWindowAgg(ts_col, key_col, value_col, size_us),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("__n", alias_name="n_events"),
+        Sum("__sum", alias_name="sum_value"),
+        Min("__min", alias_name="min_value"),
+        Max("__max", alias_name="max_value"),
+    )
+    return merged
+
+
+def _parse_window(window: str | int) -> int:
+    if isinstance(window, int):
+        return window
+    units = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+             "d": 86_400_000_000}
+    return int(window[:-1]) * units[window[-1]]

@@ -248,3 +248,36 @@ def test_multimodal_strict_raises():
 
     with pytest.raises(NotImplementedError):
         ImageDecode(strict=True)(fake_media_table(4))
+
+
+# -- windowed aggregates -------------------------------------------------
+
+
+def test_tumbling_window_matches_duck(sf_dir, duck):
+    from tbl_ray.functions.windows import tumbling_window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    got = (
+        tumbling_window(ds, window="1h")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"], ignore_index=True)
+    )
+    want = duck.execute(
+        "SELECT event_type,"
+        " (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,"
+        " count(value) AS n_events, sum(value) AS sum_value,"
+        " min(value) AS min_value, max(value) AS max_value"
+        " FROM events GROUP BY event_type, window_start"
+        " ORDER BY event_type, window_start"
+    ).df()
+    assert len(got) == len(want)
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert np.allclose(got["sum_value"].values, want["sum_value"].values)
+
+
+def test_parse_window():
+    from tbl_ray.functions.windows import _parse_window
+
+    assert _parse_window("15m") == 15 * 60_000_000
+    assert _parse_window("1d") == 86_400_000_000
+    assert _parse_window(123) == 123
