@@ -279,6 +279,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["partition_counts"] = partition_counts
 
+    def approx_distinct_orders(sf_dir: str):
+        from tbl_ray.functions.sketches import approx_distinct
+
+        est = approx_distinct(_lineitem(sf_dir), "l_orderkey")
+        return pa.table({"approx_distinct": pa.array([float(est)], pa.float64())})
+
+    q["approx_distinct"] = approx_distinct_orders
+
     def window_agg(sf_dir: str):
         from tbl_ray.functions.windows import tumbling_window
         from tbl_ray.sources import read_table

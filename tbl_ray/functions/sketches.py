@@ -1,0 +1,110 @@
+"""Mergeable sketch aggregates — HyperLogLog approximate distinct count.
+
+The scale pattern for distinct counting (SURVEY.md §2.5 notes the reference
+has none): one 2^p-register sketch per batch (vectorized numpy), registers
+merged by elementwise max in a tiny reduce — the shuffle moves 4 KiB
+sketches, never values. Standard HLL estimator with small-range correction
+(public Flajolet et al. algorithm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from tbl_ray.codecs.base import binary_parts, is_binary_like, is_fixed_primitive
+from tbl_ray.webtable import _mix
+
+_P = 12  # 4096 registers, ~1.6% relative error
+_M = 1 << _P
+
+
+def _value_hashes(col: pa.Array) -> np.ndarray:
+    """64-bit content hash per row (vectorized; strings via positional byte
+    fold, primitives via splitmix)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if is_binary_like(col.type):
+        offsets, data = binary_parts(col)
+        lens = np.diff(offsets)
+        if len(data) == 0:
+            return np.zeros(len(col), dtype=np.uint64)
+        pos = np.arange(len(data), dtype=np.uint64)
+        row_start = np.repeat(offsets[:-1].astype(np.uint64), lens)
+        with np.errstate(over="ignore"):
+            h = _mix(
+                data.astype(np.uint64)
+                + np.uint64(1)
+                + (pos - row_start) * np.uint64(0x9E3779B97F4A7C15)
+            )
+        starts = offsets[:-1].copy()
+        starts[lens == 0] = 0
+        out = np.bitwise_xor.reduceat(h, starts)
+        out[lens == 0] = np.uint64(0xABCD)
+        return _mix(out)
+    if is_fixed_primitive(col.type):
+        from tbl_ray.codecs.base import primitive_to_numpy
+
+        v = primitive_to_numpy(col)
+        if v.dtype.kind == "f":
+            v = v.view(f"u{v.dtype.itemsize}")
+        return _mix(v.astype(np.uint64))
+    raise TypeError(f"unhashable column type {col.type}")
+
+
+def hll_sketch(col: pa.Array) -> np.ndarray:
+    """One batch's HLL registers (uint8[4096])."""
+    regs = np.zeros(_M, dtype=np.uint8)
+    h = _value_hashes(col)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - _P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - _P)) - 1)
+    rank = np.empty(len(h), dtype=np.uint8)
+    nz = w > 0
+    # rank = number of leading zeros in the (64-p)-bit suffix + 1
+    rank[nz] = (64 - _P) - np.floor(np.log2(w[nz].astype(np.float64))).astype(
+        np.int64
+    )
+    rank[~nz] = (64 - _P) + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(_M, dtype=np.uint8)
+    for s in sketches:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet et al. estimator with small-range (linear counting) fix."""
+    alpha = 0.7213 / (1 + 1.079 / _M)
+    est = alpha * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _M and zeros:
+        return _M * np.log(_M / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: "ray.data.Dataset", column: str) -> float:
+    """Approximate distinct count of one column (~1.6% error at p=12)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        regs = hll_sketch(t.column(column))
+        return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    merged = hll_merge(
+        [np.frombuffer(r["sketch"], dtype=np.uint8) for r in parts]
+    )
+    return hll_estimate(merged)

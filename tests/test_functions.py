@@ -281,3 +281,28 @@ def test_parse_window():
     assert _parse_window("15m") == 15 * 60_000_000
     assert _parse_window("1d") == 86_400_000_000
     assert _parse_window(123) == 123
+
+
+# -- sketches ------------------------------------------------------------
+
+
+def test_hll_accuracy(sf_dir, duck):
+    from tbl_ray.functions.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    est = approx_distinct(ds, "l_orderkey")
+    exact = duck.execute("SELECT count(DISTINCT l_orderkey) FROM lineitem").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # low cardinality is exact via linear counting
+    est2 = approx_distinct(ds, "l_returnflag")
+    assert round(est2) == 3
+
+
+def test_hll_merge_associative():
+    from tbl_ray.functions.sketches import hll_estimate, hll_merge, hll_sketch
+
+    a = pa.array([f"v{i}" for i in range(5000)])
+    b = pa.array([f"v{i}" for i in range(2500, 7500)])
+    merged = hll_merge([hll_sketch(a), hll_sketch(b)])
+    est = hll_estimate(merged)
+    assert abs(est - 7500) / 7500 < 0.05
