@@ -299,6 +299,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["window_agg"] = window_agg
 
+    def sessions(sf_dir: str):
+        from tbl_ray.functions.windows import session_counts
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "events.parquet"))
+        return session_counts(ds, key_col="user_id", ts_col="ts", gap="30m")
+
+    q["sessions"] = sessions
+
+    def cast_date(sf_dir: str):
+        from tbl_ray import TransformSpec, apply_transforms
+
+        return apply_transforms(
+            _lineitem(sf_dir),
+            TransformSpec(
+                cast=["l_shipdate=date"], select=["l_orderkey", "l_shipdate"]
+            ),
+        )
+
+    q["cast_date"] = cast_date
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip invariant on real data: decoded == original,
         reported per column with codec + ratio."""
@@ -445,6 +466,14 @@ def oracle_sql() -> dict[str, str]:
         "text_len": "SELECT doc_id, length(text) AS text_len FROM documents",
         "partition_counts": (
             "SELECT lang, count(lang) AS rows FROM documents GROUP BY lang"
+        ),
+        "sessions": (
+            "WITH d AS (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL"
+            " OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
+            " THEN 1 ELSE 0 END AS new_s FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
+            " SELECT user_id, sum(new_s) AS n_sessions,"
+            " count(*) AS n_events FROM d GROUP BY user_id"
         ),
         "window_agg": (
             "SELECT event_type,"

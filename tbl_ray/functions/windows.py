@@ -83,6 +83,40 @@ def tumbling_window(
     return merged
 
 
+def session_counts(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str | int = "30m",
+) -> "ray.data.Dataset":
+    """Per-key session count: events sorted by time within a key belong to
+    one session while consecutive gaps stay <= ``gap``.
+
+    Execution: hash shuffle on the key, then a vectorized per-group pass
+    (sort + diff + count) inside ``map_groups`` — the ordering assumption is
+    per-key time order established inside each group, so no global sort."""
+    gap_us = _parse_window(gap)
+
+    def per_key(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = t.column(key_col)[0].as_py()
+        ts = np.sort(
+            pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table(
+            {
+                key_col: pa.array([key], t.schema.field(key_col).type),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def _parse_window(window: str | int) -> int:
     if isinstance(window, int):
         return window
