@@ -14,7 +14,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from tbl_ray.codecs.base import binary_parts, is_binary_like, is_fixed_primitive
+from tbl_ray.codecs.base import (
+    binary_parts,
+    is_binary_like,
+    is_fixed_primitive,
+    primitive_to_numpy,
+)
 from tbl_ray.webtable import _mix
 
 _P = 12  # 4096 registers, ~1.6% relative error
@@ -49,8 +54,6 @@ def _value_hashes(col: pa.Array) -> np.ndarray:
         out[lens == 0] = np.uint64(0xABCD)
         return _mix(out)
     if is_fixed_primitive(col.type):
-        from tbl_ray.codecs.base import primitive_to_numpy
-
         v = primitive_to_numpy(col)
         if v.dtype.kind == "f":
             v = v.view(f"u{v.dtype.itemsize}")

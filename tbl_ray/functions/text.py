@@ -14,6 +14,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from tbl_ray.codecs.base import binary_parts
+from tbl_ray.webtable import _mix
+
 # small built-in marker vocabularies for the n-gram/stopword langid heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -105,9 +108,6 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     (so the hash is order-sensitive but content-pure — never sees
     neighboring rows), XOR-folded per row via ``np.bitwise_xor.reduceat``.
     O(bytes), no per-row Python."""
-    from tbl_ray.codecs.base import binary_parts
-    from tbl_ray.webtable import _mix
-
     col = t.column(text_col).combine_chunks()
     if col.null_count:
         col = pc.fill_null(col, "")

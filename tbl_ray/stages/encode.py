@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray.data
 
 from tbl_ray.codecs import EncodedChunk, decode_chunk, encode_array, encode_auto
+from tbl_ray.codecs.fsst import parse_symtab
 
 
 def _default_pool() -> tuple[int, int]:
@@ -67,8 +68,6 @@ class ColumnEncoder:
         self._fsst_symbols: dict[str, list] = {}
 
     def encode_table(self, table: pa.Table) -> pa.Table:
-        from tbl_ray.codecs.fsst import parse_symtab
-
         names, codec_names, payloads = [], [], []
         input_bytes = 0
         encoded_bytes = 0

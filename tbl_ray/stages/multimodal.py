@@ -20,6 +20,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from tbl_ray.codecs.base import binary_parts
+from tbl_ray.webtable import _mix
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -32,9 +35,6 @@ MEDIA_SCHEMA = pa.schema(
 
 def _payload_stats(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic per-payload (checksum, length) — the fake 'decode'."""
-    from tbl_ray.codecs.base import binary_parts
-    from tbl_ray.webtable import _mix
-
     offsets, data = binary_parts(payloads)
     lens = np.diff(offsets)
     if len(data) == 0:

@@ -129,3 +129,29 @@ def test_state_package_reexports():
     from tbl_ray.state import MANIFEST, PartitionSpec, load_manifest
 
     assert MANIFEST == "manifest.jsonl"
+
+
+def test_multi_rowgroup_file_splits_into_partitions(tmp_path):
+    """A single large file with many row groups splits into several
+    partitions, each encodable and resumable independently."""
+    from tbl_ray.pipelines.encode_job import run_encode_job
+    from tbl_ray.webtable import generate_batch
+
+    src = str(tmp_path / "big.parquet")
+    t = generate_batch(0, 8000, seed=9)
+    pq.write_table(t, src, row_group_size=1000)
+    assert pq.ParquetFile(src).metadata.num_row_groups == 8
+
+    out = str(tmp_path / "enc")
+    report = run_encode_job([src], out, batch_rows=1000,
+                            max_rows_per_partition=2000)
+    assert report["partitions"] == 4  # 8 rgs x 1000 rows / 2000 budget
+    assert report["num_rows"] == 8000
+
+    from tbl_ray.pipelines.encode_job import decode_job_output
+
+    got = pa.Table.from_pylist(decode_job_output(out).take_all()).sort_by("url")
+    want = t.sort_by("url")
+    assert got.column("text").combine_chunks().equals(
+        want.column("text").combine_chunks()
+    )
