@@ -52,26 +52,68 @@ _TRAIN_GENERATIONS = 4
 # ---------------------------------------------------------------------------
 
 
+def _admit(candidates: list[bytes]) -> list[bytes]:
+    """Admission filter mirroring :func:`_encode_tables`: two hash-slot ways
+    per 3-byte prefix, one slot per 2-byte value / single byte. Candidates
+    the encoder could never reach don't waste table entries — training and
+    encoding see the same symbol set."""
+    seen_slots: dict[int, int] = {}
+    seen2: set[int] = set()
+    seen1: set[int] = set()
+    out: list[bytes] = []
+    for s in candidates:
+        L = len(s)
+        if L >= 3:
+            first3 = np.uint64(int.from_bytes(s[:3], "little"))
+            slot = int(_hash3(np.array([first3], dtype=np.uint64))[0])
+            if seen_slots.get(slot, 0) >= 2:
+                continue
+            seen_slots[slot] = seen_slots.get(slot, 0) + 1
+        elif L == 2:
+            v = int.from_bytes(s, "little")
+            if v in seen2:
+                continue
+            seen2.add(v)
+        else:
+            if s[0] in seen1:
+                continue
+            seen1.add(s[0])
+        out.append(s)
+        if len(out) == _MAX_TABLE:
+            break
+    return out
+
+
 def train_symbols(sample: bytes) -> list[bytes]:
-    """Learn up to 255 symbols (1-8 bytes) maximizing freq × len gain."""
+    """Learn up to 255 symbols (1-8 bytes) maximizing freq × len gain,
+    with the training greedy matching the ENCODER's reachability (hash-slot
+    candidates first, then 2-byte / 1-byte direct hits)."""
     if not sample:
         return []
     sample = sample[:_TRAIN_SAMPLE]
     symbols: list[bytes] = []
     for _ in range(_TRAIN_GENERATIONS):
-        by_len: dict[int, set[bytes]] = {}
+        # emulate the encoder's match structures in dict form
+        by_prefix3: dict[bytes, list[bytes]] = {}
+        by2: set[bytes] = set()
+        by1: set[bytes] = set()
         for s in symbols:
-            by_len.setdefault(len(s), set()).add(s)
-        lens = sorted(by_len, reverse=True)
+            if len(s) >= 3:
+                by_prefix3.setdefault(s[:3], []).append(s)
+            elif len(s) == 2:
+                by2.add(s)
+            else:
+                by1.add(s)
         seq: list[bytes] = []
         pos, n = 0, len(sample)
         while pos < n:
             emitted = None
-            for L in lens:
-                cand = sample[pos : pos + L]
-                if len(cand) == L and cand in by_len[L]:
-                    emitted = cand
+            for s in by_prefix3.get(sample[pos : pos + 3], ()):
+                if sample.startswith(s, pos):
+                    emitted = s
                     break
+            if emitted is None and sample[pos : pos + 2] in by2:
+                emitted = sample[pos : pos + 2]
             if emitted is None:
                 emitted = sample[pos : pos + 1]
             seq.append(emitted)
@@ -83,12 +125,10 @@ def train_symbols(sample: bytes) -> list[bytes]:
             pair = a + b
             if len(pair) <= _MAX_SYM:
                 gains[pair] = gains.get(pair, 0) + len(pair)
-        symbols = [
-            s
-            for s, _ in sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[
-                :_MAX_TABLE
-            ]
+        ranked = [
+            s for s, _ in sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
         ]
+        symbols = _admit(ranked)
     return symbols
 
 
