@@ -126,11 +126,27 @@ def bench_headline() -> dict:
     decode_s = time.monotonic() - t0
     assert n == report["num_rows"], f"decode row mismatch {n}"
 
+    # streaming Dataset-native path (read -> actor-pool encode -> write)
+    import ray.data
+
+    from tbl_ray.stages.encode import encode_dataset
+
+    stream_dir = f"/tmp/tbl_ray_bench/stream_{NUM_CPUS}"
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    encode_dataset(
+        ray.data.read_parquet(paths), batch_size=16384
+    ).write_parquet(stream_dir, compression="zstd")
+    stream_s = time.monotonic() - t0
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
     gb = report["input_bytes"] / 1e9
     snappy_bytes = sum(os.path.getsize(p) for p in paths)
     return {
         "encode_s": round(encode_s, 3),
         "decode_s": round(decode_s, 3),
+        "stream_encode_s": round(stream_s, 3),
+        "stream_encode_gb_s": round(gb / stream_s, 4),
         "rows": report["num_rows"],
         "input_gb": round(gb, 4),
         "encode_gb_s": round(gb / encode_s, 4),

@@ -81,6 +81,8 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--executable", default=None, help="python executable for --df/--lf")
     d.add_argument("--encode", action="store_true", help="codec-encode to --output-dir (resumable job)")
     d.add_argument("--decode", action="store_true", help="decode an encoded dir back to parquet")
+    d.add_argument("--codec", action="append", default=[], metavar="COL=CODEC",
+                   help="force a codec for a column in --encode mode (repeatable)")
     d.add_argument("--no-resume", action="store_true")
     d.add_argument("--confirm", action="store_true")
     d.add_argument("--dry", action="store_true")
@@ -91,7 +93,8 @@ def _build_parser() -> argparse.ArgumentParser:
 def decide_output_mode(args) -> str:
     """Exactly one of the reference's output modes (data.rs:30-50)."""
     modes = [
-        ("single_file", args.output_file is not None),
+        # --decode consumes --output-file/--output-dir as its own IO args
+        ("single_file", args.output_file is not None and not args.decode),
         ("directory", args.output_dir is not None and not args.encode and not args.decode),
         ("inplace", args.inplace),
         ("partition", args.partition is not None or args.partition_by_rows or args.partition_by_bytes),
@@ -291,8 +294,11 @@ def _data(args) -> int:
             return 0
         from tbl_ray.pipelines.encode_job import run_encode_job
 
+        codecs = None
+        if args.codec:
+            codecs = dict(c.split("=", 1) for c in args.codec)
         report = run_encode_job(
-            paths, args.output_dir, resume=not args.no_resume
+            paths, args.output_dir, resume=not args.no_resume, codecs=codecs
         )
         print(report)
         return 0

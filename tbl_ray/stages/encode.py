@@ -38,7 +38,10 @@ def _default_pool() -> tuple[int, int]:
         total = int(ray.cluster_resources().get("CPU", 4))
     except Exception:  # noqa: BLE001 - not initialised yet
         total = 4
-    return (1, max(1, total - 1))
+    # floor > 1 pre-starts a few actors in parallel (demand-driven scale-up
+    # from 1 serializes the first minutes of a big encode); ceiling leaves
+    # CPUs for the read/write stages
+    return (min(4, max(1, total - 1)), max(1, total - 1))
 
 ENCODED_SCHEMA = pa.schema(
     [

@@ -107,3 +107,23 @@ def test_interactive_codegen():
     code_df = interactive_code(["/a.parquet"], lazy=False)
     assert "to_pandas()" in code_df
     compile(code_df, "<repl>", "exec")
+
+
+@pytest.mark.slow
+def test_cli_encode_decode_roundtrip(tmp_path):
+    enc_dir = str(tmp_path / "enc")
+    r = _run_cli(
+        ["/root/testdata/sf0.001/documents.parquet", "--encode",
+         "--output-dir", enc_dir, "--confirm"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(enc_dir, "manifest.jsonl"))
+    out_file = str(tmp_path / "decoded.parquet")
+    r2 = _run_cli(
+        ["--decode", "--output-dir", enc_dir, "--output-file", out_file,
+         "--confirm"]
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    got = pq.read_table(out_file).sort_by("doc_id")
+    want = pq.read_table("/root/testdata/sf0.001/documents.parquet").sort_by("doc_id")
+    assert got.equals(want)
