@@ -252,6 +252,19 @@ def _data(args) -> int:
         paths = _gather(args.paths, args.tree)
         return launch_interactive(paths, lazy=args.lf, executable=args.executable)
     mode = decide_output_mode(args)
+    if mode == "decode":  # input is the encoded dir, not gathered paths
+        if not args.output_dir or not args.output_file:
+            raise SystemExit(
+                "--decode requires --output-dir (encoded) and --output-file"
+            )
+        if not _confirm_gate(args, writes=True):
+            return 0
+        _init_ray(args.num_cpus)
+        from tbl_ray.pipelines.encode_job import decode_job_output
+        from tbl_ray.sinks.writers import write_parquet_atomic
+
+        write_parquet_atomic(decode_job_output(args.output_dir), args.output_file)
+        return 0
     paths = _gather(args.paths, args.tree)
     if not paths:
         print("no tabular files found", file=sys.stderr)
@@ -301,17 +314,6 @@ def _data(args) -> int:
             paths, args.output_dir, resume=not args.no_resume, codecs=codecs
         )
         print(report)
-        return 0
-
-    if mode == "decode":
-        if not args.output_dir or not args.output_file:
-            raise SystemExit("--decode requires --output-dir (encoded) and --output-file")
-        if not _confirm_gate(args, writes=True):
-            return 0
-        from tbl_ray.pipelines.encode_job import decode_job_output
-        from tbl_ray.sinks.writers import write_parquet_atomic
-
-        write_parquet_atomic(decode_job_output(args.output_dir), args.output_file)
         return 0
 
     if mode == "partition":
