@@ -159,12 +159,18 @@ def decode_dataset(
     *,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
-    """Decode an encoded Dataset back to original rows (order = stream order)."""
+    """Decode an encoded Dataset back to original rows (order = stream order).
+
+    Decoding is stateless, so this runs as elastic TASKS (no actor-pool
+    spin-up cost) unless a concurrency bound is requested."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        ChunkDecoder,
+        decode_table,
         batch_format="pyarrow",
         # one encoded row can decode to a large table; keep batches small
         batch_size=4,
         zero_copy_batch=True,
-        concurrency=concurrency or _default_pool(),
+        **kwargs,
     )
