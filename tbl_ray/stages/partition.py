@@ -75,11 +75,21 @@ def partition_by_key(
     out_dir: str,
     *,
     max_rows_per_file: int | None = None,
+    max_keys: int = 100_000,
     compression: str = "snappy",
 ) -> list[dict]:
     """Write ``out_dir/{column}={value}/part-NNNN.parquet`` per key (salted
-    shards for over-budget keys). Returns one manifest row per file."""
+    shards for over-budget keys). Returns one manifest row per file.
+
+    One-directory-per-value is a low-cardinality layout; ``max_keys`` guards
+    against planning a per-key output for near-unique columns (url, id) —
+    use :func:`partition_by_hash` for those."""
     key_rows = _key_counts(ds, column)
+    if len(key_rows) > max_keys:
+        raise PartitionError(
+            f"{column} has {len(key_rows)} distinct values (> {max_keys}); "
+            "one-file-per-value is the wrong layout — use partition_by_hash"
+        )
     fanout = plan_key_partitions(key_rows, max_rows_per_file)
 
     # deterministic shard index space: sorted keys, contiguous shard ranges
@@ -179,6 +189,55 @@ def partition_by_key(
                     f"partition {r['path']} exceeds budget: {r['rows']}"
                 )
     return rows
+
+
+def partition_by_hash(
+    ds: "ray.data.Dataset",
+    column: str,
+    out_dir: str,
+    n_buckets: int,
+    *,
+    compression: str = "snappy",
+) -> list[dict]:
+    """High-cardinality co-location: ``bucket = content_hash(key) % n``.
+
+    The scale path for near-unique keys (url): no per-key plan, no driver
+    state — one vectorized hash per batch, one ``groupby(bucket)`` shuffle,
+    one file per bucket. The same bucketing reused across datasets
+    co-locates equal keys for downstream merge/join-style work."""
+    from tbl_ray.functions.sketches import _value_hashes
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(column).combine_chunks()
+        if col.null_count:
+            # nulls hash to bucket 0 deterministically
+            import pyarrow.compute as _pc
+
+            mask = np.asarray(_pc.is_null(col), dtype=bool)
+            h = np.zeros(len(col), dtype=np.uint64)
+            h[~mask] = _value_hashes(col.drop_null())
+        else:
+            h = _value_hashes(col)
+        return t.append_column(
+            "__shard__", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def write_group(t: pa.Table) -> pa.Table:
+        b = t.column("__shard__")[0].as_py()
+        path = os.path.join(out_dir, f"bucket-{b:05d}.parquet")
+        os.makedirs(out_dir, exist_ok=True)
+        body = t.drop_columns(["__shard__"])
+        pq.write_table(body, path + "_tmp", compression=compression)
+        os.replace(path + "_tmp", path)
+        return pa.table(
+            {"path": [path], "rows": [body.num_rows],
+             "bytes": [os.path.getsize(path)]}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__shard__").map_groups(
+        write_group, batch_format="pyarrow"
+    ).take_all()
 
 
 def partition_by_value(

@@ -92,3 +92,38 @@ def test_partition_by_value(web_ds_path, tmp_path):
     langs1 = set(_pq.read_table(rows[1]["path"]).column("lang").to_pylist())
     assert not (langs0 & langs1)  # disjoint value ranges
     assert max(langs0) < min(langs1)  # contiguous sorted ranges
+
+
+def test_partition_by_hash_url(web_ds_path, tmp_path):
+    """High-cardinality key (url, unique per row) buckets without a
+    per-key plan; same key always lands in the same bucket."""
+    from tbl_ray.stages.partition import partition_by_hash
+
+    out = str(tmp_path / "byhash")
+    ds = ray.data.read_parquet(web_ds_path)
+    rows = partition_by_hash(ds, "url", out, n_buckets=16)
+    assert sum(r["rows"] for r in rows) == 20000
+    assert len(rows) == 16
+    # determinism: re-partitioning a subset sends keys to the same buckets
+    sub = ray.data.read_parquet(web_ds_path).limit(1000)
+    out2 = str(tmp_path / "byhash2")
+    partition_by_hash(sub, "url", out2, n_buckets=16)
+    import pyarrow.parquet as _pq
+
+    full = {
+        u: r["path"].split("-")[-1]
+        for r in rows
+        for u in _pq.read_table(r["path"], columns=["url"]).column("url").to_pylist()
+    }
+    for f in os.listdir(out2):
+        b = f.split("-")[-1]
+        for u in _pq.read_table(os.path.join(out2, f), columns=["url"]).column("url").to_pylist():
+            assert full[u] == b
+
+
+def test_partition_by_key_guards_high_cardinality(web_ds_path, tmp_path):
+    from tbl_ray.stages.partition import partition_by_key
+
+    ds = ray.data.read_parquet(web_ds_path)
+    with pytest.raises(PartitionError, match="partition_by_hash"):
+        partition_by_key(ds, "url", str(tmp_path / "x"), max_keys=1000)
