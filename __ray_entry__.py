@@ -174,6 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_exact"] = dedup_exact
 
+    def dedup_exact_fast(sf_dir: str):
+        from tbl_ray.functions.dedup import exact_dedup_fast
+
+        return exact_dedup_fast(_docs(sf_dir), "text", "doc_id")
+
+    q["dedup_exact_fast"] = dedup_exact_fast
+
     def token_count(sf_dir: str):
         from tbl_ray.functions.text import token_count as tc
 
@@ -456,6 +463,10 @@ def oracle_sql() -> dict[str, str]:
             " WHERE l_quantity > 25.0 AND l_returnflag != 'N'"
         ),
         "dedup_exact": (
+            "SELECT d.* FROM documents d JOIN (SELECT text, min(doc_id) AS doc_id"
+            " FROM documents GROUP BY text) k ON d.doc_id = k.doc_id"
+        ),
+        "dedup_exact_fast": (
             "SELECT d.* FROM documents d JOIN (SELECT text, min(doc_id) AS doc_id"
             " FROM documents GROUP BY text) k ON d.doc_id = k.doc_id"
         ),

@@ -47,6 +47,72 @@ def exact_dedup(
     return ds.groupby(column).map_groups(keep_first, batch_format="pyarrow")
 
 
+def _fingerprint128(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit content hashes per row (collision odds ~2^-128
+    per pair — safe for exact-dedup keys at web scale)."""
+    from tbl_ray.codecs.base import binary_parts
+
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    offsets, data = binary_parts(col)
+    lens = np.diff(offsets)
+    n = len(col)
+    if len(data) == 0:
+        return np.zeros(n, np.uint64), np.zeros(n, np.uint64)
+    pos = np.arange(len(data), dtype=np.uint64)
+    row_start = np.repeat(offsets[:-1].astype(np.uint64), lens)
+    starts = offsets[:-1].copy()
+    starts[lens == 0] = 0
+    out = []
+    for seed in (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)):
+        with np.errstate(over="ignore"):
+            h = _mix(data.astype(np.uint64) + np.uint64(1) + (pos - row_start) * seed)
+        f = np.bitwise_xor.reduceat(h, starts)
+        f[lens == 0] = 0
+        out.append(_mix(f))
+    return out[0], out[1]
+
+
+def exact_dedup_fast(
+    ds: "ray.data.Dataset", column: str, id_col: str
+) -> "ray.data.Dataset":
+    """Two-pass exact dedup for scale: pass 1 shuffles only
+    (fingerprint128, id) pairs (~24 B/row, never the documents), resolves
+    min-id winners per fingerprint, and broadcasts the loser-id set; pass 2
+    filters the original stream in place.
+
+    Semantically identical to :func:`exact_dedup` up to 128-bit hash
+    collisions (~2^-128/pair). The broadcast drop-set bounds this variant at
+    ~10^8 duplicate rows; beyond that, co-bucket both sides by id hash."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h1, h2 = _fingerprint128(t.column(column).combine_chunks())
+        return pa.table(
+            {"f1": h1, "f2": h2, id_col: t.column(id_col)}
+        )
+
+    def losers(t: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(t.column(id_col)))
+        return pa.table({"drop": ids[1:].astype(np.int64)})
+
+    pair_ds = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    drop_ds = pair_ds.groupby(["f1", "f2"]).map_groups(
+        losers, batch_format="pyarrow"
+    )
+    drop = {r["drop"] for r in drop_ds.take_all()}
+    if not drop:
+        return ds
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = np.asarray(t.column(id_col))
+        mask = np.fromiter((i not in d for i in ids), count=len(ids), dtype=bool)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # minhash
 # ---------------------------------------------------------------------------

@@ -306,3 +306,15 @@ def test_hll_merge_associative():
     merged = hll_merge([hll_sketch(a), hll_sketch(b)])
     est = hll_estimate(merged)
     assert abs(est - 7500) / 7500 < 0.05
+
+
+def test_exact_dedup_fast_matches_exact():
+    from tbl_ray.functions.dedup import exact_dedup_fast
+
+    t = _dup_docs()
+    ds = ray.data.from_arrow(t)
+    fast = pa.Table.from_pylist(exact_dedup_fast(ds, "text", "doc_id").take_all())
+    exact = pa.Table.from_pylist(exact_dedup(ds, "text", "doc_id").take_all())
+    assert sorted(fast.column("doc_id").to_pylist()) == sorted(
+        exact.column("doc_id").to_pylist()
+    )
