@@ -92,12 +92,17 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def decide_output_mode(args) -> str:
     """Exactly one of the reference's output modes (data.rs:30-50)."""
+    partitioning = bool(
+        args.partition or args.partition_by_rows or args.partition_by_bytes
+    )
     modes = [
-        # --decode consumes --output-file/--output-dir as its own IO args
+        # --decode/--encode/partition consume --output-dir/--output-file as
+        # their own IO destinations
         ("single_file", args.output_file is not None and not args.decode),
-        ("directory", args.output_dir is not None and not args.encode and not args.decode),
+        ("directory", args.output_dir is not None and not args.encode
+         and not args.decode and not partitioning),
         ("inplace", args.inplace),
-        ("partition", args.partition is not None or args.partition_by_rows or args.partition_by_bytes),
+        ("partition", partitioning),
         ("encode", args.encode),
         ("decode", args.decode),
     ]

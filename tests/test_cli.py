@@ -127,3 +127,20 @@ def test_cli_encode_decode_roundtrip(tmp_path):
     got = pq.read_table(out_file).sort_by("doc_id")
     want = pq.read_table("/root/testdata/sf0.001/documents.parquet").sort_by("doc_id")
     assert got.equals(want)
+
+
+@pytest.mark.slow
+def test_cli_partition_mode(tmp_path):
+    out_dir = str(tmp_path / "parts")
+    r = _run_cli(
+        ["/root/testdata/sf0.001/orders.parquet", "--partition", "o_orderstatus",
+         "--output-dir", out_dir, "--confirm"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    dirs = sorted(os.listdir(out_dir))
+    assert any(d.startswith("o_orderstatus=") for d in dirs)
+    total = 0
+    for d in dirs:
+        for f in os.listdir(os.path.join(out_dir, d)):
+            total += pq.ParquetFile(os.path.join(out_dir, d, f)).metadata.num_rows
+    assert total == 1500
