@@ -176,9 +176,15 @@ def load_manifest(out_dir: str) -> dict[str, dict]:
         with open(path) as fh:
             for line in fh:
                 line = line.strip()
-                if line:
+                if not line:
+                    continue
+                try:
                     e = json.loads(line)
-                    entries[e["partition_id"]] = e
+                except json.JSONDecodeError:
+                    # a crash mid-append leaves a torn trailing line; the
+                    # partition it described simply re-encodes on resume
+                    continue
+                entries[e["partition_id"]] = e
     return entries
 
 

@@ -155,3 +155,19 @@ def test_multi_rowgroup_file_splits_into_partitions(tmp_path):
     assert got.column("text").combine_chunks().equals(
         want.column("text").combine_chunks()
     )
+
+
+def test_manifest_tolerates_torn_line(web_shards, tmp_path):
+    """A crash mid-append leaves a partial JSON line; resume must skip it
+    and re-encode only that partition."""
+    out = str(tmp_path / "enc")
+    clean = run_encode_job(web_shards, out, batch_rows=2000)
+    mpath = os.path.join(out, MANIFEST)
+    lines = open(mpath).read().splitlines()
+    victim = json.loads(lines[-1])
+    os.remove(victim["out_path"])
+    with open(mpath, "w") as fh:
+        fh.write("\n".join(lines[:-1]) + "\n" + lines[-1][: len(lines[-1]) // 2])
+    r = run_encode_job(web_shards, out, batch_rows=2000)
+    assert r["encoded"] == 1 and r["skipped"] == clean["partitions"] - 1
+    assert r["num_rows"] == clean["num_rows"]
