@@ -190,11 +190,32 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Recover the byte-identical ``text`` from ``html`` (vectorized regex).
 
     The per-row invariant checked against the source table:
-    ``extract_text(html) == text`` for every ``url``.
-    """
-    as_str = html.cast(pa.string())
+    ``extract_text(html) == text`` for every ``url``. Robust to real-crawl
+    junk: rows that are not valid UTF-8 extract as null (fast path is a
+    single cast; the per-row repair only runs when a batch actually
+    contains junk)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    try:
+        as_str = html.cast(pa.string())
+    except pa.ArrowInvalid:
+        repaired = [
+            None
+            if v is None
+            else (v.decode("utf-8") if _is_utf8(v) else None)
+            for v in html.to_pylist()
+        ]
+        as_str = pa.array(repaired, type=pa.string())
     hit = pc.extract_regex(as_str, r"(?s)<p>(?P<t>.*)</p>")
     return pc.struct_field(hit, "t")
+
+
+def _is_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
 
 
 def webtable_dataset(

@@ -110,3 +110,45 @@ def test_webtable_dataset_distributed():
     assert ds.count() == 3000
     names = ds.schema().names
     assert names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_edge_case_webtable_roundtrip():
+    """FIXTURES.md §1 edge rows: empty text (distinct from null), null html,
+    null lang, non-ASCII urls, wide html — codec roundtrip + extraction."""
+    base = generate_batch(0, 50, seed=42)
+    edge = pa.table(
+        {
+            "url": pa.array(
+                ["https://x.com/%C3%A9t%C3%A9", "https://y.org/a", None,
+                 "https://z.net/big", "https://w.io/empty"],
+                pa.string(),
+            ),
+            "warc_ts": pa.array([1, 2, None, 4, 5], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [b"<html><head><title>t</title></head><body><p></p><footer>crawl</footer></body></html>",
+                 None,
+                 b"\xff\xfe" * 100,  # undecodable junk
+                 b"<html><head><title>big</title></head><body><p>" + b"x" * 300_000 + b"</p><footer>crawl</footer></body></html>",
+                 b""],
+                pa.binary(),
+            ),
+            "text": pa.array(["", None, "orphan text", "x" * 300_000, None], pa.string()),
+            "lang": pa.array(["fr", None, "en", "en", ""], pa.string()),
+        }
+    )
+    t = pa.concat_tables([base, edge]).combine_chunks()
+    enc = ColumnEncoder()(t)
+    back = decode_table(enc)
+    for name in t.schema.names:
+        got = back.column(name).combine_chunks()
+        want = t.column(name).combine_chunks()
+        assert got.equals(want), name
+    # extraction: rows with well-formed html recover text byte-identically
+    from tbl_ray.webtable import extract_text
+
+    ext = extract_text(back.column("html").combine_chunks())
+    assert ext[50].as_py() == ""          # empty text, not null
+    assert ext[51].as_py() is None        # null html -> null
+    assert ext[53].as_py() == "x" * 300_000
