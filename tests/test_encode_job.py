@@ -171,3 +171,63 @@ def test_manifest_tolerates_torn_line(web_shards, tmp_path):
     r = run_encode_job(web_shards, out, batch_rows=2000)
     assert r["encoded"] == 1 and r["skipped"] == clean["partitions"] - 1
     assert r["num_rows"] == clean["num_rows"]
+
+
+def test_embeddings_nested_list_roundtrip(tmp_path):
+    """list<float> columns pass through the raw codec losslessly."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "emb_enc")
+    r = run_encode_job([src], out)
+    assert r["num_rows"] == pq.ParquetFile(src).metadata.num_rows
+    # preserve exact Arrow types (to_pylist would re-infer float32 -> float64)
+    batches = list(
+        decode_job_output(out).iter_batches(batch_format="pyarrow", batch_size=10**6)
+    )
+    got = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in batches]
+    ).sort_by("vec_id")
+    want = pq.read_table(src).sort_by("vec_id")
+    assert got.schema.equals(want.schema)
+    for n in want.schema.names:
+        assert got.column(n).combine_chunks().equals(
+            want.column(n).combine_chunks()
+        ), n
+
+
+def test_kill_process_resume(web_shards, tmp_path):
+    """Hard-kill an encode job mid-run (SIGKILL), rerun, final state equals
+    a clean run (SURVEY.md §5.4)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    out = str(tmp_path / "entombed")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import ray, sys
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, {repo!r})
+from tbl_ray.pipelines.encode_job import run_encode_job
+run_encode_job({web_shards!r}, {out!r}, batch_rows=500, max_rows_per_partition=1000)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script])
+    # let it finish some (but not all) partitions, then kill -9
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        done = len(load_manifest(out)) if os.path.exists(out) else 0
+        if done >= 2:
+            break
+        _time.sleep(0.25)
+    proc.kill()
+    proc.wait()
+    partial = len(load_manifest(out))
+    assert partial >= 1, "job never wrote a manifest entry before the kill"
+
+    r = run_encode_job(web_shards, out, batch_rows=500, max_rows_per_partition=1000)
+    assert r["skipped"] >= 1  # verified pre-kill work was not redone
+    assert r["num_rows"] == 12000
+    got = pa.Table.from_pylist(decode_job_output(out).take_all())
+    want = pa.concat_tables([pq.read_table(p) for p in web_shards])
+    assert got.sort_by("url").column("text").combine_chunks().equals(
+        want.sort_by("url").column("text").combine_chunks()
+    )

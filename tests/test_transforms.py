@@ -128,3 +128,16 @@ class TestDatasetChain:
             read_table(paths), TransformSpec(offset=8, head=5)
         ).to_pandas()
         assert got["x"].tolist() == [8, 9, 10, 11, 12]
+
+
+def test_value_counts_null_group(ray_session):
+    """Nulls form a group whose count is 0 (polars col.count() counts
+    non-null — reference transform.rs:609-623 semantics)."""
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.aggregate import value_counts
+
+    t = pa.table({"c": pa.array(["a", "a", None, "b", None], pa.string())})
+    out = {r["c"]: r["count"] for r in value_counts(ray.data.from_arrow(t), "c").take_all()}
+    assert out == {"a": 2, "b": 1, None: 0}
