@@ -122,7 +122,10 @@ def encode_partition(
     encoder = ColumnEncoder(codecs)
     pf = pq.ParquetFile(spec.input_path)
     batch_rows = _adaptive_batch_rows(pf, batch_rows)
-    tmp = spec.out_path + "_tmp"
+    # unique per attempt: a crashed run's lingering workers must never race
+    # this attempt on a shared tmp path (both produce identical bytes, the
+    # last atomic rename wins)
+    tmp = f"{spec.out_path}_tmp.{os.getpid()}"
     writer: pq.ParquetWriter | None = None
     input_bytes = 0
     encoded_bytes = 0
@@ -146,7 +149,13 @@ def encode_partition(
             ):
                 codec_use.setdefault(col, {})
                 codec_use[col][codec] = codec_use[col].get(codec, 0) + 1
-    finally:
+    except BaseException:
+        if writer is not None:
+            writer.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    else:
         if writer is not None:
             writer.close()
     with open(tmp, "rb") as fh:
