@@ -126,6 +126,55 @@ class ForCodec:
         return numpy_to_primitive(_from_u64(u, dtype), dtype)
 
 
+class DeltaCodec:
+    """Delta + zigzag + bit-pack: consecutive differences packed at the
+    width of the largest |delta|. The natural codec for near-monotone
+    sequences (crawl timestamps, auto-increment ids) where FOR must span
+    the full value range but deltas stay tiny. Exact under uint64
+    wraparound (zigzag maps signed deltas to small unsigned)."""
+
+    name = "delta"
+
+    def supports(self, dtype: pa.DataType) -> bool:
+        s = storage_type(dtype)
+        return pa.types.is_integer(s)
+
+    def encode(self, arr: pa.Array) -> tuple[dict, list[bytes]]:
+        values = primitive_to_numpy(arr)
+        n = len(values)
+        if n == 0:
+            return {"first": 0, "width": 0, "signed": False}, [b""]
+        u = _as_u64(values)
+        signed = values.dtype.kind == "i"
+        first_math = int(values[0])
+        with np.errstate(over="ignore"):
+            deltas = u[1:] - u[:-1]  # wraparound-exact signed diffs
+            # zigzag: interleave +/- so small |delta| stays small unsigned
+            zz = (deltas << np.uint64(1)) ^ (
+                (deltas.view(np.int64) >> np.int64(63)).view(np.uint64)
+            )
+        width = bits_needed(int(zz.max())) if len(zz) else 0
+        return (
+            {"first": first_math, "width": width, "signed": signed},
+            [pack(zz, width)],
+        )
+
+    def decode(self, params, buffers, n, dtype):
+        if n == 0:
+            return numpy_to_primitive(np.zeros(0, _np_le_dtype(dtype)), dtype)
+        zz = unpack(buffers[0], params["width"], n - 1)
+        with np.errstate(over="ignore"):
+            deltas = (zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))
+            if params.get("signed"):
+                first_u = np.uint64(np.int64(params["first"]))
+            else:
+                first_u = np.uint64(params["first"])
+            u = np.empty(n, dtype=np.uint64)
+            u[0] = first_u
+            u[1:] = first_u + np.cumsum(deltas, dtype=np.uint64)
+        return numpy_to_primitive(_from_u64(u, dtype), dtype)
+
+
 class RleCodec:
     """Run-length encoding for primitives and string/binary columns."""
 
@@ -196,4 +245,5 @@ class RleCodec:
 
 register(BitpackCodec())
 register(ForCodec())
+register(DeltaCodec())
 register(RleCodec())

@@ -68,6 +68,16 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
             stats["width_bits"] = bits_needed(hi - lo)
             stats["runs"] = int((values[1:] != values[:-1]).sum()) + 1
             stats["value_bytes"] = values.dtype.itemsize
+            if len(values) > 1 and not pa.types.is_boolean(s):
+                from tbl_ray.codecs.numeric import _as_u64
+
+                u = _as_u64(values)
+                with np.errstate(over="ignore"):
+                    d = u[1:] - u[:-1]  # wraparound, same as DeltaCodec
+                    zz = (d << np.uint64(1)) ^ (
+                        (d.view(np.int64) >> np.int64(63)).view(np.uint64)
+                    )
+                stats["delta_width_bits"] = bits_needed(int(zz.max()))
         else:  # float
             values = primitive_to_numpy(valid)
             stats["runs"] = int((values[1:] != values[:-1]).sum()) + 1
@@ -110,6 +120,8 @@ def _estimate_costs(stats: dict, dtype: pa.DataType) -> dict[str, float]:
             if lo >= 0:
                 costs["bitpack"] = n * bits_needed(stats["max"]) / 8 + 64
             costs["for"] = n * stats["width_bits"] / 8 + 64
+            if "delta_width_bits" in stats:
+                costs["delta"] = n * stats["delta_width_bits"] / 8 + 64
         runs = stats.get("runs", n)
         costs["rle"] = runs * (vb + 3) + 64
         card = stats.get("card_est", n)

@@ -81,6 +81,23 @@ def test_for_roundtrip(arr):
     _roundtrip(arr, "for")
 
 
+@pytest.mark.parametrize("arr", INT_ARRAYS + TEMPORAL_ARRAYS)
+def test_delta_roundtrip(arr):
+    _roundtrip(arr, "delta")
+
+
+def test_delta_beats_for_on_monotone():
+    base = 1_700_000_000_000_000
+    ts = pa.array(
+        base + np.arange(50000) * 1_000_000 + rng.integers(0, 900_000, 50000),
+        type=pa.int64(),
+    ).cast(pa.timestamp("us"))
+    d = _roundtrip(ts, "delta")
+    f = _roundtrip(ts, "for")
+    assert d.payload_bytes < 0.65 * f.payload_bytes, (d.payload_bytes, f.payload_bytes)
+    assert choose_codec(ts) == "delta"
+
+
 @pytest.mark.parametrize(
     "arr",
     [a for a in INT_ARRAYS if len(a) == 0 or a.null_count == len(a)
@@ -159,7 +176,7 @@ def test_choose_codec_sensible():
     ts = pa.array(
         1_700_000_000 + np.arange(10000), type=pa.int64()
     )
-    assert choose_codec(ts) in ("for", "bitpack")
+    assert choose_codec(ts) in ("delta", "for", "bitpack")
     high_entropy = pa.array([rng.bytes(64) for _ in range(500)], type=pa.binary())
     assert choose_codec(high_entropy) == "raw"
 
@@ -185,4 +202,4 @@ def test_column_stats_keys():
 
 
 def test_all_registered():
-    assert set(CODECS) == {"raw", "dict", "rle", "bitpack", "for", "fsst"}
+    assert set(CODECS) == {"raw", "dict", "rle", "bitpack", "for", "delta", "fsst"}

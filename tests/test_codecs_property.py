@@ -41,7 +41,7 @@ bool_lists = st.lists(st.one_of(st.none(), st.booleans()), max_size=300)
 @given(values=int_lists)
 def test_int64_all_codecs(values):
     arr = pa.array(values, type=pa.int64())
-    for codec in ("for", "rle", "dict", "raw"):
+    for codec in ("for", "delta", "rle", "dict", "raw"):
         assert _roundtrip_ok(arr, codec), codec
 
 
@@ -49,7 +49,7 @@ def test_int64_all_codecs(values):
 @given(values=uint_lists)
 def test_uint64_extremes(values):
     arr = pa.array(values, type=pa.uint64())
-    for codec in ("for", "bitpack", "rle", "dict", "raw"):
+    for codec in ("for", "delta", "bitpack", "rle", "dict", "raw"):
         assert _roundtrip_ok(arr, codec), codec
 
 

@@ -70,7 +70,7 @@ def test_encoder_compresses_webtable():
         zip(enc.column("columns")[0].as_py(), enc.column("codecs")[0].as_py())
     )
     assert codecs["lang"] in ("dict", "rle")
-    assert codecs["warc_ts"] in ("for", "bitpack")
+    assert codecs["warc_ts"] in ("delta", "for", "bitpack")
     assert codecs["text"] == "fsst"
 
 
