@@ -1,7 +1,7 @@
 """Per-column lightweight-compression engine (the north-rule extension).
 
-Six codecs over numpy views of Arrow buffers — dictionary, run-length,
-bit-pack, frame-of-reference, FSST, raw — with per-column-chunk codec
+Seven codecs over numpy views of Arrow buffers — dictionary, run-length,
+bit-pack, frame-of-reference, delta(+zigzag), FSST, raw — with per-column-chunk codec
 auto-selection from sampled cardinality / run-length / entropy statistics.
 This extends the reference's per-column byte accounting
 (crates/tbl-core/src/parquet/parquet_summary.rs:74-87,133-149 and the
