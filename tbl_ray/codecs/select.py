@@ -28,6 +28,7 @@ from tbl_ray.codecs.base import (
     storage_type,
 )
 from tbl_ray.codecs.bitutil import bits_needed
+from tbl_ray.codecs.numeric import _as_u64
 
 _SAMPLE = 8192  # rows sampled for cardinality / entropy estimates
 
@@ -69,8 +70,6 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict:
             stats["runs"] = int((values[1:] != values[:-1]).sum()) + 1
             stats["value_bytes"] = values.dtype.itemsize
             if len(values) > 1 and not pa.types.is_boolean(s):
-                from tbl_ray.codecs.numeric import _as_u64
-
                 u = _as_u64(values)
                 with np.errstate(over="ignore"):
                     d = u[1:] - u[:-1]  # wraparound, same as DeltaCodec

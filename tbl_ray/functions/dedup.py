@@ -50,8 +50,6 @@ def exact_dedup(
 def _fingerprint128(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit content hashes per row (collision odds ~2^-128
     per pair — safe for exact-dedup keys at web scale)."""
-    from tbl_ray.codecs.base import binary_parts
-
     if col.null_count:
         col = pc.fill_null(col, "")
     offsets, data = binary_parts(col)
