@@ -252,6 +252,11 @@ def partition_by_value(
     distinct key values, group them into ranges of ``values_per_partition``
     values, one output file per range (``range-{i:04d}.parquet``)."""
     key_rows = _key_counts(ds, column)
+    if len(key_rows) > 1_000_000:
+        raise PartitionError(
+            f"{column} has {len(key_rows)} distinct values; range planning "
+            "is driver-side — use partition_by_hash for near-unique keys"
+        )
     keys_sorted = sorted(key_rows, key=lambda k: (k is None, k))
     range_of_key = {
         k: i // values_per_partition for i, k in enumerate(keys_sorted)
