@@ -201,18 +201,29 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
 
     long_val, long_len, long_code, short2, short1 = _encode_tables(symbols)
     data_p = np.concatenate([data, np.zeros(_MAX_SYM, np.uint8)])
-    # 8-byte little-endian window at every position (one gather pass; the
-    # LE layout means prefix-of-L = w & mask, no byte-swap needed)
-    w64 = (
+    # two-tier windows: a 4-byte LE window per position covers hashing,
+    # short matches and symbols up to 4 bytes; the high 4 bytes of a long
+    # candidate are read as the window at cursor+4, gathered only for the
+    # (rare) positions whose hash-slot symbol is longer than 4. Halves the
+    # dominant traffic vs materializing 8-byte windows everywhere.
+    w32 = (
         np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(data_p, _MAX_SYM)[:M]
+            np.lib.stride_tricks.sliding_window_view(data_p, 4)[: M + 4]
         )
-        .view(np.uint64)
+        .view(np.uint32)
         .ravel()
     )
-    len_mask = np.zeros(9, dtype=np.uint64)
-    for L in range(9):
-        len_mask[L] = np.uint64((1 << (8 * L)) - 1 if L < 8 else 0xFFFFFFFFFFFFFFFF)
+    mask32 = np.zeros(5, dtype=np.uint32)
+    for L in range(5):
+        mask32[L] = np.uint32((1 << (8 * L)) - 1 if L < 4 else 0xFFFFFFFF)
+    # per-slot split symbol values: low 4 bytes (masked to min(len,4)) and
+    # high bytes 5..8 (masked to len-4)
+    lo_len = np.minimum(long_len, 4)
+    hi_len = np.maximum(long_len - 4, 0)
+    long_lo = (long_val & mask32[lo_len].astype(np.uint64)).astype(np.uint32)
+    long_hi = ((long_val >> np.uint64(32)) & mask32[hi_len].astype(np.uint64)).astype(
+        np.uint32
+    )
 
     # int32 loop state: halves the memory traffic of the greedy walk (the
     # bandwidth-bound part); callers chunk columns < 2 GiB so i32 is safe
@@ -237,29 +248,43 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
     active_idx = np.arange(n_segs, dtype=np.int32)
     while len(active_idx):
         cur = cursors[active_idx]
-        w = w64[cur]
+        w = w32[cur]
         room = seg_ends[active_idx] - cur
 
-        # long match: two-way hash-slot candidates on the 3-byte prefix
-        slot = _hash3(w & np.uint64(0xFFFFFF))
+        # long match: two-way hash-slot candidates on the 3-byte prefix;
+        # low 4 bytes compare against the u32 window, the high bytes only
+        # gather (cursor+4 window) for the rare len>4 candidates
+        slot = _hash3((w & np.uint32(0xFFFFFF)).astype(np.uint64))
         sl = long_len[0][slot]
-        long_ok = (sl > 0) & (sl <= room) & ((w & len_mask[sl]) == long_val[0][slot])
+        long_ok = (sl > 0) & (sl <= room) & (
+            (w & mask32[np.minimum(sl, 4)]) == long_lo[0][slot]
+        )
+        needhi = np.flatnonzero(long_ok & (sl > 4))
+        if len(needhi):
+            hi = w32[cur[needhi] + 4]
+            hibad = (hi & mask32[sl[needhi] - 4]) != long_hi[0][slot[needhi]]
+            long_ok[needhi[hibad]] = False
         lcode = long_code[0][slot]
         miss = np.flatnonzero(~long_ok)
         if len(miss):
             mslot = slot[miss]
             sl2 = long_len[1][mslot]
             ok2 = (sl2 > 0) & (sl2 <= room[miss]) & (
-                (w[miss] & len_mask[sl2]) == long_val[1][mslot]
+                (w[miss] & mask32[np.minimum(sl2, 4)]) == long_lo[1][mslot]
             )
+            needhi2 = np.flatnonzero(ok2 & (sl2 > 4))
+            if len(needhi2):
+                hi2 = w32[cur[miss[needhi2]] + 4]
+                hibad2 = (hi2 & mask32[sl2[needhi2] - 4]) != long_hi[1][mslot[needhi2]]
+                ok2[needhi2[hibad2]] = False
             hit2 = miss[ok2]
             long_ok[hit2] = True
             sl[hit2] = sl2[ok2]
             lcode[hit2] = long_code[1][mslot[ok2]]
 
-        c2 = short2[(w & np.uint64(0xFFFF)).astype(np.int32)]
+        c2 = short2[(w & np.uint32(0xFFFF)).astype(np.int32)]
         two_ok = (c2 != _ESC) & (room >= 2)
-        c1 = short1[(w & np.uint64(0xFF)).astype(np.int32)]
+        c1 = short1[(w & np.uint32(0xFF)).astype(np.int32)]
         one_ok = c1 != _ESC
 
         mcode = np.where(
