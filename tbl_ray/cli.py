@@ -206,7 +206,9 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "ls":
         return _ls(_build_ls_parser().parse_args(argv[1:]))
-    if argv and argv[0] == "schema":
+    if argv and argv[0] in ("schema", "schemas"):
+        # `schemas` (combined summary across groups) is a stub in the
+        # reference (schemas.rs:3-6); here it is the same grouped view
         return _schema(_build_schema_parser().parse_args(argv[1:]))
     return _data(_build_parser().parse_args(argv))
 

@@ -42,7 +42,7 @@ from tbl_ray.codecs.bitutil import bits_needed, pack, unpack
 _ESC = 255
 _MAX_SYM = 8
 _MAX_TABLE = 255
-_SEG = 512
+_SEG = 1024
 _TRAIN_SAMPLE = 16384
 _TRAIN_GENERATIONS = 4
 
