@@ -217,13 +217,16 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
     for L in range(5):
         mask32[L] = np.uint32((1 << (8 * L)) - 1 if L < 4 else 0xFFFFFFFF)
     # per-slot split symbol values: low 4 bytes (masked to min(len,4)) and
-    # high bytes 5..8 (masked to len-4)
+    # high bytes 5..8 (masked to len-4); masks pre-gathered per slot so the
+    # loop does one gather instead of minimum+index
     lo_len = np.minimum(long_len, 4)
     hi_len = np.maximum(long_len - 4, 0)
-    long_lo = (long_val & mask32[lo_len].astype(np.uint64)).astype(np.uint32)
+    long_lomask = mask32[lo_len]
+    long_lo = (long_val & long_lomask.astype(np.uint64)).astype(np.uint32)
     long_hi = ((long_val >> np.uint64(32)) & mask32[hi_len].astype(np.uint64)).astype(
         np.uint32
     )
+    long_len_m1 = (long_len - 1).astype(np.uint32)  # 0-len slots wrap to 2^32-1
 
     # int32 loop state: halves the memory traffic of the greedy walk (the
     # bandwidth-bound part); callers chunk columns < 2 GiB so i32 is safe
@@ -256,8 +259,10 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
         # gather (cursor+4 window) for the rare len>4 candidates
         slot = _hash3((w & np.uint32(0xFFFFFF)).astype(np.uint64))
         sl = long_len[0][slot]
-        long_ok = (sl > 0) & (sl <= room) & (
-            (w & mask32[np.minimum(sl, 4)]) == long_lo[0][slot]
+        # (len-1) < room as a single unsigned compare covers both len>0 and
+        # len<=room (empty slots wrapped to 2^32-1)
+        long_ok = (long_len_m1[0][slot] < room.astype(np.uint32)) & (
+            (w & long_lomask[0][slot]) == long_lo[0][slot]
         )
         needhi = np.flatnonzero(long_ok & (sl > 4))
         if len(needhi):
@@ -269,8 +274,8 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
         if len(miss):
             mslot = slot[miss]
             sl2 = long_len[1][mslot]
-            ok2 = (sl2 > 0) & (sl2 <= room[miss]) & (
-                (w[miss] & mask32[np.minimum(sl2, 4)]) == long_lo[1][mslot]
+            ok2 = (long_len_m1[1][mslot] < room[miss].astype(np.uint32)) & (
+                (w[miss] & long_lomask[1][mslot]) == long_lo[1][mslot]
             )
             needhi2 = np.flatnonzero(ok2 & (sl2 > 4))
             if len(needhi2):

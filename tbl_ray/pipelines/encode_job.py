@@ -297,6 +297,36 @@ def run_encode_job(
     return report
 
 
+def verify_job(out_dir: str) -> dict:
+    """Deep-verify a job's outputs against their lineage records: every
+    manifest entry's file must exist with matching size AND sha256.
+
+    Returns {"verified": n, "missing": [...], "corrupt": [...]} — the
+    trust check behind exact resume (size-only verification is the fast
+    path; this is the audit)."""
+    manifest = load_manifest(out_dir)
+    missing: list[str] = []
+    corrupt: list[str] = []
+    verified = 0
+    for pid, e in manifest.items():
+        path = e["out_path"]
+        if not os.path.exists(path):
+            missing.append(pid)
+            continue
+        if os.path.getsize(path) != e["file_bytes"]:
+            corrupt.append(pid)
+            continue
+        sha = hashlib.sha256()
+        with open(path, "rb") as fh:
+            for block in iter(lambda: fh.read(1 << 20), b""):
+                sha.update(block)
+        if sha.hexdigest() != e["sha256"]:
+            corrupt.append(pid)
+        else:
+            verified += 1
+    return {"verified": verified, "missing": missing, "corrupt": corrupt}
+
+
 def read_encoded(out_dir: str) -> "ray.data.Dataset":
     """Dataset of encoded rows from a finished (or partial) job."""
     paths = sorted(

@@ -231,3 +231,19 @@ run_encode_job({web_shards!r}, {out!r}, batch_rows=500, max_rows_per_partition=1
     assert got.sort_by("url").column("text").combine_chunks().equals(
         want.sort_by("url").column("text").combine_chunks()
     )
+
+
+def test_verify_job_detects_corruption(web_shards, tmp_path):
+    from tbl_ray.pipelines.encode_job import verify_job
+
+    out = str(tmp_path / "enc")
+    run_encode_job(web_shards, out, batch_rows=2000)
+    v = verify_job(out)
+    assert v["verified"] > 0 and not v["missing"] and not v["corrupt"]
+    # silent corruption (same size, flipped bytes) is caught by the sha
+    victim = next(iter(load_manifest(out).values()))
+    data = bytearray(open(victim["out_path"], "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(victim["out_path"], "wb").write(bytes(data))
+    v2 = verify_job(out)
+    assert victim["partition_id"] in v2["corrupt"]
