@@ -206,6 +206,15 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "ls":
         return _ls(_build_ls_parser().parse_args(argv[1:]))
+    if argv and argv[0] == "verify":
+        vp = argparse.ArgumentParser(prog="tbl-ray verify")
+        vp.add_argument("out_dir", help="encoded job directory to audit")
+        va = vp.parse_args(argv[1:])
+        from tbl_ray.pipelines.encode_job import verify_job
+
+        v = verify_job(va.out_dir)
+        print(v)
+        return 0 if not (v["missing"] or v["corrupt"]) else 1
     if argv and argv[0] in ("schema", "schemas"):
         # `schemas` (combined summary across groups) is a stub in the
         # reference (schemas.rs:3-6); here it is the same grouped view
