@@ -122,25 +122,60 @@ def summarize_files(paths: list[str]) -> list[TabularSummary]:
     if len(paths) < _DISTRIBUTED_THRESHOLD:
         return [summarize_file(p) for p in paths]
 
+    import json as _json
+
     import ray.data
 
     def _summarize_batch(batch: pa.Table) -> pa.Table:
-        import pickle
-
-        rows = [
-            pickle.dumps(summarize_file(p)) for p in batch.column("path").to_pylist()
-        ]
-        return pa.table({"summary": pa.array(rows, type=pa.binary())})
+        # plain fields, not pickled dataclasses: pickle-by-value modules
+        # give workers their own class objects, which don't unpickle back
+        # on the driver
+        out_paths, schemas, bodies = [], [], []
+        for p in batch.column("path").to_pylist():
+            s = summarize_file(p)
+            out_paths.append(p)
+            schemas.append(s.schema.serialize().to_pybytes())
+            bodies.append(
+                _json.dumps(
+                    {
+                        "n_rows": s.n_rows,
+                        "n_bytes_compressed": s.n_bytes_compressed,
+                        "n_bytes_uncompressed": s.n_bytes_uncompressed,
+                        "columns": {
+                            name: [c.dtype, c.compressed_bytes,
+                                   c.uncompressed_bytes, c.null_count]
+                            for name, c in s.columns.items()
+                        },
+                    }
+                )
+            )
+        return pa.table(
+            {"path": out_paths,
+             "schema_ipc": pa.array(schemas, type=pa.binary()),
+             "body": bodies}
+        )
 
     ds = ray.data.from_items([{"path": p} for p in paths]).map_batches(
         _summarize_batch, batch_format="pyarrow", batch_size=64
     )
-    import pickle
-
-    return [
-        pickle.loads(r["summary"])
-        for r in ds.take_all()  # one small row per file — safe to collect
-    ]
+    by_path: dict[str, TabularSummary] = {}
+    for r in ds.take_all():  # one small row per file — safe to collect
+        body = _json.loads(r["body"])
+        by_path[r["path"]] = TabularSummary(
+            n_files=1,
+            n_rows=body["n_rows"],
+            n_bytes_compressed=body["n_bytes_compressed"],
+            n_bytes_uncompressed=body["n_bytes_uncompressed"],
+            schema=pa.ipc.read_schema(pa.py_buffer(r["schema_ipc"])),
+            columns={
+                name: ColumnSummary(
+                    name=name, dtype=v[0], compressed_bytes=v[1],
+                    uncompressed_bytes=v[2], null_count=v[3],
+                )
+                for name, v in body["columns"].items()
+            },
+        )
+    return [by_path[p] for p in paths]  # preserve input order
 
 
 def summarize_by_schema(

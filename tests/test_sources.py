@@ -139,3 +139,19 @@ def test_filters_to_expression_unpushable():
     assert filters_to_expression([], schema) is None
     e = filters_to_expression([parse_filter("x>3"), parse_filter("x.is_not_null")], schema)
     assert e is not None
+
+
+def test_summarize_files_distributed_branch(tmp_path):
+    """>=256 files takes the Ray fan-out path; results match driver loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = []
+    for i in range(260):
+        p = str(tmp_path / f"f{i:03d}.parquet")
+        pq.write_table(pa.table({"x": [i, i + 1]}), p)
+        paths.append(p)
+    summaries = summarize_files(paths)
+    assert len(summaries) == 260
+    assert sum(s.n_rows for s in summaries) == 520
+    assert summaries[0].columns["x"].dtype == "int64"
