@@ -136,7 +136,7 @@ def bench_headline() -> dict:
     t0 = time.monotonic()
     encode_dataset(
         ray.data.read_parquet(paths), batch_size=16384
-    ).write_parquet(stream_dir, compression="zstd")
+    ).write_parquet(stream_dir, compression="zstd", compression_level=6)
     stream_s = time.monotonic() - t0
     shutil.rmtree(stream_dir, ignore_errors=True)
 
