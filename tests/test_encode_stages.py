@@ -62,8 +62,11 @@ def test_encoder_roundtrip_batch():
 
 
 def test_encoder_compresses_webtable():
+    # effort="ratio" pins the codec-level compression path (the default
+    # "balanced" effort may choose raw-into-zstd-container for text; its
+    # policy is covered in tests/test_effort.py)
     t = generate_batch(0, 5000, seed=42)
-    enc = ColumnEncoder()(t)
+    enc = ColumnEncoder(effort="ratio")(t)
     ratio = enc.column("encoded_bytes")[0].as_py() / enc.column("input_bytes")[0].as_py()
     assert ratio < 0.7, f"whole-table codec ratio too weak: {ratio:.3f}"
     codecs = dict(
