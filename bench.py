@@ -134,9 +134,11 @@ def bench_headline() -> dict:
     stream_dir = f"/tmp/tbl_ray_bench/stream_{NUM_CPUS}"
     shutil.rmtree(stream_dir, ignore_errors=True)
     t0 = time.monotonic()
+    # level 3 mirrors the partitioned job's container policy for the default
+    # (balanced) effort: raw-dominated payloads gain <0.3% from level 6
     encode_dataset(
         ray.data.read_parquet(paths), batch_size=16384
-    ).write_parquet(stream_dir, compression="zstd", compression_level=6)
+    ).write_parquet(stream_dir, compression="zstd", compression_level=3)
     stream_s = time.monotonic() - t0
     shutil.rmtree(stream_dir, ignore_errors=True)
 

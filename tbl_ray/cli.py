@@ -83,6 +83,11 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--decode", action="store_true", help="decode an encoded dir back to parquet")
     d.add_argument("--codec", action="append", default=[], metavar="COL=CODEC",
                    help="force a codec for a column in --encode mode (repeatable)")
+    d.add_argument("--effort", choices=("ratio", "balanced", "speed"), default=None,
+                   help="codec-selection effort for --encode (default: balanced, "
+                        "or $TBL_RAY_CODEC_EFFORT); 'ratio' maximizes codec-level "
+                        "compression, 'balanced' probes the zstd container and "
+                        "skips codecs that don't shrink the file")
     d.add_argument("--no-resume", action="store_true")
     d.add_argument("--confirm", action="store_true")
     d.add_argument("--dry", action="store_true")
@@ -327,7 +332,8 @@ def _data(args) -> int:
         if args.codec:
             codecs = dict(c.split("=", 1) for c in args.codec)
         report = run_encode_job(
-            paths, args.output_dir, resume=not args.no_resume, codecs=codecs
+            paths, args.output_dir, resume=not args.no_resume, codecs=codecs,
+            effort=args.effort,
         )
         print(report)
         return 0

