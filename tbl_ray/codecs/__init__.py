@@ -29,7 +29,12 @@ from tbl_ray.codecs import raw as _raw  # noqa: F401
 from tbl_ray.codecs import numeric as _numeric  # noqa: F401
 from tbl_ray.codecs import dictionary as _dictionary  # noqa: F401
 from tbl_ray.codecs import fsst as _fsst  # noqa: F401
-from tbl_ray.codecs.select import choose_codec, column_stats, encode_auto
+from tbl_ray.codecs.select import (
+    choose_codec,
+    column_stats,
+    decide_codec,
+    encode_auto,
+)
 
 __all__ = [
     "CODECS",
@@ -38,6 +43,7 @@ __all__ = [
     "encode_array",
     "decode_chunk",
     "choose_codec",
+    "decide_codec",
     "column_stats",
     "encode_auto",
 ]

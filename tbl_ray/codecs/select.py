@@ -238,6 +238,32 @@ def choose_codec(
     return min(costs, key=costs.get)
 
 
+def decide_codec(
+    arr: pa.Array | pa.ChunkedArray,
+    *,
+    effort: str | None = None,
+) -> tuple[str, list | None]:
+    """Full codec decision for one column-chunk: stats-based choice plus
+    (at ``balanced`` effort) the container probe. Returns the codec name
+    and, when FSST won a probe, the symbol table the probe trained.
+
+    Callers that decide once per job (driver-side) and fan the result out
+    to workers use this directly; :func:`encode_auto` calls it per column.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    effort = effort or default_effort()
+    codec = choose_codec(arr, effort=effort)
+    symbols = None
+    if codec == "fsst" and effort == "balanced":
+        savings, trained = probe_fsst_container_gain(arr)
+        if savings >= _FSST_MIN_CONTAINER_SAVINGS:
+            symbols = trained
+        else:
+            codec = "raw"
+    return codec, symbols
+
+
 def encode_auto(
     arr: pa.Array | pa.ChunkedArray,
     *,
@@ -260,13 +286,9 @@ def encode_auto(
     effort = effort or default_effort()
     codec = decision_cache.get(name) if decision_cache is not None else None
     if codec is None:
-        codec = choose_codec(arr, effort=effort)
-        if codec == "fsst" and effort == "balanced" and fsst_symbols is None:
-            savings, symbols = probe_fsst_container_gain(arr)
-            if savings >= _FSST_MIN_CONTAINER_SAVINGS:
-                fsst_symbols = symbols
-            else:
-                codec = "raw"
+        codec, symbols = decide_codec(arr, effort=effort)
+        if symbols is not None and fsst_symbols is None:
+            fsst_symbols = symbols
         if decision_cache is not None:
             decision_cache[name] = codec
     kw = {"symbols": fsst_symbols} if (codec == "fsst" and fsst_symbols) else None

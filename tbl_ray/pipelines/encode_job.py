@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from tbl_ray.codecs.select import default_effort
+from tbl_ray.codecs.select import decide_codec, default_effort
 from tbl_ray.stages.encode import ColumnEncoder
 
 MANIFEST = "manifest.jsonl"
@@ -111,12 +111,75 @@ def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
 
 _JOB_DECISIONS: dict[tuple, dict[str, str]] = {}
 
+_PLAN_SAMPLE_ROWS = 8192
+
+
+class _HashingFile:
+    """File wrapper hashing bytes as they are written — the manifest sha256
+    comes for free instead of re-reading the whole container afterwards
+    (a full extra pass over the output on a bandwidth-bound host)."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "wb")
+        self.sha = hashlib.sha256()
+
+    def write(self, data) -> int:
+        self.sha.update(data)
+        return self._fh.write(data)
+
+    def tell(self) -> int:
+        return self._fh.tell()
+
+    def flush(self) -> None:
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+    @property
+    def closed(self) -> bool:
+        return self._fh.closed
+
+    def seekable(self) -> bool:
+        return False
+
+    def writable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return False
+
+
+def plan_codec_decisions(
+    path: str,
+    *,
+    codecs: dict[str, str] | None = None,
+    effort: str | None = None,
+) -> dict[str, str]:
+    """Decide every auto-selected column's codec ONCE, driver-side, from a
+    sample of the first partition. Shipped to workers so each worker does
+    not re-pay the stats + container-probe cost (~1s cold per worker —
+    at high parallelism with few partitions per worker that dominated the
+    job wall). The per-chunk raw guard still bounds losses if later
+    partitions drift from the sample."""
+    pf = pq.ParquetFile(path)
+    batch = next(pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS))
+    table = pa.Table.from_batches([batch])
+    decisions: dict[str, str] = {}
+    for name in table.schema.names:
+        if codecs and name in codecs:
+            continue
+        codec, _ = decide_codec(table.column(name), effort=effort)
+        decisions[name] = codec
+    return decisions
+
 
 def encode_partition(
     spec: PartitionSpec,
     *,
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
+    decisions: dict[str, str] | None = None,
     batch_rows: int = 65536,
     compression: str = "zstd",
     compression_level: int | None = None,
@@ -139,6 +202,9 @@ def encode_partition(
     # — and a warm-up job with the same schema pre-pays it
     skey = tuple((f.name, str(f.type)) for f in pf.schema_arrow)
     cache = _JOB_DECISIONS.setdefault((skey, effort), {})
+    if decisions:
+        for k, v in decisions.items():
+            cache.setdefault(k, v)
     encoder = ColumnEncoder(codecs, effort=effort, decisions=cache)
     batch_rows = _adaptive_batch_rows(pf, batch_rows)
     # unique per attempt: a crashed run's lingering workers must never race
@@ -146,11 +212,11 @@ def encode_partition(
     # last atomic rename wins)
     tmp = f"{spec.out_path}_tmp.{os.getpid()}"
     writer: pq.ParquetWriter | None = None
+    sink: _HashingFile | None = None
     input_bytes = 0
     encoded_bytes = 0
     rows = 0
     codec_use: dict[str, dict[str, int]] = {}
-    sha = hashlib.sha256()
     try:
         for batch in pf.iter_batches(
             batch_size=batch_rows, row_groups=list(spec.row_groups)
@@ -158,8 +224,9 @@ def encode_partition(
             table = pa.Table.from_batches([batch])
             enc = encoder.encode_table(table)
             if writer is None:
+                sink = _HashingFile(tmp)
                 writer = pq.ParquetWriter(
-                    tmp, enc.schema, compression=compression,
+                    sink, enc.schema, compression=compression,
                     compression_level=compression_level,
                 )
             writer.write_table(enc)
@@ -174,15 +241,17 @@ def encode_partition(
     except BaseException:
         if writer is not None:
             writer.close()
+        if sink is not None:
+            sink.close()
         if os.path.exists(tmp):
             os.remove(tmp)
         raise
     else:
         if writer is not None:
             writer.close()
-    with open(tmp, "rb") as fh:
-        for block in iter(lambda: fh.read(1 << 20), b""):
-            sha.update(block)
+        if sink is not None:
+            sink.close()
+    sha = sink.sha if sink is not None else hashlib.sha256()
     os.replace(tmp, spec.out_path)
     return {
         "partition_id": spec.partition_id,
@@ -238,10 +307,12 @@ class _EncodePartitions:
         codecs: dict[str, str] | None,
         batch_rows: int,
         effort: str | None = None,
+        decisions: dict[str, str] | None = None,
     ):
         self.codecs = codecs
         self.batch_rows = batch_rows
         self.effort = effort
+        self.decisions = decisions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -257,6 +328,7 @@ class _EncodePartitions:
                 spec,
                 codecs=self.codecs,
                 effort=self.effort,
+                decisions=self.decisions,
                 batch_rows=self.batch_rows,
             )
             out.append({"entry": json.dumps(entry)})
@@ -290,6 +362,9 @@ def run_encode_job(
 
     new_entries: list[dict] = []
     if pending:
+        decisions = plan_codec_decisions(
+            pending[0].input_path, codecs=codecs, effort=effort
+        )
         rows = [
             {**asdict(s), "row_groups": list(s.row_groups)} for s in pending
         ]
@@ -297,7 +372,7 @@ def run_encode_job(
         # encodes sequentially inside a single map task
         ds = ray.data.from_items(rows).repartition(len(rows))
         result = ds.map_batches(
-            _EncodePartitions(codecs, batch_rows, effort),
+            _EncodePartitions(codecs, batch_rows, effort, decisions),
             batch_size=1,
             batch_format="pyarrow",
             num_cpus=1,
