@@ -151,27 +151,58 @@ class _HashingFile:
 
 
 def plan_codec_decisions(
-    path: str,
+    paths: str | list[str],
     *,
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
 ) -> dict[str, str]:
-    """Decide every auto-selected column's codec ONCE, driver-side, from a
-    sample of the first partition. Shipped to workers so each worker does
-    not re-pay the stats + container-probe cost (~1s cold per worker —
-    at high parallelism with few partitions per worker that dominated the
-    job wall). The per-chunk raw guard still bounds losses if later
-    partitions drift from the sample."""
+    """Decide every auto-selected column's codec ONCE, driver-side, from
+    samples of up to three partitions spread across the job (first /
+    middle / last of the path-sorted inputs — a single shard can be
+    unrepresentative when shards are clustered by key, e.g. language).
+    Per column the majority codec wins; ties break toward the first
+    sample. Shipped to workers so no worker re-pays the stats +
+    container-probe cost (~1s cold per worker — at high parallelism with
+    few partitions per worker that dominated the job wall). The per-chunk
+    raw guard still bounds losses if partitions drift from the samples."""
+    if isinstance(paths, str):
+        paths = [paths]
+    picks = [paths[0]]
+    if len(paths) > 2:
+        picks.append(paths[len(paths) // 2])
+    if len(paths) > 1:
+        picks.append(paths[-1])
+    picks = list(dict.fromkeys(picks))
+    if ray.is_initialized() and len(picks) > 1:
+        # the probes are ~1s each; run them as parallel tasks so planning
+        # stays off the job's critical path
+        fn = ray.remote(num_cpus=1)(_sample_decisions)
+        sampled = ray.get([fn.remote(p, codecs, effort) for p in picks])
+    else:
+        sampled = [_sample_decisions(p, codecs, effort) for p in picks]
+    votes: dict[str, list[str]] = {}
+    for d in sampled:
+        for name, codec in d.items():
+            votes.setdefault(name, []).append(codec)
+    return {
+        name: max(dict.fromkeys(vs), key=vs.count) for name, vs in votes.items()
+    }
+
+
+def _sample_decisions(
+    path: str, codecs: dict[str, str] | None, effort: str | None
+) -> dict[str, str]:
+    """One planning sample: decide every auto column from one partition."""
     pf = pq.ParquetFile(path)
     batch = next(pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS))
     table = pa.Table.from_batches([batch])
-    decisions: dict[str, str] = {}
+    out: dict[str, str] = {}
     for name in table.schema.names:
         if codecs and name in codecs:
             continue
         codec, _ = decide_codec(table.column(name), effort=effort)
-        decisions[name] = codec
-    return decisions
+        out[name] = codec
+    return out
 
 
 def encode_partition(
@@ -363,7 +394,7 @@ def run_encode_job(
     new_entries: list[dict] = []
     if pending:
         decisions = plan_codec_decisions(
-            pending[0].input_path, codecs=codecs, effort=effort
+            [s.input_path for s in pending], codecs=codecs, effort=effort
         )
         rows = [
             {**asdict(s), "row_groups": list(s.row_groups)} for s in pending

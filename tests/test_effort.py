@@ -87,6 +87,25 @@ def test_column_encoder_effort_roundtrip():
         assert back.select(table.column_names).cast(table.schema).equals(table)
 
 
+def test_plan_codec_decisions_majority(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tbl_ray.pipelines.encode_job import plan_codec_decisions
+
+    paths = []
+    for i in range(3):
+        t = generate_batch(i * 2000, 2000, seed=42)
+        p = str(tmp_path / f"s{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    decisions = plan_codec_decisions(paths, effort="balanced")
+    assert set(decisions) == {"url", "warc_ts", "html", "text", "lang"}
+    assert decisions["lang"] in ("dict", "rle")
+    # forced columns are excluded from planning
+    d2 = plan_codec_decisions(paths, codecs={"lang": "raw"}, effort="balanced")
+    assert "lang" not in d2
+
+
 def test_column_encoder_shared_decisions():
     table = generate_batch(0, 2000, seed=42)
     shared: dict[str, str] = {}
