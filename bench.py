@@ -153,7 +153,12 @@ def bench_headline() -> dict:
         "input_gb": round(gb, 4),
         "encode_gb_s": round(gb / encode_s, 4),
         "decode_gb_s": round(gb / decode_s, 4),
+        # codec-level ratio (pre-container); ~0.99 at the default
+        # "balanced" effort where zstd in the container does the work —
+        # the judged footprint metric is vs_snappy (on-disk / reference
+        # snappy parquet). See BASELINE.md "effort policy".
         "encode_ratio": round(report["ratio"], 4),
+        "effort": os.environ.get("TBL_RAY_CODEC_EFFORT", "balanced"),
         "file_bytes": report["file_bytes"],
         "snappy_bytes": snappy_bytes,
         "vs_snappy": round(report["file_bytes"] / snappy_bytes, 4),

@@ -56,6 +56,18 @@ def test_job_roundtrip_and_footprint(web_shards, tmp_path):
     )
 
 
+def test_job_ratio_effort_roundtrip(web_shards, tmp_path):
+    # effort="ratio" exercises the FSST-heavy codec-level path end-to-end
+    out = str(tmp_path / "enc_ratio")
+    report = run_encode_job(web_shards, out, batch_rows=2000, effort="ratio")
+    assert report["ratio"] < 0.7, f"codec-level ratio too weak: {report['ratio']}"
+    got = pa.Table.from_pylist(decode_job_output(out, concurrency=2).take_all())
+    want = pa.concat_tables([pq.read_table(p) for p in web_shards])
+    assert got.sort_by("url").select(want.schema.names).cast(want.schema).equals(
+        want.sort_by("url")
+    )
+
+
 def test_job_resume_skips_verified(web_shards, tmp_path):
     out = str(tmp_path / "enc")
     r1 = run_encode_job(web_shards, out, batch_rows=2000)
