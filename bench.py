@@ -239,7 +239,10 @@ def run_scaling() -> dict:
 
     ray.shutdown()
 
-    reps = int(os.environ.get("TBL_RAY_SCALE_REPS", "3"))
+    # 5 reps: the encode job is now fast enough (~2-3s at the upper leg)
+    # that host time-sharing noise swings single runs by ~20%; best-of-5
+    # recovers the quiet-window wall reliably
+    reps = int(os.environ.get("TBL_RAY_SCALE_REPS", "5"))
     results = {}
     for cpus in pair:
         best = None

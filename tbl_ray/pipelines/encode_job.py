@@ -111,6 +111,11 @@ def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
 
 _JOB_DECISIONS: dict[tuple, dict[str, str]] = {}
 
+# driver-side memo of plan_codec_decisions keyed by (schema, effort,
+# forced codecs): repeat jobs over same-shaped tables (warm-up runs,
+# resumed jobs, per-directory sharded invocations) skip the ~1s sampling
+_PLAN_CACHE: dict[tuple, dict[str, str]] = {}
+
 _PLAN_SAMPLE_ROWS = 8192
 
 
@@ -393,9 +398,18 @@ def run_encode_job(
 
     new_entries: list[dict] = []
     if pending:
-        decisions = plan_codec_decisions(
-            [s.input_path for s in pending], codecs=codecs, effort=effort
+        pschema = pq.ParquetFile(pending[0].input_path).schema_arrow
+        pkey = (
+            tuple((f.name, str(f.type)) for f in pschema),
+            effort,
+            tuple(sorted((codecs or {}).items())),
         )
+        decisions = _PLAN_CACHE.get(pkey)
+        if decisions is None:
+            decisions = plan_codec_decisions(
+                [s.input_path for s in pending], codecs=codecs, effort=effort
+            )
+            _PLAN_CACHE[pkey] = decisions
         rows = [
             {**asdict(s), "row_groups": list(s.row_groups)} for s in pending
         ]
