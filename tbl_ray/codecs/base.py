@@ -303,6 +303,29 @@ def binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return offsets - start, data[start:end]
 
 
+def segment_reduceat(
+    ufunc: np.ufunc, values: np.ndarray, offsets: np.ndarray, identity
+) -> np.ndarray:
+    """Per-row ``ufunc.reduceat`` over Arrow variable-length segments.
+
+    ``offsets`` is the (n_rows + 1)-long monotonic offsets array. Empty rows
+    may appear anywhere: starts are left MONOTONIC (zeroing them, as a naive
+    implementation does, makes the preceding row's reduction collapse to a
+    single element — reduceat treats ``indices[i] >= indices[i+1]`` as a
+    1-element slice). With monotonic starts an empty row yields one stray
+    element, overwritten with ``identity`` below. One ``identity`` sentinel
+    is appended to ``values`` so a *trailing* empty row's
+    ``start == len(values)`` stays in range; the sentinel also folds into the
+    last row's reduction, a no-op by the identity property (0 for xor/add,
+    U64_MAX for minimum, ...).
+    """
+    lens = np.diff(offsets)
+    v = np.concatenate([values, np.asarray([identity], dtype=values.dtype)])
+    out = ufunc.reduceat(v, offsets[:-1])
+    out[lens == 0] = identity
+    return out
+
+
 def binary_from_parts(
     offsets: np.ndarray, data: np.ndarray, dtype: pa.DataType
 ) -> pa.Array:

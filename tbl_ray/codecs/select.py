@@ -292,7 +292,26 @@ def encode_auto(
         if decision_cache is not None:
             decision_cache[name] = codec
     kw = {"symbols": fsst_symbols} if (codec == "fsst" and fsst_symbols) else None
-    chunk = encode_array(arr, codec, name=name, codec_kwargs=kw)
+    try:
+        chunk = encode_array(arr, codec, name=name, codec_kwargs=kw)
+    except (ValueError, TypeError, OverflowError):
+        # a sticky / driver-planned decision can be outside this chunk's
+        # domain (e.g. bitpack chosen from a non-negative sample, later
+        # chunk holds negatives) — fall back instead of failing the
+        # partition, and update the cache so later chunks skip the retry
+        fallback = "for" if (
+            codec != "for"
+            and is_fixed_primitive(arr.type)
+            and pa.types.is_integer(storage_type(arr.type))
+        ) else "raw"
+        try:
+            chunk = encode_array(arr, fallback, name=name)
+        except (ValueError, TypeError, OverflowError):
+            fallback = "raw"
+            chunk = encode_array(arr, "raw", name=name)
+        codec = fallback
+        if decision_cache is not None:
+            decision_cache[name] = codec
     if codec != "raw":
         raw_size = arr.nbytes
         if chunk.payload_bytes >= raw_size:

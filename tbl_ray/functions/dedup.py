@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from tbl_ray.codecs.base import binary_parts
+from tbl_ray.codecs.base import binary_parts, segment_reduceat
 from tbl_ray.webtable import _mix
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -56,17 +56,16 @@ def _fingerprint128(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     lens = np.diff(offsets)
     n = len(col)
     if len(data) == 0:
-        return np.zeros(n, np.uint64), np.zeros(n, np.uint64)
+        # all-empty batch: match the main path's per-empty-row value _mix(0)
+        z = _mix(np.zeros(n, np.uint64))
+        return z, z.copy()
     pos = np.arange(len(data), dtype=np.uint64)
     row_start = np.repeat(offsets[:-1].astype(np.uint64), lens)
-    starts = offsets[:-1].copy()
-    starts[lens == 0] = 0
     out = []
     for seed in (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)):
         with np.errstate(over="ignore"):
             h = _mix(data.astype(np.uint64) + np.uint64(1) + (pos - row_start) * seed)
-        f = np.bitwise_xor.reduceat(h, starts)
-        f[lens == 0] = 0
+        f = segment_reduceat(np.bitwise_xor, h, offsets, np.uint64(0))
         out.append(_mix(f))
     return out[0], out[1]
 
@@ -120,7 +119,11 @@ def _window_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-position 8-byte-shingle hashes + per-row segment starts.
 
     Windows crossing a row boundary are masked to U64_MAX so per-row
-    ``minimum.reduceat`` ignores them."""
+    ``minimum.reduceat`` ignores them. ``h`` carries one trailing U64_MAX
+    sentinel (so a trailing empty row's start == len(data) is a valid
+    reduceat index); ``starts`` is the raw monotonic offsets — empty rows
+    yield a stray element the caller overwrites (see segment_reduceat for
+    why zeroing starts instead silently corrupts the preceding row)."""
     offsets, data = binary_parts(col)
     n = len(col)
     lens = np.diff(offsets)
@@ -141,9 +144,8 @@ def _window_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     row_len = np.repeat(lens, lens)
     invalid = (pos - row_start) > (row_len - _SHINGLE)
     h[invalid] = _U64_MAX
-    starts = offsets[:-1].copy()
-    starts[lens == 0] = 0  # keep reduceat indices valid; fixed up by caller
-    return h, starts, lens
+    h = np.concatenate([h, np.asarray([_U64_MAX], dtype=np.uint64)])
+    return h, offsets[:-1], lens
 
 
 def minhash_signatures(col: pa.Array, n_hashes: int = 32, seed: int = 7) -> np.ndarray:
@@ -340,14 +342,11 @@ def simhash_batch(col: pa.Array, seed: int = 11) -> np.ndarray:
     )
     uh = _mix(uh + np.uint64(seed))
     wh = uh[np.asarray(denc.indices)]
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1].copy()
-    empty = counts == 0
-    starts[empty] = 0
+    word_offsets = np.concatenate(([0], np.cumsum(counts)))
     out = np.zeros(n, dtype=np.uint64)
     for b in range(64):
         bit = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
-        s = np.add.reduceat(bit, starts)
-        s[empty] = 0
+        s = segment_reduceat(np.add, bit, word_offsets, np.int64(0))
         out |= (s > 0).astype(np.uint64) << np.uint64(b)
     return out
 

@@ -17,6 +17,7 @@ import ray.data
 from tbl_ray.codecs.base import (
     binary_parts,
     is_binary_like,
+    segment_reduceat,
     is_fixed_primitive,
     primitive_to_numpy,
 )
@@ -39,7 +40,8 @@ def _value_hashes(col: pa.Array) -> np.ndarray:
         offsets, data = binary_parts(col)
         lens = np.diff(offsets)
         if len(data) == 0:
-            return np.zeros(len(col), dtype=np.uint64)
+            # all-empty batch: match the main path's per-empty-row value
+            return _mix(np.full(len(col), 0xABCD, dtype=np.uint64))
         pos = np.arange(len(data), dtype=np.uint64)
         row_start = np.repeat(offsets[:-1].astype(np.uint64), lens)
         with np.errstate(over="ignore"):
@@ -48,9 +50,7 @@ def _value_hashes(col: pa.Array) -> np.ndarray:
                 + np.uint64(1)
                 + (pos - row_start) * np.uint64(0x9E3779B97F4A7C15)
             )
-        starts = offsets[:-1].copy()
-        starts[lens == 0] = 0
-        out = np.bitwise_xor.reduceat(h, starts)
+        out = segment_reduceat(np.bitwise_xor, h, offsets, np.uint64(0))
         out[lens == 0] = np.uint64(0xABCD)
         return _mix(out)
     if is_fixed_primitive(col.type):

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from tbl_ray.codecs.base import binary_parts
+from tbl_ray.codecs.base import binary_parts, segment_reduceat
 from tbl_ray.webtable import _mix
 
 # small built-in marker vocabularies for the n-gram/stopword langid heuristic
@@ -123,12 +123,7 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
             + np.uint64(1)
             + (pos - row_start) * np.uint64(0x9E3779B97F4A7C15)
         )
-    starts = offsets[:-1].copy()
-    empty = np.diff(offsets) == 0
-    # reduceat needs valid indices; empty rows fixed up after
-    starts[empty] = 0
-    fp = np.bitwise_xor.reduceat(h, starts)
-    fp[empty] = 0
+    fp = segment_reduceat(np.bitwise_xor, h, offsets, np.uint64(0))
     return t.append_column("fingerprint", pa.array(fp, type=pa.uint64()))
 
 

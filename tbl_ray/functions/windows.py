@@ -21,9 +21,17 @@ from ray.data.aggregate import Max, Min, Sum
 
 
 def _window_start(ts: pa.ChunkedArray | pa.Array, size_us: int) -> pa.Array:
-    """Tumbling-window start (µs since epoch, floored to the window)."""
+    """Tumbling-window start (µs since epoch, floored to the window).
+
+    Floor division, not Arrow's truncate-toward-zero ``divide``: pre-epoch
+    (negative) timestamps must fall into the window *below* them to match
+    the ``// size`` SQL oracle."""
     micros = pc.cast(ts, pa.int64())
-    return pc.multiply(pc.divide(micros, size_us), size_us)
+    # rem = micros % size with C truncation semantics; shift negative
+    # remainders up by one window so the result is a true floor
+    rem = pc.subtract(micros, pc.multiply(pc.divide(micros, size_us), size_us))
+    rem = pc.if_else(pc.less(rem, 0), pc.add(rem, size_us), rem)
+    return pc.subtract(micros, rem)
 
 
 class _PartialWindowAgg:

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from tbl_ray.codecs.select import decide_codec, default_effort
-from tbl_ray.stages.encode import ColumnEncoder
+from tbl_ray.stages.encode import ENCODED_SCHEMA, ColumnEncoder
 
 MANIFEST = "manifest.jsonl"
 SUCCESS = "_SUCCESS"
@@ -199,7 +199,9 @@ def _sample_decisions(
 ) -> dict[str, str]:
     """One planning sample: decide every auto column from one partition."""
     pf = pq.ParquetFile(path)
-    batch = next(pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS))
+    batch = next(pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS), None)
+    if batch is None:  # empty shard: nothing to sample, no decisions
+        return {}
     table = pa.Table.from_batches([batch])
     out: dict[str, str] = {}
     for name in table.schema.names:
@@ -283,10 +285,17 @@ def encode_partition(
             os.remove(tmp)
         raise
     else:
-        if writer is not None:
-            writer.close()
-        if sink is not None:
-            sink.close()
+        if writer is None:
+            # zero-batch partition (e.g. every selected row group has 0
+            # rows): still emit a valid empty container so the atomic
+            # rename + manifest bookkeeping below stay uniform
+            sink = _HashingFile(tmp)
+            writer = pq.ParquetWriter(
+                sink, ENCODED_SCHEMA, compression=compression,
+                compression_level=compression_level,
+            )
+        writer.close()
+        sink.close()
     sha = sink.sha if sink is not None else hashlib.sha256()
     os.replace(tmp, spec.out_path)
     return {

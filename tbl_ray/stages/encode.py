@@ -151,7 +151,10 @@ def decode_table(table: pa.Table) -> pa.Table:
             fields.append(chunk.field)
         pieces.append(pa.Table.from_arrays(arrays, schema=pa.schema(fields)))
     if not pieces:
-        raise ValueError("decode_table: empty encoded batch with unknown schema")
+        # an empty encoded block (e.g. downstream of a filter) cannot name
+        # its decoded schema; Ray's schema unification drops empty
+        # zero-column blocks, so pass one through instead of failing
+        return pa.table({})
     return pa.concat_tables(pieces)
 
 

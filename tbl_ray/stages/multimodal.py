@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from tbl_ray.codecs.base import binary_parts
+from tbl_ray.codecs.base import binary_parts, segment_reduceat
 from tbl_ray.webtable import _mix
 
 MEDIA_SCHEMA = pa.schema(
@@ -43,10 +43,7 @@ def _payload_stats(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     row_start = np.repeat(offsets[:-1].astype(np.uint64), lens)
     with np.errstate(over="ignore"):
         h = _mix(data.astype(np.uint64) + (pos - row_start))
-    starts = offsets[:-1].copy()
-    starts[lens == 0] = 0
-    acc = np.bitwise_xor.reduceat(h, starts)
-    acc[lens == 0] = 0
+    acc = segment_reduceat(np.bitwise_xor, h, offsets, np.uint64(0))
     return acc, lens
 
 

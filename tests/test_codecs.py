@@ -203,3 +203,28 @@ def test_column_stats_keys():
 
 def test_all_registered():
     assert set(CODECS) == {"raw", "dict", "rle", "bitpack", "for", "delta", "fsst"}
+
+
+def test_encode_auto_cached_bitpack_falls_back_on_negatives():
+    # a sticky/driver-planned decision may be invalid for a later chunk:
+    # bitpack chosen from a non-negative sample must not crash a chunk
+    # holding negatives (round-2 ADVICE, medium)
+    cache = {"v": "bitpack"}
+    arr = pa.array([5, -3, 7, -1], type=pa.int64())
+    chunk = encode_auto(arr, name="v", decision_cache=cache)
+    back = decode_chunk(EncodedChunk.from_payload(chunk.to_payload()))
+    assert back.equals(arr)
+    assert cache["v"] in ("for", "raw")  # cache updated past the bad codec
+    # and the updated decision encodes the next chunk without a retry
+    arr2 = pa.array([-10, 0, 10], type=pa.int64())
+    chunk2 = encode_auto(arr2, name="v", decision_cache=cache)
+    assert decode_chunk(EncodedChunk.from_payload(chunk2.to_payload())).equals(arr2)
+
+
+def test_encode_auto_cached_fallback_binary():
+    # non-integer column with a bad cached codec falls back to raw
+    cache = {"s": "bitpack"}
+    arr = pa.array(["x", "yy", "zzz"])
+    chunk = encode_auto(arr, name="s", decision_cache=cache)
+    back = decode_chunk(EncodedChunk.from_payload(chunk.to_payload()))
+    assert back.equals(arr.cast(back.type)) or back.cast(arr.type).equals(arr)

@@ -259,3 +259,23 @@ def test_verify_job_detects_corruption(web_shards, tmp_path):
     open(victim["out_path"], "wb").write(bytes(data))
     v2 = verify_job(out)
     assert victim["partition_id"] in v2["corrupt"]
+
+
+def test_zero_row_partition_writes_empty_container(tmp_path):
+    # a parquet file whose only row group has 0 rows must not fail the job
+    # (round-2 ADVICE, low: writer stayed None -> os.replace on missing tmp)
+    src = str(tmp_path / "empty.parquet")
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    pq.write_table(schema.empty_table(), src)
+    out = str(tmp_path / "enc")
+    report = run_encode_job([src], out)
+    assert report["encoded"] == report["partitions"] == 1
+    assert report["num_rows"] == 0
+    # output file exists, is valid parquet, and resume sees it as done
+    m = load_manifest(out)
+    assert len(m) == 1
+    e = next(iter(m.values()))
+    assert os.path.exists(e["out_path"])
+    assert pq.read_table(e["out_path"]).num_rows == 0
+    report2 = run_encode_job([src], out)
+    assert report2["skipped"] == 1 and report2["encoded"] == 0

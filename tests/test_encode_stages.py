@@ -155,3 +155,29 @@ def test_edge_case_webtable_roundtrip():
     assert ext[50].as_py() == ""          # empty text, not null
     assert ext[51].as_py() is None        # null html -> null
     assert ext[53].as_py() == "x" * 300_000
+
+
+def test_decode_table_empty_batch_passes_through():
+    # an empty encoded block (e.g. downstream of a filter) must not crash
+    from tbl_ray.stages.encode import ENCODED_SCHEMA
+
+    out = decode_table(ENCODED_SCHEMA.empty_table())
+    assert out.num_rows == 0
+
+
+def test_decode_dataset_with_empty_blocks(ray_session):
+    import ray.data
+    from tbl_ray.stages.encode import decode_dataset, encode_dataset
+
+    t = generate_batch(0, 200, seed=5)
+    ds = ray.data.from_arrow(t).repartition(4)
+    enc = encode_dataset(ds, batch_size=50, concurrency=2)
+    # filter drops entire encoded blocks -> decoder sees empty batches
+    import pyarrow.compute as _pc
+
+    def drop_some(b):
+        keep = _pc.greater(b.column("num_rows"), 1 << 30)  # drop everything
+        return b.filter(keep)
+
+    emptied = enc.map_batches(drop_some, batch_format="pyarrow")
+    assert decode_dataset(emptied).count() == 0

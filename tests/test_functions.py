@@ -318,3 +318,16 @@ def test_exact_dedup_fast_matches_exact():
     assert sorted(fast.column("doc_id").to_pylist()) == sorted(
         exact.column("doc_id").to_pylist()
     )
+
+
+def test_window_start_floors_negative_timestamps():
+    # pre-epoch timestamps must floor to the window BELOW (round-2 ADVICE):
+    # truncate-toward-zero put -1us into window 0 instead of -size
+    import pyarrow as pa
+    from tbl_ray.functions.windows import _window_start
+
+    size = 3_600_000_000  # 1h
+    ts = pa.array([-1, -size, -size - 1, 0, size - 1, size], pa.int64())
+    assert _window_start(ts, size).to_pylist() == [
+        -size, -size, -2 * size, 0, 0, size
+    ]
