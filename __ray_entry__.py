@@ -420,6 +420,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber"
             " FROM lineitem"
         ),
+        "cast_date": (
+            "SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_shipdate"
+            " FROM lineitem"
+        ),
         "with_column": "SELECT o_orderkey, CAST(7 AS INTEGER) AS flag FROM orders",
         "set_column": "SELECT o_orderkey, 'X' AS o_orderstatus FROM orders",
         "nullify": (
@@ -483,7 +487,7 @@ def oracle_sql() -> dict[str, str]:
             " OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
             " THEN 1 ELSE 0 END AS new_s FROM events"
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
-            " SELECT user_id, sum(new_s) AS n_sessions,"
+            " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
             " count(*) AS n_events FROM d GROUP BY user_id"
         ),
         "window_agg": (
