@@ -159,21 +159,38 @@ def _spec_from_args(args):
     )
 
 
+def _display_batches(ds):
+    """Stream non-empty pyarrow batches with binary columns hex-encoded
+    for display — the driver never holds more than one batch."""
+    from tbl_ray.sinks.writers import hex_encode_binary_columns
+
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            yield hex_encode_binary_columns(t)
+
+
 def _print_stdout(ds, n_rows, hex_mode) -> None:
-    """Pretty print first n rows + '<k> rows omitted' footer (output.rs:27-72)."""
+    """Pretty print first n rows + '<k> rows omitted' footer (output.rs:27-72).
+
+    The capped default collects (bounded by the cap); ``-n all`` streams
+    batch-wise so the driver RSS stays flat on big datasets."""
     import pyarrow as pa
 
     from tbl_ray.sinks.writers import hex_encode_binary_columns
 
     cap = None if n_rows == "all" else int(n_rows or 20)
+    if cap is None:
+        header = True
+        for t in _display_batches(ds):
+            print(t.to_pandas().to_string(index=False, header=header))
+            header = False
+        return
     total = ds.count()
-    shown = ds if cap is None else ds.limit(cap)
-    t = pa.Table.from_pylist(shown.take_all())
-    if hex_mode or True:  # binary is always hex-encoded for display
-        if t.num_rows:
-            t = hex_encode_binary_columns(t)
+    t = pa.Table.from_pylist(ds.limit(cap).take_all())
+    if t.num_rows:
+        t = hex_encode_binary_columns(t)  # binary always hex for display
     print(t.to_pandas().to_string(index=False))
-    if cap is not None and total > cap:
+    if total > cap:
         print(f"{total - cap} rows omitted")
 
 
@@ -299,24 +316,37 @@ def _data(args) -> int:
 
     if mode == "stdout":
         ds = apply_transforms(read_for_spec(paths, spec), spec)
-        if args.csv or args.json or args.jsonl:
-            import pyarrow as pa
-
-            from tbl_ray.sinks.writers import hex_encode_binary_columns
-
-            t = pa.Table.from_pylist(ds.take_all())
-            if t.num_rows:
-                t = hex_encode_binary_columns(t)
-            if args.csv:
-                sys.stdout.write(t.to_pandas().to_csv(index=False))
-            else:
-                sys.stdout.write(
-                    t.to_pandas().to_json(
-                        orient="records", lines=args.jsonl, default_handler=str
-                    )
-                    or ""
+        if args.csv:
+            # stream batch-wise: header once, then rows — flat driver RSS
+            header = True
+            for t in _display_batches(ds):
+                sys.stdout.write(t.to_pandas().to_csv(index=False, header=header))
+                header = False
+            if header:  # empty result: still emit the header row
+                sys.stdout.write(",".join(ds.schema().names) + "\n")
+        elif args.jsonl:
+            for t in _display_batches(ds):
+                s = t.to_pandas().to_json(
+                    orient="records", lines=True, default_handler=str
                 )
-                sys.stdout.write("\n")
+                if s:
+                    sys.stdout.write(s)
+                    sys.stdout.write("\n")
+        elif args.json:
+            # one JSON array, streamed: strip each batch's brackets and
+            # join record runs with commas
+            sys.stdout.write("[")
+            first = True
+            for t in _display_batches(ds):
+                inner = t.to_pandas().to_json(
+                    orient="records", default_handler=str
+                )[1:-1]
+                if inner:
+                    if not first:
+                        sys.stdout.write(",")
+                    sys.stdout.write(inner)
+                    first = False
+            sys.stdout.write("]\n")
         else:
             _print_stdout(ds, args.n_rows, args.hex)
         return 0

@@ -33,13 +33,16 @@ _SHINGLE = 8  # byte-level shingle width (fits one uint64 window)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(
+def exact_dedup_shuffle(
     ds: "ray.data.Dataset", column: str, id_col: str
 ) -> "ray.data.Dataset":
-    """Keep the min-``id_col`` row per distinct ``column`` value.
+    """Keep the min-``id_col`` row per distinct ``column`` value by
+    hash-partitioning on the key itself (Ray groupby + first-row).
 
-    Hash-partition shuffle on the dedup key (Ray groupby), then first-row
-    per group — the scale path for exact dedup."""
+    Semantic baseline / test oracle only: the shuffle moves the FULL
+    table keyed on the value column — at web scale with multi-KB documents
+    that is an all-to-all of the whole corpus on a skewed key. Use
+    :func:`exact_dedup` (two-pass fingerprint) instead."""
 
     def keep_first(t: pa.Table) -> pa.Table:
         return t.sort_by(id_col).slice(0, 1)
@@ -70,17 +73,21 @@ def _fingerprint128(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
-def exact_dedup_fast(
+def exact_dedup(
     ds: "ray.data.Dataset", column: str, id_col: str
 ) -> "ray.data.Dataset":
-    """Two-pass exact dedup for scale: pass 1 shuffles only
-    (fingerprint128, id) pairs (~24 B/row, never the documents), resolves
-    min-id winners per fingerprint, and broadcasts the loser-id set; pass 2
-    filters the original stream in place.
+    """Keep the min-``id_col`` row per distinct ``column`` value.
 
-    Semantically identical to :func:`exact_dedup` up to 128-bit hash
-    collisions (~2^-128/pair). The broadcast drop-set bounds this variant at
-    ~10^8 duplicate rows; beyond that, co-bucket both sides by id hash."""
+    Two-pass fingerprint plan — the scale path: pass 1 shuffles only
+    (fingerprint128, id) pairs (~24 B/row, never the documents), resolves
+    min-id winners per fingerprint, and broadcasts the sorted loser-id
+    array; pass 2 filters the original stream in place with a vectorized
+    ``searchsorted`` membership test.
+
+    Semantically identical to :func:`exact_dedup_shuffle` up to 128-bit
+    hash collisions (~2^-128/pair). The broadcast drop-set bounds this
+    variant at ~10^8 duplicate rows; beyond that, co-bucket both sides by
+    id hash."""
 
     def sketch(t: pa.Table) -> pa.Table:
         h1, h2 = _fingerprint128(t.column(column).combine_chunks())
@@ -96,18 +103,48 @@ def exact_dedup_fast(
     drop_ds = pair_ds.groupby(["f1", "f2"]).map_groups(
         losers, batch_format="pyarrow"
     )
-    drop = {r["drop"] for r in drop_ds.take_all()}
-    if not drop:
+    drop = np.sort(
+        np.fromiter((r["drop"] for r in drop_ds.take_all()), dtype=np.int64)
+    )
+    if drop.size == 0:
         return ds
     drop_ref = ray.put(drop)
+    return ds.map_batches(
+        _DropIds(drop_ref, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
 
-    def keep(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids = np.asarray(t.column(id_col))
-        mask = np.fromiter((i not in d for i in ids), count=len(ids), dtype=bool)
-        return t.filter(pa.array(mask))
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+def _sorted_member_mask(ids: np.ndarray, sorted_drop: np.ndarray) -> np.ndarray:
+    """Boolean mask of ``ids`` present in the sorted ``sorted_drop`` array
+    (vectorized binary search; no per-row Python)."""
+    idx = np.searchsorted(sorted_drop, ids)
+    idx_c = np.minimum(idx, len(sorted_drop) - 1)
+    return (idx < len(sorted_drop)) & (sorted_drop[idx_c] == ids)
+
+
+class _DropIds:
+    """Filter stage: drop rows whose id is in a broadcast sorted array.
+
+    Holds the ObjectRef (ships by reference); the zero-copy ``ray.get``
+    happens lazily in the worker, once per task."""
+
+    def __init__(self, drop_ref, id_col: str):
+        self.drop_ref = drop_ref
+        self.id_col = id_col
+        self._drop: np.ndarray | None = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._drop is None:
+            self._drop = ray.get(self.drop_ref)
+        ids = np.asarray(t.column(self.id_col), dtype=np.int64)
+        return t.filter(pa.array(~_sorted_member_mask(ids, self._drop)))
+
+
+def exact_dedup_fast(
+    ds: "ray.data.Dataset", column: str, id_col: str
+) -> "ray.data.Dataset":
+    """Alias of :func:`exact_dedup` (the fingerprint plan is the default)."""
+    return exact_dedup(ds, column, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -298,17 +335,15 @@ def minhash_dedup(
     """Drop near-duplicates, keeping the min-id doc of each group."""
     pairs = minhash_dup_pairs(ds, text_col, id_col, **kwargs)
     roots = union_find([(p["id_a"], p["id_b"]) for p in pairs])
-    drop = {x for x, r in roots.items() if x != r}
-    if not drop:
+    drop = np.sort(
+        np.fromiter((x for x, r in roots.items() if x != r), dtype=np.int64)
+    )
+    if drop.size == 0:
         return ds
     drop_ref = ray.put(drop)
-
-    def keep(t: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([i not in d for i in t.column(id_col).to_pylist()])
-        return t.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        _DropIds(drop_ref, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,33 @@ def test_cli_partition_mode(tmp_path):
         for f in os.listdir(os.path.join(out_dir, d)):
             total += pq.ParquetFile(os.path.join(out_dir, d, f)).metadata.num_rows
     assert total == 1500
+
+
+@pytest.mark.slow
+def test_cli_streaming_csv_json_match_collected(tmp_path):
+    # csv / json / jsonl stdout now stream batch-wise; output must equal
+    # the collected form (header once, valid JSON array, one obj per line)
+    import json as _json
+
+    import duckdb
+
+    r = _run_cli([LINEITEM, "--head", "120", "--csv", "-n", "all"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l]
+    assert lines[0].startswith("l_orderkey,")
+    assert len(lines) == 121  # header + 120 rows
+    assert sum(1 for l in lines if l.startswith("l_orderkey,")) == 1
+
+    r2 = _run_cli([LINEITEM, "--head", "120", "--json"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    arr = _json.loads(r2.stdout)
+    assert len(arr) == 120 and arr[0]["l_orderkey"] is not None
+
+    r3 = _run_cli([LINEITEM, "--head", "120", "--jsonl"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    objs = [_json.loads(l) for l in r3.stdout.splitlines() if l.strip()]
+    assert len(objs) == 120
+    want = duckdb.execute(
+        f"SELECT l_orderkey FROM read_parquet('{LINEITEM}') LIMIT 120"
+    ).fetchall()
+    assert sorted(o["l_orderkey"] for o in objs) == sorted(w[0] for w in want)

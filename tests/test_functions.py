@@ -308,16 +308,31 @@ def test_hll_merge_associative():
     assert abs(est - 7500) / 7500 < 0.05
 
 
-def test_exact_dedup_fast_matches_exact():
-    from tbl_ray.functions.dedup import exact_dedup_fast
+def test_exact_dedup_fast_matches_shuffle_baseline():
+    # default (fingerprint plan) vs the full-shuffle semantic baseline
+    from tbl_ray.functions.dedup import exact_dedup_shuffle
 
     t = _dup_docs()
     ds = ray.data.from_arrow(t)
-    fast = pa.Table.from_pylist(exact_dedup_fast(ds, "text", "doc_id").take_all())
-    exact = pa.Table.from_pylist(exact_dedup(ds, "text", "doc_id").take_all())
+    fast = pa.Table.from_pylist(exact_dedup(ds, "text", "doc_id").take_all())
+    exact = pa.Table.from_pylist(
+        exact_dedup_shuffle(ds, "text", "doc_id").take_all()
+    )
     assert sorted(fast.column("doc_id").to_pylist()) == sorted(
         exact.column("doc_id").to_pylist()
     )
+
+
+def test_sorted_member_mask():
+    import numpy as np
+
+    from tbl_ray.functions.dedup import _sorted_member_mask
+
+    drop = np.array([2, 5, 9], dtype=np.int64)
+    ids = np.array([0, 2, 4, 5, 9, 10, 100], dtype=np.int64)
+    assert _sorted_member_mask(ids, drop).tolist() == [
+        False, True, False, True, True, False, False
+    ]
 
 
 def test_window_start_floors_negative_timestamps():
