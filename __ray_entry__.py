@@ -327,6 +327,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cast_date"] = cast_date
 
+    def image_decode(sf_dir: str):
+        """Real multimodal decode: deterministic BMP payloads -> true
+        (width, height) + feature vector via the pure-numpy codec
+        (tbl_ray/stages/imagecodec.py). No SQL oracle (binary decode)."""
+        import ray.data
+
+        from tbl_ray.stages.multimodal import decode_images, synthetic_image_table
+
+        ds = ray.data.from_arrow(synthetic_image_table(200, seed=7)).repartition(4)
+        out = decode_images(ds, strict=True, batch_size=32, concurrency=2)
+        return out.select_columns(["media_id", "width", "height", "n_bytes"])
+
+    q["image_decode"] = image_decode
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip invariant on real data: decoded == original,
         reported per column with codec + ratio."""

@@ -1,0 +1,232 @@
+"""Pure-numpy image codecs backing the multimodal stages.
+
+No image library exists in this environment, so the engine carries its own
+minimal decoders for the two deterministic formats it can implement from
+the public specs alone:
+
+- **BMP** (Windows V3 ``BITMAPINFOHEADER``, uncompressed 24/32-bit,
+  bottom-up or top-down) — header parse + one vectorized reshape.
+- **PNG** (8-bit gray / RGB / RGBA, non-interlaced) — chunk walk, stdlib
+  ``zlib`` inflate, and all five scanline unfilters. ``Up`` and ``Sub``
+  are vectorized (cumsum along the row for ``Sub``); ``Average``/``Paeth``
+  fall back to a per-byte row loop (their left-dependency is nonlinear) —
+  our own encoder always emits filter 0, so engine round-trips stay on the
+  fast path.
+
+Matching encoders (``encode_bmp`` / ``encode_png``) exist so tests can
+round-trip real generated payloads bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+BMP_MAGIC = b"BM"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed bottom-up BMP bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8")
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    # BMP stores BGR, bottom row first
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    data_offset = 14 + 40
+    file_size = data_offset + body.size
+    header = struct.pack("<2sIHHI", BMP_MAGIC, file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0
+    )
+    return header + info + body.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP bytes -> (H, W, 3) uint8 RGB."""
+    if data[:2] != BMP_MAGIC or len(data) < 54:
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    channels = bpp // 8
+    row_bytes = (w * channels + 3) & ~3
+    body = np.frombuffer(data, dtype=np.uint8, count=h * row_bytes, offset=data_offset)
+    rows = body.reshape(h, row_bytes)[:, : w * channels].reshape(h, w, channels)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W) or (H, W, {1,3,4}) uint8 -> 8-bit non-interlaced PNG bytes."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 prepended to every scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. raw is (h, 1 + stride) filter-typed rows."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up — fully vectorized
+            out[y] = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — prefix sum per byte-lane
+            lanes = line.reshape(-1, bpp)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
+        elif ftype == 3:  # Average
+            row = np.zeros(stride, np.int64)
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            out[y] = row
+        elif ftype == 4:  # Paeth
+            row = np.zeros(stride, np.int64)
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (line[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+            out[y] = row
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit gray/RGB/RGBA non-interlaced PNG -> (H, W, C) uint8 (C in 1/3/4)."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color_type}, "
+                    f"interlace={interlace})"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG size mismatch after inflate")
+    pixels = _unfilter(raw.reshape(h, stride + 1), h, stride, channels)
+    return pixels.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------------------
+# dispatch + features
+# ---------------------------------------------------------------------------
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-sniffing decode -> (H, W, C) uint8. Raises ValueError on
+    unknown formats (JPEG etc. need codecs this environment lacks)."""
+    if data[:2] == BMP_MAGIC:
+        return decode_bmp(data)
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)
+    raise ValueError("unknown image format (supported: BMP, PNG)")
+
+
+def image_features(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic ``dim``-float feature vector from decoded pixels:
+    [mean R, mean G, mean B, luma std, 12-bin luma histogram]."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    rgb = pixels[:, :, :3] if pixels.shape[2] >= 3 else np.repeat(
+        pixels[:, :, :1], 3, axis=2
+    )
+    f = np.zeros(dim, dtype=np.float32)
+    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    luma = rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+    f[0:3] = means
+    f[3] = float(luma.std()) / 255.0
+    hist, _ = np.histogram(luma, bins=dim - 4, range=(0.0, 255.0))
+    f[4:] = hist.astype(np.float32) / max(luma.size, 1)
+    return f
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure vectorized indexing."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w = pixels.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return pixels[ys][:, xs]

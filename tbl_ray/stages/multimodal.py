@@ -21,6 +21,13 @@ import pyarrow as pa
 import ray.data
 
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
+from tbl_ray.stages.imagecodec import (
+    decode_image,
+    encode_bmp,
+    encode_png,
+    image_features,
+    resize_nearest,
+)
 from tbl_ray.webtable import _mix
 
 MEDIA_SCHEMA = pa.schema(
@@ -50,10 +57,15 @@ def _payload_stats(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 class ImageDecode:
     """Actor-pool stage: binary payload -> decoded feature columns.
 
-    ``strict=True`` raises NotImplementedError at the decode call (the real
-    codec is not available in this container); ``strict=False`` emits a
-    deterministic fake (checksum-derived pseudo-dimensions + a fixed-size
-    float feature vector) so the Ray plumbing is fully testable.
+    The decode is REAL for BMP and 8-bit PNG payloads (pure-numpy codecs in
+    :mod:`tbl_ray.stages.imagecodec` — no external image library needed):
+    width/height come from the actual pixel grid and ``features`` is a
+    16-float [channel means, luma std, luma histogram] vector.
+
+    Formats this environment cannot decode (JPEG & co.): ``strict=True``
+    raises ``ValueError`` naming the payload; ``strict=False`` falls back to
+    a deterministic checksum-derived fake for those rows only, keeping the
+    plumbing testable with arbitrary bytes.
     """
 
     FEATURE_DIM = 16
@@ -61,24 +73,32 @@ class ImageDecode:
     def __init__(self, *, strict: bool = False, payload_col: str = "payload"):
         self.strict = strict
         self.payload_col = payload_col
-        # real implementation would load the codec/model ONCE here
-        # (per-actor init), e.g. PIL/libvips/ffmpeg handles
+        # per-actor init: nothing heavy for the numpy codecs; a real
+        # model/codec handle (PIL/libvips/ffmpeg) would load ONCE here
 
     def _decode(self, payloads: pa.Array) -> dict[str, pa.Array]:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "environment; run with strict=False for the deterministic stub"
-            )
         checksum, lens = _payload_stats(payloads)
-        width = (checksum % np.uint64(1920)).astype(np.int32) + 1
-        height = ((checksum >> np.uint64(17)) % np.uint64(1080)).astype(np.int32) + 1
-        feat = np.empty((len(lens), self.FEATURE_DIM), dtype=np.float32)
-        for j in range(self.FEATURE_DIM):
-            feat[:, j] = (
-                ((checksum >> np.uint64(j * 4)) & np.uint64(0xFFFF)).astype(np.float32)
-                / 65535.0
-            )
+        n = len(lens)
+        width = np.zeros(n, np.int32)
+        height = np.zeros(n, np.int32)
+        feat = np.zeros((n, self.FEATURE_DIM), dtype=np.float32)
+        for i in range(n):
+            data = payloads[i].as_py() or b""
+            try:
+                pixels = decode_image(data)
+            except ValueError:
+                if self.strict:
+                    raise
+                # unknown format: deterministic checksum-derived fake
+                width[i] = int(checksum[i] % np.uint64(1920)) + 1
+                height[i] = int((checksum[i] >> np.uint64(17)) % np.uint64(1080)) + 1
+                for j in range(self.FEATURE_DIM):
+                    feat[i, j] = float(
+                        (checksum[i] >> np.uint64(j * 4)) & np.uint64(0xFFFF)
+                    ) / 65535.0
+                continue
+            height[i], width[i] = pixels.shape[0], pixels.shape[1]
+            feat[i] = image_features(pixels, self.FEATURE_DIM)
         return {
             "width": pa.array(width),
             "height": pa.array(height),
@@ -114,6 +134,106 @@ def decode_images(
         batch_size=batch_size,
         zero_copy_batch=True,
         concurrency=concurrency or _default_pool(),
+    )
+
+
+class ImageResize:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode BMP.
+
+    Real end-to-end pixel path (decode and resize are pure numpy); output
+    replaces the payload column with the resized image and stamps the new
+    dimensions. Unknown formats pass through untouched with width/height -1
+    (strict=True raises instead)."""
+
+    def __init__(
+        self,
+        out_w: int,
+        out_h: int,
+        *,
+        strict: bool = False,
+        payload_col: str = "payload",
+    ):
+        self.out_w, self.out_h = out_w, out_h
+        self.strict = strict
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column(self.payload_col).combine_chunks()
+        out_payloads: list[bytes] = []
+        widths = np.full(t.num_rows, -1, np.int32)
+        heights = np.full(t.num_rows, -1, np.int32)
+        for i in range(t.num_rows):
+            data = payloads[i].as_py() or b""
+            try:
+                pixels = decode_image(data)
+            except ValueError:
+                if self.strict:
+                    raise
+                out_payloads.append(data)
+                continue
+            if pixels.shape[2] == 1:
+                pixels = np.repeat(pixels, 3, axis=2)
+            resized = resize_nearest(pixels[:, :, :3], self.out_w, self.out_h)
+            out_payloads.append(encode_bmp(np.ascontiguousarray(resized)))
+            widths[i], heights[i] = self.out_w, self.out_h
+        out = t.set_column(
+            t.schema.get_field_index(self.payload_col),
+            self.payload_col,
+            pa.array(out_payloads, type=pa.large_binary()),
+        )
+        out = out.append_column("width", pa.array(widths))
+        return out.append_column("height", pa.array(heights))
+
+
+def resize_images(
+    ds: "ray.data.Dataset",
+    out_w: int,
+    out_h: int,
+    *,
+    strict: bool = False,
+    batch_size: int = 64,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Actor-pool resize over small batches (large-payload safe)."""
+    from tbl_ray.stages.encode import _default_pool
+
+    return ds.map_batches(
+        ImageResize,
+        fn_constructor_args=(out_w, out_h),
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_pool(),
+    )
+
+
+def synthetic_image_table(n: int, *, seed: int = 42, fmt: str = "bmp") -> pa.Table:
+    """Media rows whose payloads are REAL decodable images (gradient +
+    noise patterns, deterministic per (seed, id))."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+        pixels = np.stack(
+            [
+                base,
+                ((yy * 255) // max(h - 1, 1)).astype(np.uint8),
+                rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        rows.append(encode_bmp(pixels) if fmt == "bmp" else encode_png(pixels))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(rows, type=pa.large_binary()),
+            "mime": pa.array([f"image/{fmt}"] * n),
+            "meta": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
     )
 
 

@@ -243,11 +243,135 @@ def test_multimodal_stub_pipeline():
     assert sorted(out.column("width").to_pylist()) == sorted(out2.column("width").to_pylist())
 
 
-def test_multimodal_strict_raises():
+def test_multimodal_strict_raises_on_unknown_format():
     from tbl_ray.stages.multimodal import ImageDecode, fake_media_table
 
-    with pytest.raises(NotImplementedError):
+    # random bytes are not a decodable image: strict names the failure
+    with pytest.raises(ValueError):
         ImageDecode(strict=True)(fake_media_table(4))
+
+
+def test_multimodal_real_decode_strict():
+    # strict path is now REAL: BMP/PNG payloads decode to true dimensions
+    from tbl_ray.stages.multimodal import (
+        ImageDecode,
+        decode_images,
+        synthetic_image_table,
+    )
+    from tbl_ray.stages.imagecodec import decode_image
+
+    for fmt in ("bmp", "png"):
+        t = synthetic_image_table(12, seed=9, fmt=fmt)
+        out = ImageDecode(strict=True)(t)
+        for i in range(12):
+            pixels = decode_image(t.column("payload")[i].as_py())
+            assert out.column("height")[i].as_py() == pixels.shape[0]
+            assert out.column("width")[i].as_py() == pixels.shape[1]
+            # first three features are the true channel means
+            f = out.column("features")[i].as_py()
+            want = pixels.reshape(-1, 3).mean(axis=0) / 255.0
+            assert abs(f[0] - want[0]) < 1e-5 and abs(f[2] - want[2]) < 1e-5
+
+    # and end-to-end through the Ray actor-pool stage
+    ds = ray.data.from_arrow(synthetic_image_table(24, seed=9))
+    got = pa.Table.from_pylist(
+        decode_images(ds, strict=True, batch_size=8, concurrency=2).take_all()
+    )
+    assert got.num_rows == 24
+    assert all(w >= 8 for w in got.column("width").to_pylist())
+
+
+def test_image_codec_roundtrips():
+    import numpy as np
+
+    from tbl_ray.stages.imagecodec import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(4)
+    pixels = rng.integers(0, 256, size=(33, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(pixels)), pixels)
+    assert np.array_equal(decode_png(encode_png(pixels)), pixels.reshape(33, 17, 3))
+    gray = rng.integers(0, 256, size=(9, 5), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray))[:, :, 0], gray)
+    rgba = rng.integers(0, 256, size=(6, 7, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    small = resize_nearest(pixels, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert np.array_equal(resize_nearest(pixels, 17, 33), pixels)
+
+
+def test_png_unfilter_all_types():
+    # exercise Sub/Up/Average/Paeth against a reference scalar encoder
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tbl_ray.stages.imagecodec import PNG_MAGIC, decode_png
+
+    rng = np.random.default_rng(11)
+    h, w, c = 6, 5, 3
+    pixels = rng.integers(0, 256, size=(h, w, c), dtype=np.int64)
+    stride = w * c
+    flat = pixels.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        ftype = [0, 1, 2, 3, 4, 1][y]
+        raw.append(ftype)
+        line = flat[y]
+        for i in range(stride):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = line[i] - left
+            elif ftype == 2:
+                v = line[i] - up
+            elif ftype == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
+                v = line[i] - pred
+            raw.append(int(v) & 0xFF)
+        prev = line
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pixels.astype(np.uint8))
+
+
+def test_image_resize_stage():
+    from tbl_ray.stages.multimodal import resize_images, synthetic_image_table
+    from tbl_ray.stages.imagecodec import decode_bmp
+
+    ds = ray.data.from_arrow(synthetic_image_table(10, seed=3))
+    out = pa.Table.from_pylist(
+        resize_images(ds, 16, 12, strict=True, batch_size=4, concurrency=2).take_all()
+    )
+    assert out.num_rows == 10
+    for i in range(10):
+        px = decode_bmp(out.column("payload")[i].as_py())
+        assert px.shape == (12, 16, 3)
+    assert set(out.column("width").to_pylist()) == {16}
 
 
 # -- windowed aggregates -------------------------------------------------
