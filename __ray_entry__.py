@@ -136,16 +136,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["value_counts_events"] = _spec_query_events_counts()
 
     def sort_topk(sf_dir: str):
+        """sort+limit(k) plan runs the shuffle-free topk operator:
+        per-block select_k (no exchange) + final sort over <= k x blocks
+        rows (tbl_ray/stages/slicing.py)."""
         from tbl_ray import TransformSpec, apply_transforms
+        from tbl_ray.stages.slicing import topk
 
-        sorted_ds = apply_transforms(
+        ds = apply_transforms(
             _lineitem(sf_dir),
             TransformSpec(
-                select=["l_orderkey", "l_linenumber", "l_extendedprice"],
-                sort=["l_extendedprice:desc", "l_orderkey", "l_linenumber"],
+                select=["l_orderkey", "l_linenumber", "l_extendedprice"]
             ),
         )
-        return sorted_ds.limit(100)
+        return topk(
+            ds,
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            100,
+            descending=[True, False, False],
+        )
 
     q["sort_topk"] = sort_topk
 

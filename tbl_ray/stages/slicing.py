@@ -57,3 +57,43 @@ def ordered_slice(
         if cut > 0:
             ds = ds.split_at_indices([cut])[1]
     return ds
+
+
+def topk(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    k: int,
+    *,
+    descending: list[bool] | bool = False,
+) -> "ray.data.Dataset":
+    """Top-k by sort keys WITHOUT a global range-partition sort.
+
+    ``ds.sort(...).limit(k)`` shuffles every block to get k rows; here each
+    block keeps only its own k best (``pyarrow.compute.select_k_unstable``,
+    O(n log k) per block, no exchange), and the final sort runs over the
+    reduced set — at most k x n_blocks rows, tiny next to the input. The
+    result streams, sorted, as a normal Dataset.
+
+    Ties beyond the sort keys are resolved arbitrarily (the keys should
+    form a total order for deterministic output, same as any sort+limit).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(cols)
+    sort_keys = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(cols, descending)
+    ]
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(t, k=k, sort_keys=sort_keys)
+        return t.take(idx)
+
+    partials = ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.sort(cols, descending=descending).limit(k)

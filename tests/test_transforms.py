@@ -141,3 +141,39 @@ def test_value_counts_null_group(ray_session):
     t = pa.table({"c": pa.array(["a", "a", None, "b", None], pa.string())})
     out = {r["c"]: r["count"] for r in value_counts(ray.data.from_arrow(t), "c").take_all()}
     assert out == {"a": 2, "b": 1, None: 0}
+
+
+def test_topk_matches_full_sort(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.slicing import topk
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet").repartition(8)
+    got = pa.Table.from_pylist(
+        topk(
+            ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], 25,
+            descending=[True, False, False],
+        ).take_all()
+    )
+    want = pa.Table.from_pylist(
+        ds.sort(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            descending=[True, False, False],
+        ).limit(25).take_all()
+    )
+    assert got.column("l_orderkey").to_pylist() == want.column("l_orderkey").to_pylist()
+    assert got.column("l_extendedprice").to_pylist() == want.column(
+        "l_extendedprice"
+    ).to_pylist()
+
+
+def test_topk_k_larger_than_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.slicing import topk
+
+    t = pa.table({"x": [3, 1, 2]})
+    out = topk(ray.data.from_arrow(t), ["x"], 10).take_all()
+    assert [r["x"] for r in out] == [1, 2, 3]
