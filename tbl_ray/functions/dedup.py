@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from tbl_ray.stages.encode import _default_pool
+
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
 from tbl_ray.webtable import _mix
 
@@ -549,7 +551,7 @@ def embedding_dup_pairs(
              "cosine": s[keep].astype(np.float64)}
         )
 
-    sk = ds.map_batches(Sketch, batch_format="pyarrow", concurrency=(1, 4))
+    sk = ds.map_batches(Sketch, batch_format="pyarrow", concurrency=_default_pool())
     pair_ds = sk.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
     seen = {}
     for r in pair_ds.take_all():

@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from tbl_ray.stages.encode import _default_pool
+
 
 def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
     col = t.column(vec_col).combine_chunks()
@@ -71,7 +73,7 @@ def knn_brute(
 
     partials = ds.map_batches(
         PartialTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=_default_pool(),
     ).take_all()
     nq = q.shape[0]
     out: list[list[dict]] = []
@@ -155,7 +157,7 @@ def knn_ivf(
 
     partials = ds.map_batches(
         ProbedTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=_default_pool(),
     ).take_all()
     out: list[list[dict]] = []
     for qi in range(q.shape[0]):

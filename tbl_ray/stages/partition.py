@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
+
+from tbl_ray.stages.encode import _default_pool
 from ray.data.aggregate import Sum
 
 
@@ -177,7 +179,7 @@ def partition_by_key(
             }
         )
 
-    tagged = ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 8))
+    tagged = ds.map_batches(Tag, batch_format="pyarrow", concurrency=_default_pool())
     manifest = tagged.groupby("__shard__").map_groups(
         write_group, batch_format="pyarrow"
     )
@@ -296,7 +298,7 @@ def partition_by_value(
              "bytes": [os.path.getsize(path)]}
         )
 
-    tagged = ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 8))
+    tagged = ds.map_batches(Tag, batch_format="pyarrow", concurrency=_default_pool())
     rows = tagged.groupby("__shard__").map_groups(
         write_group, batch_format="pyarrow"
     ).take_all()
