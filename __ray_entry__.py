@@ -262,6 +262,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ann_ivf"] = ann_ivf
 
+    def ann_ivf_index(sf_dir: str):
+        """Persisted IVF index: build once into /tmp (hive-partitioned one
+        dir per cluster), then answer from ONLY the probed clusters'
+        parquet files — file-level pruning, not per-batch filtering."""
+        import shutil
+        import tempfile
+
+        from tbl_ray.functions.similarity import build_ivf_index, knn_ivf_index
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        first = ds.take_batch(1, batch_format="pyarrow")
+        qv = np.asarray(first.column("embedding")[0].as_py(), dtype=np.float32)[None, :]
+        idx_dir = tempfile.mkdtemp(prefix="tbl_ray_ivf_")
+        try:
+            build_ivf_index(ds, idx_dir, n_clusters=8, sample_rows=2000)
+            res = knn_ivf_index(idx_dir, qv, k=10, n_probe=4)
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+        return pa.table({"vec_id": pa.array([r["id"] for r in res[0]], pa.int64())})
+
+    q["ann_ivf_index"] = ann_ivf_index
+
     def partition_counts(sf_dir: str):
         """Partition documents by lang (salted, budget 100 rows/file), then
         aggregate per-key row totals back from the written files — equals

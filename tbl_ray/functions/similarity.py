@@ -165,3 +165,154 @@ def knn_ivf(
         cand.sort(key=lambda sc: (-sc[0], sc[1]))
         out.append([{"id": i, "score": s} for s, i in cand[:k]])
     return out
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index — build once, prune at the FILE level per query
+# ---------------------------------------------------------------------------
+
+IVF_META = "ivf_meta.json"
+IVF_CENTROIDS = "centroids.npy"
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    sample_rows: int = 5000,
+    iters: int = 10,
+    seed: int = 3,
+) -> dict:
+    """Build a persisted IVF-flat index: centroids trained on a sample
+    (driver numpy, broadcast), every row tagged with its nearest centroid,
+    and the table written as hive-partitioned parquet
+    (``cluster=<c>/...``). Repeated queries then skip non-probed clusters
+    at the *file* level — the scan never opens their row groups — instead
+    of filtering batches after a full read.
+
+    Returns the meta dict (also stored at ``<index_dir>/ivf_meta.json``)."""
+    import json
+    import os
+
+    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    sample = _vec_matrix(sample_t, vec_col)
+    cent = train_centroids(sample, n_clusters, iters=iters, seed=seed)
+    dim = sample.shape[1]
+    cent_ref = ray.put(cent)
+
+    class Tag:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_vec_matrix(t, vec_col))
+            assign = np.argmax(vecs @ self.cent.T, axis=1).astype(np.int64)
+            return t.append_column("cluster", pa.array(assign))
+
+    os.makedirs(index_dir, exist_ok=True)
+    tagged = ds.map_batches(
+        Tag, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_default_pool(),
+    )
+    tagged.write_parquet(
+        os.path.join(index_dir, "clusters"), partition_cols=["cluster"]
+    )
+    np.save(os.path.join(index_dir, IVF_CENTROIDS), cent)
+    meta = {
+        "n_clusters": int(len(cent)),
+        "dim": int(dim),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "version": 1,
+    }
+    with open(os.path.join(index_dir, IVF_META), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def knn_ivf_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+) -> list[list[dict]]:
+    """Approximate cosine top-k against a prebuilt :func:`build_ivf_index`
+    directory. Only the parquet partitions of probed clusters are read —
+    scan I/O is ~``n_probe / n_clusters`` of the full table."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, IVF_META)) as fh:
+        meta = json.load(fh)
+    cent = np.load(os.path.join(index_dir, IVF_CENTROIDS))
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    import glob
+
+    probed = sorted({int(c) for row in probes for c in row})
+    paths = [
+        f
+        for c in probed
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "clusters", f"cluster={c}", "*"))
+        )
+    ]
+    if not paths:
+        return [[] for _ in range(q.shape[0])]
+    state = ray.put((q, probes))
+
+    class PartitionTopK:
+        def __init__(self):
+            self.q, self.probes = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_vec_matrix(t, vec_col))
+            ids = np.asarray(t.column(id_col))
+            # hive partitioning re-materializes `cluster` as a STRING column
+            clusters = np.asarray(
+                t.column("cluster").combine_chunks().cast(pa.int64())
+            )
+            rows_q, rows_id, rows_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(clusters, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = vecs[mask] @ self.q[qi]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                rows_q.append(np.full(kk, qi))
+                rows_id.append(ids[mask][top])
+                rows_s.append(sims[top])
+            if not rows_q:
+                return pa.table(
+                    {"query": pa.array([], pa.int64()),
+                     "id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query": np.concatenate(rows_q).astype(np.int64),
+                    "id": np.concatenate(rows_id).astype(np.int64),
+                    "score": np.concatenate(rows_s).astype(np.float64),
+                }
+            )
+
+    partials = (
+        ray.data.read_parquet(paths)
+        .map_batches(
+            PartitionTopK, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=_default_pool(),
+        )
+        .take_all()
+    )
+    out: list[list[dict]] = []
+    for qi in range(q.shape[0]):
+        cand = [(r["score"], r["id"]) for r in partials if r["query"] == qi]
+        cand.sort(key=lambda sc: (-sc[0], sc[1]))
+        out.append([{"id": i, "score": s} for s, i in cand[:k]])
+    return out
