@@ -127,14 +127,28 @@ def literal_scalar(raw: str, dtype: pa.DataType) -> pa.Scalar:
     return pa.scalar(parse_literal(raw, dtype), type=dtype)
 
 
-def constant_array(raw: str | None, dtype: pa.DataType, length: int) -> pa.Array:
+def constant_array(
+    raw: str | None,
+    dtype: pa.DataType,
+    length: int,
+    *,
+    default_fill: bool = False,
+) -> pa.Array:
     """A length-``length`` constant (or null, when ``raw`` is None) array.
 
-    New columns without a value are null-filled with the declared type
-    (reference transform.rs:52-56); ``--set`` builds a full constant column
-    (transform.rs:381-480).
+    New columns without a value are null-filled with the declared type —
+    the reference's CLI LazyFrame path (transform.rs:52-56), which is what
+    ``tbl`` actually runs. ``default_fill=True`` instead mirrors the
+    reference's *library* inserter (parquet_insert.rs:206,221), which
+    default-fills Utf8 with ``""`` and Binary with empty bytes.
+    ``--set`` builds a full constant column (transform.rs:381-480).
     """
     if raw is None:
+        if default_fill:
+            if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+                return pa.array([""] * length, type=dtype)
+            if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+                return pa.array([b""] * length, type=dtype)
         return pa.nulls(length, type=dtype)
     value = parse_literal(raw, dtype)
     if value is None:

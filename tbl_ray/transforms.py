@@ -66,6 +66,11 @@ class TransformSpec:
     value_counts: str | None = None
     sort: list[str] = field(default_factory=list)
     rename: list[str] = field(default_factory=list)
+    # library-only knob: value-less with_columns default-fill empty ""/b""
+    # for string/binary instead of nulls, matching the reference's Arrow
+    # inserter (parquet_insert.rs:206,221) rather than its CLI LazyFrame
+    # path (transform.rs:52-56). Not CLI-reachable in the reference either.
+    with_columns_default_fill: bool = False
 
     # -- parsed views -------------------------------------------------
     def parsed_filters(self) -> list[Filter]:
@@ -169,7 +174,11 @@ def batch_transform(table: pa.Table, spec: TransformSpec) -> pa.Table:
     # 1. with_columns — append constant/null columns (transform.rs:26-59)
     for name, dtype, raw in spec.parsed_with_columns():
         table = table.append_column(
-            pa.field(name, dtype), constant_array(raw, dtype, table.num_rows)
+            pa.field(name, dtype),
+            constant_array(
+                raw, dtype, table.num_rows,
+                default_fill=spec.with_columns_default_fill,
+            ),
         )
 
     # 2. filter — sees post-with_columns schema (transform.rs:137-155)

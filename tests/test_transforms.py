@@ -177,3 +177,24 @@ def test_topk_k_larger_than_dataset(ray_session):
     t = pa.table({"x": [3, 1, 2]})
     out = topk(ray.data.from_arrow(t), ["x"], 10).take_all()
     assert [r["x"] for r in out] == [1, 2, 3]
+
+
+def test_with_columns_default_fill_knob():
+    # library knob mirroring the reference's Arrow inserter
+    # (parquet_insert.rs:206,221): Utf8 -> "", Binary -> b"" instead of null
+    import pyarrow as pa
+
+    from tbl_ray.transforms import TransformSpec, batch_transform
+
+    t = pa.table({"a": [1, 2]})
+    spec = TransformSpec(
+        with_columns=["s:str", "b:binary", "i:i64"],
+        with_columns_default_fill=True,
+    )
+    out = batch_transform(t, spec)
+    assert out.column("s").to_pylist() == ["", ""]
+    assert out.column("b").to_pylist() == [b"", b""]
+    assert out.column("i").to_pylist() == [None, None]  # non-text stays null
+    # default (CLI-faithful) path still null-fills
+    out2 = batch_transform(t, TransformSpec(with_columns=["s:str"]))
+    assert out2.column("s").to_pylist() == [None, None]
