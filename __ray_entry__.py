@@ -372,6 +372,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["image_decode"] = image_decode
 
+    def audio_decode(sf_dir: str):
+        """Real WAV (RIFF/PCM16) decode: sample rate, duration and audio
+        features from actual samples (pure-numpy codec). No SQL oracle."""
+        import ray.data
+
+        from tbl_ray.stages.multimodal import decode_audio, synthetic_audio_table
+
+        ds = ray.data.from_arrow(synthetic_audio_table(100, seed=7)).repartition(4)
+        out = decode_audio(ds, strict=True, batch_size=16, concurrency=2)
+        return out.select_columns(
+            ["media_id", "sample_rate", "n_samples", "channels"]
+        )
+
+    q["audio_decode"] = audio_decode
+
+    def frame_sample(sf_dir: str):
+        """Video frame sampling: seek via the container's length table,
+        decode only the sampled frames. No SQL oracle."""
+        import ray.data
+
+        from tbl_ray.stages.multimodal import sample_frames, synthetic_video_table
+
+        ds = ray.data.from_arrow(
+            synthetic_video_table(40, seed=7, frames=8)
+        ).repartition(4)
+        out = sample_frames(ds, n_sample=2, strict=True, batch_size=8, concurrency=2)
+        return out.select_columns(["media_id", "frame_index", "width", "height"])
+
+    q["frame_sample"] = frame_sample
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip invariant on real data: decoded == original,
         reported per column with codec + ratio."""

@@ -182,6 +182,8 @@ def bench_queries() -> dict[str, float]:
         "langid",
         "fingerprint",
         "ann_topk",
+        "ann_ivf_index",
+        "image_decode",
         "encode_roundtrip",
     ]
     times: dict[str, float] = {}

@@ -230,3 +230,77 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
     xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     return pixels[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio counterpart, equally spec-pure
+# ---------------------------------------------------------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 PCM -> RIFF/WAVE bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 PCM")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples).tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return WAV_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit PCM bytes -> ((n, channels) int16, sample_rate)."""
+    if data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sample_rate = None
+    channels = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks pad to even offsets
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits}); PCM16 only"
+                )
+        elif tag == b"data":
+            pcm = np.frombuffer(payload, dtype="<i2")
+    if sample_rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return pcm.reshape(-1, channels), sample_rate
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 8) -> np.ndarray:
+    """[duration_s, rms, zero-crossing rate, peak, 4-band coarse spectrum]
+    over the first channel — all vectorized numpy."""
+    x = samples[:, 0].astype(np.float32) / 32768.0
+    f = np.zeros(dim, dtype=np.float32)
+    if len(x) == 0:
+        return f
+    f[0] = len(x) / sample_rate
+    f[1] = float(np.sqrt(np.mean(x * x)))
+    f[2] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    f[3] = float(np.abs(x).max())
+    spec = np.abs(np.fft.rfft(x[: min(len(x), 1 << 14)]))
+    bands = np.array_split(spec, dim - 4)
+    denom = spec.sum() + 1e-9
+    for i, b in enumerate(bands[: dim - 4]):
+        f[4 + i] = float(b.sum() / denom)
+    return f

@@ -2,12 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with sidecar metadata columns
 (mime, width/height/duration). Decode / feature-extraction / resize /
-frame-sampling are **actor-pool** ``map_batches`` stages: the Ray-side
-plumbing (schema, batch sizing, actor signature, output layout) is real and
-tested; the codec call itself is STUBBED because no image/audio libraries
-exist in this environment — each stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the payload bytes (plumbing-test mode).
+frame-sampling are **actor-pool** ``map_batches`` stages, and the decodes
+are REAL for the formats implementable from public specs with numpy alone
+(:mod:`tbl_ray.stages.imagecodec`): BMP + 8-bit PNG images, RIFF/PCM16
+WAV audio, and a length-prefixed frame container for video sampling.
+Formats needing external codecs (JPEG/MP3/H.264) raise in strict mode or
+fall back to a deterministic checksum fake per row (plumbing-test mode).
 
 Batch-size note (SURVEY.md §4 memory row): multi-MB payloads need small
 row-count batches; callers size ``batch_size`` so
@@ -22,9 +22,12 @@ import ray.data
 
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
 from tbl_ray.stages.imagecodec import (
+    audio_features,
     decode_image,
+    decode_wav,
     encode_bmp,
     encode_png,
+    encode_wav,
     image_features,
     resize_nearest,
 )
@@ -246,6 +249,233 @@ def fake_media_table(n: int, *, seed: int = 42, payload_bytes: int = 4096) -> pa
             "media_id": pa.array(range(n), type=pa.int64()),
             "payload": pa.array(payloads, type=pa.large_binary()),
             "mime": pa.array(["image/fake"] * n),
+            "meta": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio — REAL WAV (RIFF PCM16) decode, pure numpy
+# ---------------------------------------------------------------------------
+
+
+class AudioDecode:
+    """Actor-pool stage: WAV payload -> (sample_rate, n_samples, channels,
+    duration_s, features[8]). Real decode for RIFF/PCM16 via
+    :func:`tbl_ray.stages.imagecodec.decode_wav`; unknown formats raise
+    (strict) or emit nulls-with-zero-features (default)."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, *, strict: bool = False, payload_col: str = "payload"):
+        self.strict = strict
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column(self.payload_col).combine_chunks()
+        n = t.num_rows
+        sr = np.zeros(n, np.int32)
+        ns = np.zeros(n, np.int64)
+        ch = np.zeros(n, np.int32)
+        dur = np.zeros(n, np.float64)
+        feat = np.zeros((n, self.FEATURE_DIM), np.float32)
+        for i in range(n):
+            data = payloads[i].as_py() or b""
+            try:
+                samples, rate = decode_wav(data)
+            except ValueError:
+                if self.strict:
+                    raise
+                continue
+            sr[i], ns[i], ch[i] = rate, samples.shape[0], samples.shape[1]
+            dur[i] = samples.shape[0] / rate
+            feat[i] = audio_features(samples, rate, self.FEATURE_DIM)
+        out = t.drop_columns([self.payload_col])
+        out = out.append_column("sample_rate", pa.array(sr))
+        out = out.append_column("n_samples", pa.array(ns))
+        out = out.append_column("channels", pa.array(ch))
+        out = out.append_column("duration_s", pa.array(dur))
+        return out.append_column(
+            "features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feat.ravel()), self.FEATURE_DIM),
+        )
+
+
+def decode_audio(
+    ds: "ray.data.Dataset",
+    *,
+    strict: bool = False,
+    batch_size: int = 64,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    from tbl_ray.stages.encode import _default_pool
+
+    return ds.map_batches(
+        AudioDecode,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_pool(),
+    )
+
+
+def synthetic_audio_table(n: int, *, seed: int = 42) -> pa.Table:
+    """Media rows whose payloads are REAL decodable WAV clips."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 9_000_017 + i)
+        rate = int(rng.choice([8000, 16000, 44100]))
+        length = int(rng.integers(rate // 10, rate // 2))
+        tt = np.arange(length, dtype=np.float32) / rate
+        tone = np.sin(2 * np.pi * float(rng.integers(100, 2000)) * tt)
+        pcm = (tone * 12000 + rng.normal(0, 500, length)).astype(np.int16)
+        rows.append(encode_wav(pcm, rate))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(rows, type=pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "meta": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# video — frame container + sampling without decoding skipped frames
+# ---------------------------------------------------------------------------
+
+FRAMES_MAGIC = b"TFRV"  # tbl-ray frame container v1
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: magic, u32 count, u32 lengths,
+    then the frame payloads (each an independently decodable image)."""
+    import struct as _struct
+
+    head = FRAMES_MAGIC + _struct.pack("<I", len(frames))
+    head += b"".join(_struct.pack("<I", len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def unpack_frame(data: bytes, index: int) -> bytes:
+    """O(1)-seek extract of one frame — skipped frames are never touched."""
+    import struct as _struct
+
+    if data[:4] != FRAMES_MAGIC:
+        raise ValueError("not a frame container")
+    (count,) = _struct.unpack_from("<I", data, 4)
+    if not 0 <= index < count:
+        raise IndexError(f"frame {index} of {count}")
+    lens = _struct.unpack_from(f"<{count}I", data, 8)
+    start = 8 + 4 * count + sum(lens[:index])
+    return data[start : start + lens[index]]
+
+
+class FrameSample:
+    """Actor-pool stage: frame-container payload -> ``n_sample`` uniformly
+    spaced decoded frames, one output row per (media_id, frame). The length
+    table lets the stage seek; frames outside the sample are never read or
+    decoded — the per-payload cost is O(sampled frames), not O(frames)."""
+
+    def __init__(
+        self,
+        n_sample: int = 3,
+        *,
+        strict: bool = False,
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+    ):
+        self.n_sample = n_sample
+        self.strict = strict
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import struct as _struct
+
+        payloads = t.column(self.payload_col).combine_chunks()
+        ids = t.column(self.id_col).to_pylist()
+        out_id, out_fi, out_w, out_h = [], [], [], []
+        out_feat = []
+        for i in range(t.num_rows):
+            data = payloads[i].as_py() or b""
+            if data[:4] != FRAMES_MAGIC:
+                if self.strict:
+                    raise ValueError("not a frame container")
+                continue
+            (count,) = _struct.unpack_from("<I", data, 4)
+            picks = sorted(
+                {int(j * count / max(self.n_sample, 1)) for j in range(self.n_sample)}
+            ) if count else []
+            for fi in picks:
+                frame = unpack_frame(data, fi)
+                try:
+                    pixels = decode_image(frame)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    continue
+                out_id.append(ids[i])
+                out_fi.append(fi)
+                out_h.append(pixels.shape[0])
+                out_w.append(pixels.shape[1])
+                out_feat.append(image_features(pixels, ImageDecode.FEATURE_DIM))
+        feat = (
+            np.stack(out_feat)
+            if out_feat
+            else np.zeros((0, ImageDecode.FEATURE_DIM), np.float32)
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_fi, pa.int64()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feat.ravel(), pa.float32()), ImageDecode.FEATURE_DIM
+                ),
+            }
+        )
+
+
+def sample_frames(
+    ds: "ray.data.Dataset",
+    n_sample: int = 3,
+    *,
+    strict: bool = False,
+    batch_size: int = 16,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Frame sampling over video-like payloads (small batches: multi-frame
+    payloads are the largest rows in the pipeline)."""
+    from tbl_ray.stages.encode import _default_pool
+
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_args=(n_sample,),
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_pool(),
+    )
+
+
+def synthetic_video_table(n: int, *, seed: int = 42, frames: int = 8) -> pa.Table:
+    """Media rows whose payloads are REAL frame containers of BMP frames."""
+    img = synthetic_image_table  # reuse the deterministic frame generator
+    rows = []
+    for i in range(n):
+        t = img(frames, seed=seed * 77 + i)
+        rows.append(pack_frames([p.as_py() for p in t.column("payload")]))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(rows, type=pa.large_binary()),
+            "mime": pa.array(["video/x-frames"] * n),
             "meta": pa.array(["{}"] * n),
         },
         schema=MEDIA_SCHEMA,

@@ -527,3 +527,61 @@ def test_ivf_index_prunes_files(tmp_path, sf_dir):
     )
     got = knn_ivf_index(idx_dir, queries, k=5, n_probe=1)
     assert len(got[0]) == 5
+
+
+def test_audio_decode_real():
+    import numpy as np
+
+    from tbl_ray.stages.imagecodec import decode_wav
+    from tbl_ray.stages.multimodal import decode_audio, synthetic_audio_table
+
+    t = synthetic_audio_table(16, seed=2)
+    # ground truth from the codec directly
+    want = [decode_wav(p.as_py()) for p in t.column("payload")]
+    ds = ray.data.from_arrow(t)
+    out = pa.Table.from_pylist(
+        decode_audio(ds, strict=True, batch_size=4, concurrency=2).take_all()
+    )
+    assert out.num_rows == 16
+    by_id = {r["media_id"]: r for r in out.to_pylist()}
+    for i, (samples, rate) in enumerate(want):
+        r = by_id[i]
+        assert r["sample_rate"] == rate
+        assert r["n_samples"] == samples.shape[0]
+        assert abs(r["duration_s"] - samples.shape[0] / rate) < 1e-9
+        x = samples[:, 0].astype(np.float32) / 32768.0
+        assert abs(r["features"][1] - np.sqrt((x * x).mean())) < 1e-5
+
+
+def test_audio_decode_strict_rejects_garbage():
+    from tbl_ray.stages.multimodal import AudioDecode, fake_media_table
+
+    with pytest.raises(ValueError):
+        AudioDecode(strict=True)(fake_media_table(2))
+
+
+def test_frame_container_and_sampling():
+    from tbl_ray.stages.imagecodec import decode_bmp
+    from tbl_ray.stages.multimodal import (
+        pack_frames,
+        sample_frames,
+        synthetic_video_table,
+        unpack_frame,
+    )
+
+    t = synthetic_video_table(6, seed=5, frames=10)
+    # container seek extracts the exact original frame bytes
+    payload = t.column("payload")[0].as_py()
+    f3 = unpack_frame(payload, 3)
+    assert decode_bmp(f3).ndim == 3
+    ds = ray.data.from_arrow(t)
+    out = pa.Table.from_pylist(
+        sample_frames(ds, n_sample=3, strict=True, batch_size=2, concurrency=2).take_all()
+    )
+    # 3 uniform picks per payload, all decoded with real dimensions
+    assert out.num_rows == 18
+    assert set(out.column("frame_index").to_pylist()) <= {0, 3, 6}
+    assert min(out.column("width").to_pylist()) >= 8
+
+    repacked = pack_frames([unpack_frame(payload, i) for i in range(10)])
+    assert repacked == payload
