@@ -559,3 +559,80 @@ def embedding_dup_pairs(
         if key not in seen or r["cosine"] > seen[key]:
             seen[key] = r["cosine"]
     return [{"id_a": a, "id_b": b, "cosine": c} for (a, b), c in sorted(seen.items())]
+
+
+def exact_dedup_bucketed(
+    ds: "ray.data.Dataset",
+    column: str,
+    id_col: str,
+    *,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Exact dedup for drop-sets too large to broadcast (>~10^8 loser rows,
+    where :func:`exact_dedup`'s driver-side set no longer fits).
+
+    Same fingerprint pass 1, but pass 2 replaces the broadcast with a
+    co-partitioned anti-join: loser ids and data rows are both tagged with
+    ``bucket = mix(id) % n_buckets`` and unioned, one hash shuffle
+    co-locates each bucket, and the per-bucket group filters its rows
+    against its own (small) slice of the drop-set. Exactly one full-table
+    shuffle, zero driver-side state — the standard shape when both join
+    sides are huge."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h1, h2 = _fingerprint128(t.column(column).combine_chunks())
+        return pa.table({"f1": h1, "f2": h2, id_col: t.column(id_col)})
+
+    def losers(t: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(t.column(id_col)))
+        return pa.table({"drop": ids[1:].astype(np.int64)})
+
+    drop_ds = (
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["f1", "f2"])
+        .map_groups(losers, batch_format="pyarrow")
+    )
+
+    fields = list(zip(ds.schema().names, ds.schema().types))
+    data_names = [n for n, _ in fields]
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (_mix(ids.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        t = t.append_column("__bucket__", pa.array(_bucket_of(ids)))
+        return t.append_column("__drop__", pa.array(np.zeros(len(ids), np.int8)))
+
+    def drop_to_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("drop"), dtype=np.int64)
+        cols = {}
+        for name, typ in fields:
+            cols[name] = (
+                pa.array(ids, pa.int64()).cast(typ)
+                if name == id_col
+                else pa.nulls(len(ids), typ)
+            )
+        out = pa.table(cols)
+        out = out.append_column("__bucket__", pa.array(_bucket_of(ids)))
+        return out.append_column("__drop__", pa.array(np.ones(len(ids), np.int8)))
+
+    tagged = ds.map_batches(tag_data, batch_format="pyarrow", zero_copy_batch=True)
+    markers = drop_ds.map_batches(drop_to_rows, batch_format="pyarrow")
+    both = tagged.union(markers)
+
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        is_drop = np.asarray(t.column("__drop__")) == 1
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        local_drop = np.sort(ids[is_drop])
+        rows = t.filter(pa.array(~is_drop))
+        if local_drop.size:
+            keep = ~_sorted_member_mask(
+                np.asarray(rows.column(id_col), dtype=np.int64), local_drop
+            )
+            rows = rows.filter(pa.array(keep))
+        return rows.select(data_names)
+
+    return both.groupby("__bucket__").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )

@@ -585,3 +585,19 @@ def test_frame_container_and_sampling():
 
     repacked = pack_frames([unpack_frame(payload, i) for i in range(10)])
     assert repacked == payload
+
+
+def test_exact_dedup_bucketed_matches_broadcast():
+    from tbl_ray.functions.dedup import exact_dedup_bucketed
+
+    t = _dup_docs()
+    ds = ray.data.from_arrow(t)
+    got = pa.Table.from_pylist(
+        exact_dedup_bucketed(ds, "text", "doc_id", n_buckets=7).take_all()
+    )
+    want = pa.Table.from_pylist(exact_dedup(ds, "text", "doc_id").take_all())
+    assert sorted(got.column("doc_id").to_pylist()) == sorted(
+        want.column("doc_id").to_pylist()
+    )
+    # schema unchanged (helper columns stripped)
+    assert set(got.schema.names) == set(t.schema.names)
