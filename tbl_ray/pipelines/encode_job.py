@@ -434,11 +434,14 @@ def run_encode_job(
         # stream manifest entries to disk as partitions finish
         mpath = os.path.join(out_dir, MANIFEST)
         with open(mpath, "a") as fh:
-            for out_row in result.iter_rows():
-                entry = json.loads(out_row["entry"])
-                fh.write(json.dumps(entry) + "\n")
+            # batch-wise drain: one write+flush per finished block, not per
+            # row (per-row iter_rows adds a sync point per partition)
+            for batch in result.iter_batches(batch_format="pyarrow"):
+                for raw in batch.column("entry").to_pylist():
+                    entry = json.loads(raw)
+                    fh.write(json.dumps(entry) + "\n")
+                    new_entries.append(entry)
                 fh.flush()
-                new_entries.append(entry)
 
     all_entries = [manifest[s.partition_id] for s in skipped] + new_entries
     report = {
