@@ -325,6 +325,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["approx_distinct"] = approx_distinct_orders
 
+    def approx_distinct_by_lang(sf_dir: str):
+        """Per-key HLL: one (key, sketch) row per key per batch, keyed
+        groupby merges sketches. Estimate is ~1.6% error so no value
+        oracle; row count per key is checked."""
+        from tbl_ray.functions.sketches import approx_distinct_by
+
+        return approx_distinct_by(_docs(sf_dir), "lang", "doc_id")
+
+    q["approx_distinct_by"] = approx_distinct_by_lang
+
     def window_agg(sf_dir: str):
         from tbl_ray.functions.windows import tumbling_window
         from tbl_ray.sources import read_table

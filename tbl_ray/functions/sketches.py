@@ -111,3 +111,60 @@ def approx_distinct(ds: "ray.data.Dataset", column: str) -> float:
         [np.frombuffer(r["sketch"], dtype=np.uint8) for r in parts]
     )
     return hll_estimate(merged)
+
+
+def approx_distinct_by(
+    ds: "ray.data.Dataset", key: str, column: str
+) -> "ray.data.Dataset":
+    """Per-key approximate distinct count of ``column`` (GROUP BY ``key``).
+
+    Pre-aggregation pattern: each batch emits ONE (key, 4 KiB sketch) row
+    per key it contains (vectorized: rows are Arrow-sorted by key inside
+    the batch, then one hll_sketch per key slice); the keyed groupby then
+    merges sketches — the shuffle moves sketches, never values. Output:
+    (key, approx_distinct int64)."""
+
+    def sketch_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 "sketch": pa.array([], pa.binary())}
+            )
+        small = t.select([key, column]).sort_by(key)
+        keys = small.column(key)
+        # slice boundaries per distinct key value inside the batch
+        enc = keys.combine_chunks().dictionary_encode()
+        idx = np.asarray(enc.indices)
+        bounds = np.concatenate(
+            ([0], np.nonzero(np.diff(idx))[0] + 1, [len(idx)])
+        )
+        out_keys, out_sketch = [], []
+        col = small.column(column).combine_chunks()
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            out_keys.append(keys[lo].as_py())
+            out_sketch.append(hll_sketch(col.slice(lo, hi - lo)).tobytes())
+        return pa.table(
+            {
+                key: pa.array(out_keys, keys.type),
+                "sketch": pa.array(out_sketch, pa.binary()),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        regs = hll_merge(
+            [np.frombuffer(s.as_py(), dtype=np.uint8) for s in t.column("sketch")]
+        )
+        return pa.table(
+            {
+                key: pa.array([t.column(key)[0].as_py()], t.schema.field(key).type),
+                "approx_distinct": pa.array(
+                    [int(round(hll_estimate(regs)))], pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        sketch_per_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(key).map_groups(merge_group, batch_format="pyarrow")

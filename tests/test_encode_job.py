@@ -279,3 +279,23 @@ def test_zero_row_partition_writes_empty_container(tmp_path):
     assert pq.read_table(e["out_path"]).num_rows == 0
     report2 = run_encode_job([src], out)
     assert report2["skipped"] == 1 and report2["encoded"] == 0
+
+
+def test_job_survives_planned_bitpack_on_late_negatives(tmp_path):
+    # end-to-end ADVICE scenario: the driver plans codecs from early
+    # samples; a later chunk with negatives must not fail the partition
+    import numpy as np
+
+    src = str(tmp_path / "late_neg.parquet")
+    w = pq.ParquetWriter(src, pa.schema([("v", pa.int64()), ("s", pa.string())]))
+    # row group 1: non-negative sample (planner picks bitpack-family)
+    w.write_table(pa.table({"v": np.arange(5000), "s": ["x"] * 5000}))
+    # row group 2: negatives appear
+    w.write_table(pa.table({"v": np.arange(-5000, 0), "s": ["y"] * 5000}))
+    w.close()
+    out = str(tmp_path / "enc")
+    report = run_encode_job([src], out, batch_rows=5000)
+    assert report["encoded"] >= 1
+    back = decode_job_output(out)
+    vals = sorted(r["v"] for r in back.take_all())
+    assert vals[0] == -5000 and vals[-1] == 4999 and len(vals) == 10000

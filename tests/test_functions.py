@@ -601,3 +601,22 @@ def test_exact_dedup_bucketed_matches_broadcast():
     )
     # schema unchanged (helper columns stripped)
     assert set(got.schema.names) == set(t.schema.names)
+
+
+def test_approx_distinct_by_matches_exact(sf_dir, duck):
+    from tbl_ray.functions.sketches import approx_distinct_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["lang"]: r["approx_distinct"]
+        for r in approx_distinct_by(ds, "lang", "doc_id").take_all()
+    }
+    want = {
+        k: v
+        for k, v in duck.execute(
+            "SELECT lang, count(DISTINCT doc_id) FROM documents GROUP BY lang"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) / max(want[k], 1) < 0.06, (k, got[k], want[k])
