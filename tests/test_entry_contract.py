@@ -25,7 +25,15 @@ def _to_pandas(res) -> pd.DataFrame:
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     for c in df.columns:
-        if df[c].dtype == object:
+        # normalize date representations: Arrow date32 -> datetime.date
+        # objects, duckdb .df() -> datetime64[us]; the driver compares
+        # Arrow-to-Arrow where both are date32 (verified), so the pandas
+        # harness canonicalizes to ISO strings
+        if str(df[c].dtype).startswith("datetime64"):
+            all_midnight = (df[c].dt.time == pd.Timestamp(0).time()).all()
+            fmt = "%Y-%m-%d" if all_midnight else "%Y-%m-%d %H:%M:%S"
+            df[c] = df[c].dt.strftime(fmt)
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
