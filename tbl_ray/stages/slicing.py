@@ -68,11 +68,13 @@ def topk(
 ) -> "ray.data.Dataset":
     """Top-k by sort keys WITHOUT a global range-partition sort.
 
-    ``ds.sort(...).limit(k)`` shuffles every block to get k rows; here each
-    block keeps only its own k best (``pyarrow.compute.select_k_unstable``,
-    O(n log k) per block, no exchange), and the final sort runs over the
-    reduced set — at most k x n_blocks rows, tiny next to the input. The
-    result streams, sorted, as a normal Dataset.
+    ``ds.sort(...).limit(k)`` range-partition-shuffles every block to get k
+    rows; here each block keeps only its own k best
+    (``pyarrow.compute.select_k_unstable``, O(n log k) per block, no
+    exchange), the surviving <= k x n_blocks rows collapse into one block
+    (``repartition(1)`` of a tiny set), and a local Arrow sort emits the
+    final k — no distributed sort machinery at all (its fixed sample +
+    range-partition cost exceeds the whole job for k << n).
 
     Ties beyond the sort keys are resolved arbitrarily (the keys should
     form a total order for deterministic output, same as any sort+limit).
@@ -93,7 +95,12 @@ def topk(
         idx = pc.select_k_unstable(t, k=k, sort_keys=sort_keys)
         return t.take(idx)
 
+    def final(t: pa.Table) -> pa.Table:
+        return t.sort_by(sort_keys).slice(0, k)
+
     partials = ds.map_batches(
         per_block, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partials.sort(cols, descending=descending).limit(k)
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True
+    )
