@@ -17,7 +17,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from tbl_ray.stages.encode import _default_pool
 
 
 def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
@@ -50,30 +49,30 @@ def knn_brute(
     q = _normalize(np.asarray(queries, dtype=np.float32))
     q_ref = ray.put(q)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_vec_matrix(t, vec_col))
-            ids = np.asarray(t.column(id_col))
-            sims = vecs @ self.q.T  # (n, nq)
-            kk = min(k, len(ids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-            nq = self.q.shape[0]
-            out_q = np.repeat(np.arange(nq), kk)
-            idx = top.T.ravel()
-            return pa.table(
-                {
-                    "query": out_q.astype(np.int64),
-                    "id": ids[idx].astype(np.int64),
-                    "score": sims[idx, out_q].astype(np.float64),
-                }
-            )
+    # plain function -> elastic TASKS: there is no per-worker init to
+    # amortize (the broadcast ray.get is a zero-copy local-object-store
+    # read per task), and actor-pool spin-up alone costs ~1s on small
+    # inputs. Broadcast still ships ONCE per node via the object store.
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_mat = ray.get(q_ref)
+        vecs = _normalize(_vec_matrix(t, vec_col))
+        ids = np.asarray(t.column(id_col))
+        sims = vecs @ q_mat.T  # (n, nq)
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        nq = q_mat.shape[0]
+        out_q = np.repeat(np.arange(nq), kk)
+        idx = top.T.ravel()
+        return pa.table(
+            {
+                "query": out_q.astype(np.int64),
+                "id": ids[idx].astype(np.int64),
+                "score": sims[idx, out_q].astype(np.float64),
+            }
+        )
 
     partials = ds.map_batches(
-        PartialTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=_default_pool(),
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     nq = q.shape[0]
     out: list[list[dict]] = []
@@ -122,42 +121,40 @@ def knn_ivf(
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     state = ray.put((q, cent, probes))
 
-    class ProbedTopK:
-        def __init__(self):
-            self.q, self.cent, self.probes = ray.get(state)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_vec_matrix(t, vec_col))
-            ids = np.asarray(t.column(id_col))
-            assign = np.argmax(vecs @ self.cent.T, axis=1)
-            rows_q, rows_id, rows_s = [], [], []
-            for qi in range(self.q.shape[0]):
-                mask = np.isin(assign, self.probes[qi])
-                if not mask.any():
-                    continue
-                sub = vecs[mask]
-                sims = sub @ self.q[qi]
-                kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                rows_q.append(np.full(kk, qi))
-                rows_id.append(ids[mask][top])
-                rows_s.append(sims[top])
-            if not rows_q:
-                return pa.table(
-                    {"query": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
-                     "score": pa.array([], pa.float64())}
-                )
+    def probed_topk(t: pa.Table) -> pa.Table:
+        # tasks, not an actor pool: no per-worker init to amortize (see
+        # knn_brute); broadcast state read zero-copy per task
+        q_mat, cent_m, probes_m = ray.get(state)
+        vecs = _normalize(_vec_matrix(t, vec_col))
+        ids = np.asarray(t.column(id_col))
+        assign = np.argmax(vecs @ cent_m.T, axis=1)
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(q_mat.shape[0]):
+            mask = np.isin(assign, probes_m[qi])
+            if not mask.any():
+                continue
+            sub = vecs[mask]
+            sims = sub @ q_mat[qi]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.append(np.full(kk, qi))
+            rows_id.append(ids[mask][top])
+            rows_s.append(sims[top])
+        if not rows_q:
             return pa.table(
-                {
-                    "query": np.concatenate(rows_q).astype(np.int64),
-                    "id": np.concatenate(rows_id).astype(np.int64),
-                    "score": np.concatenate(rows_s).astype(np.float64),
-                }
+                {"query": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
             )
+        return pa.table(
+            {
+                "query": np.concatenate(rows_q).astype(np.int64),
+                "id": np.concatenate(rows_id).astype(np.int64),
+                "score": np.concatenate(rows_s).astype(np.float64),
+            }
+        )
 
     partials = ds.map_batches(
-        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=_default_pool(),
+        probed_topk, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     out: list[list[dict]] = []
     for qi in range(q.shape[0]):
@@ -203,20 +200,16 @@ def build_ivf_index(
     dim = sample.shape[1]
     cent_ref = ray.put(cent)
 
-    class Tag:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_vec_matrix(t, vec_col))
-            assign = np.argmax(vecs @ self.cent.T, axis=1).astype(np.int64)
-            return t.append_column("cluster", pa.array(assign))
+    def tag(t: pa.Table) -> pa.Table:
+        # tasks, not an actor pool (see knn_brute): centroids read
+        # zero-copy from the local object store per task
+        cent_m = ray.get(cent_ref)
+        vecs = _normalize(_vec_matrix(t, vec_col))
+        assign = np.argmax(vecs @ cent_m.T, axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(assign))
 
     os.makedirs(index_dir, exist_ok=True)
-    tagged = ds.map_batches(
-        Tag, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=_default_pool(),
-    )
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     tagged.write_parquet(
         os.path.join(index_dir, "clusters"), partition_cols=["cluster"]
     )
@@ -266,48 +259,43 @@ def knn_ivf_index(
         return [[] for _ in range(q.shape[0])]
     state = ray.put((q, probes))
 
-    class PartitionTopK:
-        def __init__(self):
-            self.q, self.probes = ray.get(state)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_vec_matrix(t, vec_col))
-            ids = np.asarray(t.column(id_col))
-            # hive partitioning re-materializes `cluster` as a STRING column
-            clusters = np.asarray(
-                t.column("cluster").combine_chunks().cast(pa.int64())
-            )
-            rows_q, rows_id, rows_s = [], [], []
-            for qi in range(self.q.shape[0]):
-                mask = np.isin(clusters, self.probes[qi])
-                if not mask.any():
-                    continue
-                sims = vecs[mask] @ self.q[qi]
-                kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                rows_q.append(np.full(kk, qi))
-                rows_id.append(ids[mask][top])
-                rows_s.append(sims[top])
-            if not rows_q:
-                return pa.table(
-                    {"query": pa.array([], pa.int64()),
-                     "id": pa.array([], pa.int64()),
-                     "score": pa.array([], pa.float64())}
-                )
+    def partition_topk(t: pa.Table) -> pa.Table:
+        # tasks, not an actor pool (see knn_brute)
+        q_mat, probes_m = ray.get(state)
+        vecs = _normalize(_vec_matrix(t, vec_col))
+        ids = np.asarray(t.column(id_col))
+        # hive partitioning re-materializes `cluster` as a STRING column
+        clusters = np.asarray(
+            t.column("cluster").combine_chunks().cast(pa.int64())
+        )
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(q_mat.shape[0]):
+            mask = np.isin(clusters, probes_m[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ q_mat[qi]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.append(np.full(kk, qi))
+            rows_id.append(ids[mask][top])
+            rows_s.append(sims[top])
+        if not rows_q:
             return pa.table(
-                {
-                    "query": np.concatenate(rows_q).astype(np.int64),
-                    "id": np.concatenate(rows_id).astype(np.int64),
-                    "score": np.concatenate(rows_s).astype(np.float64),
-                }
+                {"query": pa.array([], pa.int64()),
+                 "id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
             )
+        return pa.table(
+            {
+                "query": np.concatenate(rows_q).astype(np.int64),
+                "id": np.concatenate(rows_id).astype(np.int64),
+                "score": np.concatenate(rows_s).astype(np.float64),
+            }
+        )
 
     partials = (
         ray.data.read_parquet(paths)
-        .map_batches(
-            PartitionTopK, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=_default_pool(),
-        )
+        .map_batches(partition_topk, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )
     out: list[list[dict]] = []
