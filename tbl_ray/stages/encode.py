@@ -163,13 +163,43 @@ def encode_dataset(
     *,
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
+    decisions: dict[str, str] | None = None,
     batch_size: int | None = 65536,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
-    """Encode a Dataset column-chunk-wise -> Dataset of encoded rows."""
+    """Encode a Dataset column-chunk-wise -> Dataset of encoded rows.
+
+    Pass ``decisions`` (column -> codec, e.g. from
+    :func:`tbl_ray.pipelines.encode_job.plan_codec_decisions`) to skip the
+    per-actor stats/probe pass — otherwise every pool actor pays it once
+    on its first chunk.
+
+    Execution mode: when the plan is complete (every column decided or
+    forced) and FSST-free, the encoder holds no state worth amortizing —
+    it runs as elastic TASKS, skipping actor-pool spin-up (the pool's
+    demand-driven scale-up serializes the first seconds of a short job).
+    Otherwise it runs as an actor pool so per-actor FSST symbol tables and
+    probe results are reused across chunks."""
+    forced = codecs or {}
+    planned = {**(decisions or {}), **forced}
+    stateless = False
+    if decisions is not None and "fsst" not in planned.values():
+        try:
+            stateless = set(ds.schema().names) <= set(planned)
+        except Exception:  # noqa: BLE001 - schema unavailable pre-execution
+            stateless = False
+    if stateless:
+        return ds.map_batches(
+            ColumnEncoder(codecs, effort=effort, decisions=dict(planned)),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     return ds.map_batches(
         ColumnEncoder,
-        fn_constructor_kwargs={"codecs": codecs, "effort": effort},
+        fn_constructor_kwargs={
+            "codecs": codecs, "effort": effort, "decisions": decisions,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
