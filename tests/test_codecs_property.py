@@ -105,3 +105,58 @@ def test_encode_auto_any(values):
     chunk = encode_auto(arr)
     back = decode_chunk(type(chunk).from_payload(chunk.to_payload()))
     assert arrays_identical(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# media codecs (round 2): BMP / PNG / WAV round-trips under hypothesis
+# ---------------------------------------------------------------------------
+
+from hypothesis import strategies as st
+
+from tbl_ray.stages.imagecodec import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@given(
+    st.integers(1, 32),
+    st.integers(1, 32),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@given(
+    st.integers(1, 5000),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    back, r = decode_wav(encode_wav(pcm, rate))
+    assert r == rate and np.array_equal(back, pcm)
