@@ -325,6 +325,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["approx_distinct"] = approx_distinct_orders
 
+    def group_agg(sf_dir: str):
+        """Generic keyed aggregate (pre-aggregated partials, tiny keyed
+        shuffle): count/min/max of quantity + sum of an int column per
+        returnflag — all hash-exact aggregates (no float-summation-order
+        dependence)."""
+        from tbl_ray.stages.aggregate import group_aggregate
+
+        return group_aggregate(
+            _lineitem(sf_dir),
+            "l_returnflag",
+            {"l_quantity": ["count", "min", "max"], "l_orderkey": ["sum"]},
+        )
+
+    q["group_agg"] = group_agg
+
+    def top_vocab_docs(sf_dir: str):
+        """Corpus vocabulary: per-batch Arrow word counts -> keyed partial
+        sum -> shuffle-free topk (count desc, word asc)."""
+        from tbl_ray.functions.text import top_vocab
+
+        return top_vocab(_docs(sf_dir), "text", k=50)
+
+    q["top_vocab"] = top_vocab_docs
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value
@@ -574,6 +598,19 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
             " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
             " count(*) AS n_events FROM d GROUP BY user_id"
+        ),
+        "top_vocab": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(text, '\\S+')) AS word"
+            " FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"
+        ),
+        "group_agg": (
+            "SELECT l_returnflag,"
+            " CAST(count(l_quantity) AS BIGINT) AS count_l_quantity,"
+            " min(l_quantity) AS min_l_quantity,"
+            " max(l_quantity) AS max_l_quantity,"
+            " CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey"
+            " FROM lineitem GROUP BY l_returnflag"
         ),
         "window_agg": (
             "SELECT event_type,"

@@ -169,3 +169,40 @@ def fingerprint(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def top_vocab(
+    ds: "ray.data.Dataset", text_col: str = "text", k: int = 100
+) -> "ray.data.Dataset":
+    """Top-k word vocabulary over the corpus: (word, n) sorted by count
+    desc then word asc.
+
+    Scale shape: per-batch word counts via Arrow kernels (split +
+    value_counts — one (word, partial) row per distinct word per block),
+    keyed groupby sums the partials, and the shuffle-free topk picks the
+    head. The all-to-all moves word partials, never documents."""
+    from ray.data.aggregate import Sum
+
+    from tbl_ray.stages.slicing import topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        words = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        words = words.filter(pc.not_equal(words, ""))  # split artifacts
+        if len(words) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "__n__": pa.array([], pa.int64())}
+            )
+        vc = words.value_counts()
+        return pa.table(
+            {"word": vc.field("values"), "__n__": vc.field("counts")}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partials.groupby("word").aggregate(Sum("__n__", alias_name="n"))
+    return topk(counts, ["n", "word"], k, descending=[True, False])

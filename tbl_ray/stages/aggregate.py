@@ -40,3 +40,100 @@ def value_counts(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
         Sum("__partial_count__", alias_name="count")
     )
     return counts.sort("count", descending=True)
+
+
+_AGG_FUNCS = ("count", "sum", "min", "max", "mean")
+
+
+def group_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str] | str,
+    aggs: dict[str, list[str]],
+) -> "ray.data.Dataset":
+    """Generic keyed aggregate with per-batch pre-aggregation.
+
+    ``aggs`` maps value-column -> list of {count,sum,min,max,mean};
+    output columns are named ``<func>_<col>`` (the caller's SQL oracle
+    must alias identically). ``mean`` is computed as merged sum/count —
+    partials stay mergeable so the shuffle moves one row per (key-tuple)
+    per block, never the input rows.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if isinstance(keys, str):
+        keys = [keys]
+    for col, funcs in aggs.items():
+        bad = set(funcs) - set(_AGG_FUNCS)
+        if bad:
+            raise ValueError(f"unsupported agg funcs for {col}: {sorted(bad)}")
+
+    # per-batch partials: sum/count/min/max per value column (mean derives)
+    def partial(t: pa.Table) -> pa.Table:
+        plan = []
+        for col, funcs in aggs.items():
+            need = set(funcs)
+            if "mean" in need:
+                need |= {"sum", "count"}
+            for f in sorted(need - {"mean"}):
+                plan.append((col, f))
+        part = t.select(
+            keys + sorted({c for c, _ in plan})
+        ).group_by(keys).aggregate(plan)
+        # arrow names results "<col>_<func>"; normalize to "__<func>__<col>"
+        names = list(part.schema.names)
+        renamed = []
+        for n in names:
+            if n in keys:
+                renamed.append(n)
+                continue
+            for col, f in plan:
+                if n == f"{col}_{f}":
+                    renamed.append(f"__{f}__{col}")
+                    break
+            else:
+                renamed.append(n)
+        return part.rename_columns(renamed)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    merge_aggs = []
+    for col, funcs in aggs.items():
+        need = set(funcs)
+        if "mean" in need:
+            need |= {"sum", "count"}
+        if "count" in need or "mean" in need:
+            merge_aggs.append(Sum(f"__count__{col}", alias_name=f"count_{col}"))
+        if "sum" in need or "mean" in need:
+            merge_aggs.append(Sum(f"__sum__{col}", alias_name=f"sum_{col}"))
+        if "min" in need:
+            merge_aggs.append(Min(f"__min__{col}", alias_name=f"min_{col}"))
+        if "max" in need:
+            merge_aggs.append(Max(f"__max__{col}", alias_name=f"max_{col}"))
+    merged = partials.groupby(keys).aggregate(*merge_aggs)
+
+    drops: list[str] = []
+    means = [(col, funcs) for col, funcs in aggs.items() if "mean" in funcs]
+    for col, funcs in aggs.items():
+        if "mean" in funcs:
+            if "count" not in funcs:
+                drops.append(f"count_{col}")
+            if "sum" not in funcs:
+                drops.append(f"sum_{col}")
+
+    if not means and not drops:
+        return merged
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for col, _ in means:
+            t = t.append_column(
+                f"mean_{col}",
+                pc.divide(
+                    pc.cast(t.column(f"sum_{col}"), pa.float64()),
+                    pc.cast(t.column(f"count_{col}"), pa.float64()),
+                ),
+            )
+        return t.drop_columns(drops) if drops else t
+
+    return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -620,3 +620,15 @@ def test_approx_distinct_by_matches_exact(sf_dir, duck):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) / max(want[k], 1) < 0.06, (k, got[k], want[k])
+
+
+def test_top_vocab_matches_duck(sf_dir, duck):
+    from tbl_ray.functions.text import top_vocab
+
+    got = top_vocab(docs_ds(sf_dir), "text", k=20).take_all()
+    want = duck.execute(
+        "SELECT word, count(*) n FROM (SELECT unnest(regexp_extract_all("
+        "text, '\\S+')) word FROM documents) GROUP BY word"
+        " ORDER BY n DESC, word LIMIT 20"
+    ).fetchall()
+    assert [(r["word"], r["n"]) for r in got] == [(w, n) for w, n in want]

@@ -198,3 +198,45 @@ def test_with_columns_default_fill_knob():
     # default (CLI-faithful) path still null-fills
     out2 = batch_transform(t, TransformSpec(with_columns=["s:str"]))
     assert out2.column("s").to_pylist() == [None, None]
+
+
+def test_group_aggregate_matches_duck(ray_session, sf_dir, duck):
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.aggregate import group_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet").repartition(6)
+    got = (
+        pa.Table.from_pylist(
+            group_aggregate(
+                ds,
+                "o_orderstatus",
+                {"o_totalprice": ["count", "sum", "min", "max", "mean"]},
+            ).take_all()
+        )
+        .sort_by("o_orderstatus")
+    )
+    want = duck.execute(
+        "SELECT o_orderstatus, count(o_totalprice) c, sum(o_totalprice) s,"
+        " min(o_totalprice) mn, max(o_totalprice) mx, avg(o_totalprice) av"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ).fetch_arrow_table()
+    assert got.column("count_o_totalprice").to_pylist() == want.column("c").to_pylist()
+    for a, b in zip(got.column("sum_o_totalprice").to_pylist(), want.column("s").to_pylist()):
+        assert abs(a - float(b)) < 1e-6 * max(abs(float(b)), 1)
+    assert got.column("min_o_totalprice").to_pylist() == [float(v) for v in want.column("mn").to_pylist()]
+    for a, b in zip(got.column("mean_o_totalprice").to_pylist(), want.column("av").to_pylist()):
+        assert abs(a - float(b)) < 1e-9 * max(abs(float(b)), 1)
+
+
+def test_group_aggregate_rejects_bad_func(ray_session):
+    import pyarrow as pa
+    import ray.data
+    import pytest as _pytest
+
+    from tbl_ray.stages.aggregate import group_aggregate
+
+    ds = ray.data.from_arrow(pa.table({"k": [1], "v": [2]}))
+    with _pytest.raises(ValueError):
+        group_aggregate(ds, "k", {"v": ["median"]})
