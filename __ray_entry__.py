@@ -349,6 +349,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top_vocab"] = top_vocab_docs
 
+    def sample_uniform_docs(sf_dir: str):
+        """Deterministic uniform sample: Knuth-hash keys, n smallest via
+        shuffle-free topk; key formula replicated exactly in the oracle."""
+        from tbl_ray.functions.sampling import sample_uniform
+
+        return sample_uniform(_docs(sf_dir), 100, id_col="doc_id", seed=7)
+
+    q["sample_uniform"] = sample_uniform_docs
+
+    def sample_stratified_docs(sf_dir: str):
+        """Deterministic per-lang sample (20 docs per language)."""
+        from tbl_ray.functions.sampling import sample_stratified
+
+        return sample_stratified(
+            _docs(sf_dir), "lang", 20, id_col="doc_id", seed=7
+        )
+
+    q["sample_stratified"] = sample_stratified_docs
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value
@@ -598,6 +617,20 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
             " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
             " count(*) AS n_events FROM d GROUP BY user_id"
+        ),
+        "sample_uniform": (
+            "SELECT * EXCLUDE (__sk__) FROM ("
+            "SELECT d.*, CAST(((doc_id + 7) * 2654435761) % 4294967296 AS BIGINT)"
+            " AS __sk__ FROM documents d)"
+            " ORDER BY __sk__, doc_id LIMIT 100"
+        ),
+        "sample_stratified": (
+            "SELECT * EXCLUDE (__sk__, __rn__) FROM ("
+            "SELECT d.*, CAST(((doc_id + 7) * 2654435761) % 4294967296 AS BIGINT)"
+            " AS __sk__,"
+            " row_number() OVER (PARTITION BY lang ORDER BY"
+            " ((doc_id + 7) * 2654435761) % 4294967296, doc_id) AS __rn__"
+            " FROM documents d) WHERE __rn__ <= 20"
         ),
         "top_vocab": (
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("

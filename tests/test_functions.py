@@ -632,3 +632,34 @@ def test_top_vocab_matches_duck(sf_dir, duck):
         " ORDER BY n DESC, word LIMIT 20"
     ).fetchall()
     assert [(r["word"], r["n"]) for r in got] == [(w, n) for w, n in want]
+
+
+def test_sample_uniform_deterministic_across_layouts(sf_dir):
+    from tbl_ray.functions.sampling import sample_uniform
+
+    a = sorted(
+        r["doc_id"]
+        for r in sample_uniform(docs_ds(sf_dir), 50, seed=3).take_all()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sample_uniform(
+            docs_ds(sf_dir).repartition(13), 50, seed=3
+        ).take_all()
+    )
+    assert a == b and len(a) == 50
+    c = sorted(
+        r["doc_id"]
+        for r in sample_uniform(docs_ds(sf_dir), 50, seed=4).take_all()
+    )
+    assert c != a  # different seed, different sample
+
+
+def test_sample_stratified_counts(sf_dir):
+    from collections import Counter
+
+    from tbl_ray.functions.sampling import sample_stratified
+
+    rows = sample_stratified(docs_ds(sf_dir), "lang", 10, seed=1).take_all()
+    by_lang = Counter(r["lang"] for r in rows)
+    assert all(v == 10 for v in by_lang.values())
