@@ -247,3 +247,39 @@ register(BitpackCodec())
 register(ForCodec())
 register(DeltaCodec())
 register(RleCodec())
+
+
+class BssCodec:
+    """Byte-stream split for floats: transpose the value bytes so all
+    0th bytes, then all 1st bytes, ... are contiguous. Size-neutral by
+    itself, but the container codec (zstd) then sees the highly
+    correlated sign/exponent bytes as one run — the standard lightweight
+    trick for double columns (same scheme Parquet calls
+    BYTE_STREAM_SPLIT)."""
+
+    name = "bss"
+
+    def supports(self, dtype: pa.DataType) -> bool:
+        return pa.types.is_floating(storage_type(dtype))
+
+    def encode(self, arr: pa.Array) -> tuple[dict, list[bytes]]:
+        values = primitive_to_numpy(arr)
+        np_le = np.dtype(_np_le_dtype(arr.type))
+        v = np.ascontiguousarray(values.astype(np_le, copy=False))
+        w = np_le.itemsize
+        if len(v) == 0:
+            return {"width": w}, [b""]
+        planes = v.view(np.uint8).reshape(-1, w).T  # (w, n)
+        return {"width": w}, [np.ascontiguousarray(planes).tobytes()]
+
+    def decode(self, params, buffers, n, dtype):
+        w = params["width"]
+        np_le = np.dtype(_np_le_dtype(dtype))
+        if n == 0:
+            return numpy_to_primitive(np.empty(0, np_le), dtype)
+        planes = np.frombuffer(buffers[0], dtype=np.uint8).reshape(w, n)
+        v = np.ascontiguousarray(planes.T).reshape(-1).view(np_le)
+        return numpy_to_primitive(v, dtype)
+
+
+register(BssCodec())

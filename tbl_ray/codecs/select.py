@@ -238,6 +238,28 @@ def choose_codec(
     return min(costs, key=costs.get)
 
 
+_BSS_MIN_CONTAINER_SAVINGS = 0.02  # bss is a cheap transpose; low bar
+
+
+def probe_bss_container_gain(arr: pa.Array) -> float:
+    """Relative container-bytes savings of byte-stream-split-then-zstd over
+    raw-then-zstd on a bounded sample of a float column."""
+    from tbl_ray.codecs.base import primitive_to_numpy
+
+    valid = arr.drop_null() if arr.null_count else arr
+    if len(valid) == 0:
+        return 0.0
+    values = primitive_to_numpy(valid)
+    cap = max(_PROBE_BYTES // max(values.dtype.itemsize, 1), 1)
+    v = np.ascontiguousarray(values[:cap])
+    raw_disk = _zstd_len(v.tobytes())
+    if raw_disk == 0:
+        return 0.0
+    planes = v.view(np.uint8).reshape(-1, v.dtype.itemsize).T
+    bss_disk = _zstd_len(np.ascontiguousarray(planes).tobytes())
+    return 1.0 - bss_disk / raw_disk
+
+
 def decide_codec(
     arr: pa.Array | pa.ChunkedArray,
     *,
@@ -261,6 +283,24 @@ def decide_codec(
             symbols = trained
         else:
             codec = "raw"
+    if (
+        effort in ("balanced", "ratio")
+        and pa.types.is_floating(storage_type(arr.type))
+        and len(arr) > arr.null_count
+    ):
+        if codec == "dict":
+            # the sampled-cardinality extrapolation under-estimates for
+            # continuous values; a near-all-unique sample means dict is a
+            # certain loss on floats (indices + full dictionary > raw)
+            sample = (arr.drop_null() if arr.null_count else arr).slice(0, _SAMPLE)
+            if len(pc.unique(sample)) >= 0.95 * len(sample):
+                codec = "raw"
+        # byte-stream split is size-neutral pre-container but groups the
+        # correlated exponent bytes for zstd; keep it when it buys disk
+        if codec == "raw" and (
+            probe_bss_container_gain(arr) >= _BSS_MIN_CONTAINER_SAVINGS
+        ):
+            codec = "bss"
     return codec, symbols
 
 

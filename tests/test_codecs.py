@@ -202,7 +202,7 @@ def test_column_stats_keys():
 
 
 def test_all_registered():
-    assert set(CODECS) == {"raw", "dict", "rle", "bitpack", "for", "delta", "fsst"}
+    assert set(CODECS) == {"raw", "dict", "rle", "bitpack", "for", "delta", "fsst", "bss"}
 
 
 def test_encode_auto_cached_bitpack_falls_back_on_negatives():
@@ -228,3 +228,28 @@ def test_encode_auto_cached_fallback_binary():
     chunk = encode_auto(arr, name="s", decision_cache=cache)
     back = decode_chunk(EncodedChunk.from_payload(chunk.to_payload()))
     assert back.equals(arr.cast(back.type)) or back.cast(arr.type).equals(arr)
+
+
+def test_bss_roundtrip_and_selection():
+    import numpy as np
+
+    from tbl_ray.codecs.select import decide_codec
+
+    rng2 = np.random.default_rng(3)
+    arr = pa.array(rng2.normal(1000.0, 25.0, 20000))
+    chunk = encode_array(arr, "bss", name="x")
+    back = decode_chunk(EncodedChunk.from_payload(chunk.to_payload()))
+    assert back.equals(arr)
+    # continuous doubles: near-all-unique sample must not pick dict;
+    # bss wins the container probe
+    assert decide_codec(arr)[0] == "bss"
+    # low-cardinality floats still dict
+    assert decide_codec(pa.array([1.5, 2.5] * 10000))[0] == "dict"
+    # specials round-trip
+    sp = pa.array([float("nan"), float("inf"), -0.0, None, 1e300])
+    b2 = decode_chunk(
+        EncodedChunk.from_payload(encode_array(sp, "bss", name="s").to_payload())
+    )
+    from tbl_ray.codecs.base import arrays_identical
+
+    assert arrays_identical(b2, sp)
