@@ -368,6 +368,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sample_stratified"] = sample_stratified_docs
 
+    def decontaminate_docs(sf_dir: str):
+        """Benchmark decontamination: docs 0-9 act as the eval set; any
+        training doc sharing an 8-word shingle with them is dropped
+        (includes the eval docs themselves). Rows-only check (rolling
+        word-n-gram hashing is not SQL-expressible)."""
+        from tbl_ray.functions.dedup import decontaminate
+
+        def head_docs(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.less(t.column("doc_id"), 10))
+
+        docs = _docs(sf_dir)
+        eval_ds = _docs(sf_dir).map_batches(
+            head_docs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return decontaminate(docs, eval_ds, n=8, threshold=1)
+
+    q["decontaminate"] = decontaminate_docs
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value

@@ -636,3 +636,116 @@ def exact_dedup_bucketed(
     return both.groupby("__bucket__").map_groups(
         filter_bucket, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination (word n-gram overlap vs a small eval set)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_hashes(
+    col: pa.Array, n: int, seed: int = 17
+) -> tuple[np.ndarray, np.ndarray]:
+    """All word-level n-gram hashes of a batch + the per-row window
+    offsets (length n_rows+1) — fully vectorized.
+
+    Each window hash combines the n word hashes with per-offset odd
+    multipliers, so it is order-sensitive and content-pure (identical
+    across batch layouts)."""
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    words = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    n_rows = len(col)
+    if len(flat) == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_rows + 1, np.int64)
+    mask_nonempty = pc.not_equal(flat, "")
+    # empty tokens (split artifacts) removed; recompute per-row counts
+    keep = np.asarray(mask_nonempty)
+    word_row = np.repeat(np.arange(n_rows), counts)[keep]
+    counts = np.bincount(word_row, minlength=n_rows)
+    flat = flat.filter(mask_nonempty)
+    denc = flat.dictionary_encode()
+    uniq = denc.dictionary
+    uoff, udata = binary_parts(uniq)
+    upos = np.arange(len(udata), dtype=np.uint64)
+    ustart = np.repeat(uoff[:-1].astype(np.uint64), np.diff(uoff))
+    with np.errstate(over="ignore"):
+        uh = _mix(
+            udata.astype(np.uint64)
+            + np.uint64(1)
+            + (upos - ustart) * np.uint64(0x9E3779B97F4A7C15)
+        )
+    uhash = segment_reduceat(np.bitwise_xor, uh, uoff, np.uint64(0))
+    uhash = _mix(uhash + np.uint64(seed))
+    wh = uhash[np.asarray(denc.indices)]
+
+    word_offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    n_words = len(wh)
+    # window start positions: every word position; windows whose n words
+    # cross a row boundary are invalid
+    if n_words < n:
+        return np.zeros(0, np.uint64), np.zeros(n_rows + 1, np.int64)
+    mult = (np.arange(n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) * np.uint64(
+        0xC2B2AE3D27D4EB4F
+    )
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n_words - n + 1, dtype=np.uint64)
+        for j in range(n):
+            acc ^= _mix(wh[j : n_words - n + 1 + j] * mult[j])
+    row_start = np.repeat(word_offsets[:-1], counts)
+    row_len = np.repeat(counts, counts)
+    pos = np.arange(n_words, dtype=np.int64)
+    valid = ((pos - row_start) <= (row_len - n))[: len(acc)]
+    # per-row WINDOW offsets: row i owns windows starting at its word
+    # positions [off_i, off_i + max(len_i - n + 1, 0))
+    wins_per_row = np.maximum(counts - n + 1, 0)
+    win_offsets = np.concatenate(([0], np.cumsum(wins_per_row))).astype(np.int64)
+    return acc[valid], win_offsets
+
+
+def decontaminate(
+    train_ds: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    n: int = 8,
+    threshold: int = 1,
+) -> "ray.data.Dataset":
+    """Drop training docs sharing >= ``threshold`` word ``n``-grams with the
+    eval set (the standard benchmark-contamination filter).
+
+    Scale shape: the eval side is small by definition — its shingle
+    hashes collect driver-side into one sorted unique array, broadcast
+    via ``ray.put``; each train batch counts overlaps with a vectorized
+    ``searchsorted`` + per-row ``add.reduceat``. The train table streams
+    once; nothing shuffles."""
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        h, _ = _word_ngram_hashes(t.column(text_col).combine_chunks(), n)
+        return pa.table({"h": np.unique(h)})
+
+    parts = eval_ds.map_batches(
+        eval_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    banned = np.unique(np.fromiter((r["h"] for r in parts), dtype=np.uint64))
+    if banned.size == 0:
+        return train_ds
+    banned_ref = ray.put(banned)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bad = ray.get(banned_ref)
+        col = t.column(text_col).combine_chunks()
+        h, win_offsets = _word_ngram_hashes(col, n)
+        if len(h) == 0:
+            return t
+        idx = np.searchsorted(bad, h)
+        idx_c = np.minimum(idx, len(bad) - 1)
+        hit = ((idx < len(bad)) & (bad[idx_c] == h)).astype(np.int64)
+        per_row = segment_reduceat(np.add, hit, win_offsets, np.int64(0))
+        return t.filter(pa.array(per_row < threshold))
+
+    return train_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

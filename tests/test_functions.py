@@ -663,3 +663,50 @@ def test_sample_stratified_counts(sf_dir):
     rows = sample_stratified(docs_ds(sf_dir), "lang", 10, seed=1).take_all()
     by_lang = Counter(r["lang"] for r in rows)
     assert all(v == 10 for v in by_lang.values())
+
+
+def test_word_ngram_hashes_batch_independent():
+    from tbl_ray.functions.dedup import _word_ngram_hashes
+
+    rows = [
+        "one two three four five six seven eight nine ten",
+        "",
+        "alpha beta gamma",  # < n words -> zero windows
+        "one two three four five six seven eight different tail",
+    ]
+    whole, off = _word_ngram_hashes(pa.array(rows), 8)
+    # per-row window counts: 3, 0, 0, 3
+    assert np.diff(off).tolist() == [3, 0, 0, 3]
+    for i, r in enumerate(rows):
+        alone, aoff = _word_ngram_hashes(pa.array([r]), 8)
+        assert np.array_equal(whole[off[i] : off[i + 1]], alone)
+    # rows 0 and 3 share their first 8-gram
+    assert whole[0] == whole[off[3]]
+    assert whole[2] != whole[off[3] + 2]
+
+
+def test_decontaminate_drops_overlapping_docs():
+    from tbl_ray.functions.dedup import decontaminate
+
+    evals = pa.table(
+        {"text": ["the capital of france is paris as everyone knows well"]}
+    )
+    train = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                # contains the eval 8-gram verbatim inside a longer doc
+                "trivia: the capital of france is paris as everyone knows well indeed",
+                "a completely unrelated training document about compression engines",
+                "short doc",
+            ],
+        }
+    )
+    out = decontaminate(
+        ray.data.from_arrow(train),
+        ray.data.from_arrow(evals),
+        n=8,
+        threshold=1,
+    )
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [1, 2]
