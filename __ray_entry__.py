@@ -388,6 +388,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decontaminate"] = decontaminate_docs
 
+    def join_broadcast(sf_dir: str):
+        """Dimension enrichment: stream orders, broadcast the customer
+        dim table once (ray.put), Arrow hash join per batch — no shuffle."""
+        import pyarrow.parquet as pq
+
+        from tbl_ray.functions.joins import broadcast_join
+
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        ).rename_columns(["o_custkey", "c_name"])
+        out = broadcast_join(_orders(sf_dir), cust, "o_custkey")
+        return out.select_columns(["o_orderkey", "o_custkey", "c_name"])
+
+    q["join_broadcast"] = join_broadcast
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value
@@ -637,6 +653,10 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
             " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
             " count(*) AS n_events FROM d GROUP BY user_id"
+        ),
+        "join_broadcast": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         "sample_uniform": (
             "SELECT * EXCLUDE (__sk__) FROM ("

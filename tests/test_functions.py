@@ -710,3 +710,50 @@ def test_decontaminate_drops_overlapping_docs():
     )
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [1, 2]
+
+
+def test_broadcast_join_matches_duck(sf_dir, duck):
+    import pyarrow.parquet as pq2
+
+    from tbl_ray.functions.joins import broadcast_join, broadcast_semi_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet").repartition(4)
+    cust = pq2.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).rename_columns(["o_custkey", "c_name", "c_nationkey"])
+    got = pa.Table.from_pylist(
+        broadcast_join(orders, cust, "o_custkey").take_all()
+    )
+    want = duck.execute(
+        "SELECT o.*, c.c_name, c.c_nationkey FROM orders o"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).fetch_arrow_table()
+    assert got.num_rows == want.num_rows
+    a = got.select(["o_orderkey", "c_name"]).sort_by("o_orderkey")
+    b = want.select(["o_orderkey", "c_name"]).sort_by("o_orderkey")
+    assert a.equals(b)
+
+    # semi / anti partition the big side exactly
+    some = cust.slice(0, 50)
+    semi = broadcast_semi_join(orders, some, "o_custkey").count()
+    anti = broadcast_semi_join(orders, some, "o_custkey", anti=True).count()
+    assert semi + anti == orders.count()
+    n_semi = duck.execute(
+        "SELECT count(*) FROM orders WHERE o_custkey IN ("
+        "SELECT c_custkey FROM customer LIMIT 50)"
+    ).fetchone()[0]
+    # LIMIT without ORDER BY is nondeterministic in principle; parquet scan
+    # order makes it the first 50 rows, same slice as above
+    assert semi == n_semi
+
+
+def test_broadcast_join_left_outer(ray_session):
+    from tbl_ray.functions.joins import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    small = pa.table({"k": [2, 3, 4], "w": [20, 30, 40]})
+    rows = sorted(
+        broadcast_join(big, small, "k", join_type="left outer").take_all(),
+        key=lambda r: r["k"],
+    )
+    assert [r["w"] for r in rows] == [None, 20, 30]
