@@ -404,6 +404,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["join_broadcast"] = join_broadcast
 
+    def approx_quantiles_price(sf_dir: str):
+        """DDSketch-style mergeable quantiles (relative error 1%): the
+        shuffle moves (log-bucket, count) partials only. Rows-only check
+        (approximate by construction)."""
+        from tbl_ray.functions.sketches import approx_quantiles
+
+        return approx_quantiles(
+            _lineitem(sf_dir), "l_extendedprice", [0.5, 0.9, 0.99]
+        )
+
+    q["approx_quantiles"] = approx_quantiles_price
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value

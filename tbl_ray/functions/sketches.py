@@ -168,3 +168,97 @@ def approx_distinct_by(
         sketch_per_key, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby(key).map_groups(merge_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles — DDSketch-style log-bucket histogram (mergeable)
+# ---------------------------------------------------------------------------
+#
+# Public algorithm (Masson et al., "DDSketch", VLDB'19): bucket i holds
+# values with ceil(log_gamma(x)) == i, gamma = (1+alpha)/(1-alpha), giving
+# a relative-error guarantee alpha on every quantile. Buckets are counts —
+# trivially mergeable, so the shuffle moves (bucket, count) partials only.
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def _dd_buckets(values: np.ndarray, alpha: float) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket_indices, counts) for one batch; index 0 reserved for zeros,
+    positive values map to +i, negatives to -i (i >= 1)."""
+    g = np.log(_dd_gamma(alpha))
+    out_idx: list[np.ndarray] = []
+    nz = values != 0
+    pos = values > 0
+    neg = values < 0
+    if pos.any():
+        i = np.ceil(np.log(values[pos]) / g).astype(np.int64)
+        out_idx.append(np.maximum(i, 1))
+    if neg.any():
+        i = np.ceil(np.log(-values[neg]) / g).astype(np.int64)
+        out_idx.append(-np.maximum(i, 1))
+    if (~nz).any():
+        out_idx.append(np.zeros(int((~nz).sum()), np.int64))
+    allb = np.concatenate(out_idx) if out_idx else np.zeros(0, np.int64)
+    uniq, counts = np.unique(allb, return_counts=True)
+    return uniq, counts
+
+
+def _dd_value(bucket: int, alpha: float) -> float:
+    if bucket == 0:
+        return 0.0
+    g = _dd_gamma(alpha)
+    mag = 2.0 * (g ** abs(bucket)) / (g + 1.0)  # bucket midpoint
+    return mag if bucket > 0 else -mag
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    column: str,
+    qs: list[float] | None = None,
+    *,
+    alpha: float = 0.01,
+) -> pa.Table:
+    """Approximate quantiles with relative error ``alpha``.
+
+    Per-batch bucket partials (vectorized log + bincount), keyed sum of
+    (bucket, count) rows — the exchange is O(log range / alpha) rows per
+    block — and a driver-side walk over the tiny merged histogram."""
+    from ray.data.aggregate import Sum
+
+    qs = qs or [0.5, 0.9, 0.99]
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = col.drop_null()
+        v = primitive_to_numpy(col).astype(np.float64)
+        b, c = _dd_buckets(v, alpha)
+        return pa.table({"bucket": b, "__c__": c})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("__c__", alias_name="c"))
+        .take_all()
+    )
+    hist = sorted((r["bucket"], r["c"]) for r in merged)
+    total = sum(c for _, c in hist)
+    out_q, out_v = [], []
+    for q in qs:
+        target = q * max(total - 1, 0)
+        acc = 0
+        est = 0.0
+        for b, c in hist:
+            acc += c
+            if acc > target:
+                est = _dd_value(b, alpha)
+                break
+        out_q.append(q)
+        out_v.append(est)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )

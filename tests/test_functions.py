@@ -757,3 +757,35 @@ def test_broadcast_join_left_outer(ray_session):
         key=lambda r: r["k"],
     )
     assert [r["w"] for r in rows] == [None, 20, 30]
+
+
+def test_approx_quantiles_relative_error(sf_dir):
+    import numpy as np
+
+    from tbl_ray.functions.sketches import approx_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").repartition(6)
+    got = {
+        r["q"]: r["value"]
+        for r in approx_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99]).to_pylist()
+    }
+    import pyarrow.parquet as pq2
+
+    exact = np.asarray(
+        pq2.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+        .column("l_extendedprice")
+    )
+    for q in (0.5, 0.9, 0.99):
+        want = np.quantile(exact, q)
+        assert abs(got[q] - want) / want < 0.03, (q, got[q], want)
+
+
+def test_approx_quantiles_signs_and_zero(ray_session):
+    import numpy as np
+
+    from tbl_ray.functions.sketches import approx_quantiles
+
+    vals = np.concatenate([-np.ones(100) * 50, np.zeros(100), np.ones(100) * 50])
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(3)
+    got = {r["q"]: r["value"] for r in approx_quantiles(ds, "v", [0.1, 0.5, 0.9]).to_pylist()}
+    assert got[0.1] < -45 and abs(got[0.5]) < 1e-9 and got[0.9] > 45
