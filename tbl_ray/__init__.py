@@ -32,6 +32,7 @@ except Exception:  # noqa: BLE001 - best-effort; workers sharing cwd still work
 
 from tbl_ray.dtypes import parse_dtype, parse_literal
 from tbl_ray.filters import parse_filter
+from tbl_ray.pipeline import Pipeline, register_op
 from tbl_ray.transforms import TransformSpec, apply_transforms
 
 __version__ = "0.1.0"
@@ -40,6 +41,8 @@ __all__ = [
     "parse_dtype",
     "parse_literal",
     "parse_filter",
+    "Pipeline",
+    "register_op",
     "TransformSpec",
     "apply_transforms",
 ]

@@ -1,0 +1,146 @@
+"""Composable pipeline API — the user-extension surface (SURVEY.md §2.10).
+
+The reference's extension story is its Rust library API plus an
+interactive polars escape hatch; the idiomatic Python equivalent here is a
+named-op registry and a fluent ``Pipeline``:
+
+- a **batch op** is ``Callable[[pa.Table, **kwargs], pa.Table]`` registered
+  with :func:`register_op` — users add their own next to the built-ins;
+- a **dataset op** is ``Callable[[ray.data.Dataset, **kwargs], Dataset]``
+  (anything that must see the whole stream: dedup, sampling, topk);
+- ``Pipeline`` chains steps by name. Consecutive BATCH ops fuse into ONE
+  ``map_batches`` call (one pass over each block, zero-copy Arrow) —
+  the same fusion the CLI transform chain gets — while dataset ops keep
+  their own (possibly shuffling) stages.
+
+    Pipeline().step("filter", exprs=["lang=en"]).step("token_count")\
+              .step("sample_uniform", n=1000)(ds)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+import ray.data
+
+BATCH_OPS: dict[str, Callable] = {}
+DATASET_OPS: dict[str, Callable] = {}
+
+
+def register_op(name: str, *, kind: str = "batch"):
+    """Decorator: register a batch (`pa.Table -> pa.Table`) or dataset
+    (`Dataset -> Dataset`) op under ``name``."""
+    if kind not in ("batch", "dataset"):
+        raise ValueError("kind must be 'batch' or 'dataset'")
+
+    def deco(fn: Callable) -> Callable:
+        (BATCH_OPS if kind == "batch" else DATASET_OPS)[name] = fn
+        return fn
+
+    return deco
+
+
+class _FusedBatchRun:
+    """Picklable composition of consecutive batch steps (one map_batches)."""
+
+    def __init__(self, steps: list[tuple[str, dict]]):
+        self.steps = steps
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for name, kwargs in self.steps:
+            t = BATCH_OPS[name](t, **kwargs)
+        return t
+
+
+class Pipeline:
+    """Fluent chain of registered ops; apply with ``pipeline(ds)``."""
+
+    def __init__(self, steps: list[tuple[str, dict]] | None = None):
+        self._steps: list[tuple[str, dict]] = list(steps or [])
+        for name, _ in self._steps:
+            self._check(name)
+
+    @staticmethod
+    def _check(name: str) -> None:
+        if name not in BATCH_OPS and name not in DATASET_OPS:
+            known = sorted([*BATCH_OPS, *DATASET_OPS])
+            raise KeyError(f"unknown op {name!r}; registered: {known}")
+
+    def step(self, name: str, **kwargs) -> "Pipeline":
+        self._check(name)
+        return Pipeline([*self._steps, (name, kwargs)])
+
+    def __call__(self, ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        run: list[tuple[str, dict]] = []
+
+        def flush(d):
+            nonlocal run
+            if run:
+                d = d.map_batches(
+                    _FusedBatchRun(run),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                run = []
+            return d
+
+        for name, kwargs in self._steps:
+            if name in BATCH_OPS:
+                run.append((name, kwargs))
+            else:
+                ds = flush(ds)
+                ds = DATASET_OPS[name](ds, **kwargs)
+        return flush(ds)
+
+
+# ---------------------------------------------------------------------------
+# built-in ops
+# ---------------------------------------------------------------------------
+
+
+def _register_builtins() -> None:
+    import pyarrow.compute as pc
+
+    from tbl_ray.filters import combined_mask, parse_filter
+    from tbl_ray.functions.dedup import exact_dedup, minhash_dedup
+    from tbl_ray.functions.sampling import sample_stratified, sample_uniform
+    from tbl_ray.functions.text import (
+        fingerprint_batch,
+        langid_batch,
+        text_stats_batch,
+        token_count_batch,
+    )
+    from tbl_ray.stages.slicing import topk as _topk
+    from tbl_ray.transforms import TransformSpec, batch_transform
+
+    @register_op("transform")
+    def transform(t: pa.Table, **spec_kwargs) -> pa.Table:
+        return batch_transform(t, TransformSpec(**spec_kwargs))
+
+    @register_op("select")
+    def select(t: pa.Table, columns: list[str]) -> pa.Table:
+        return t.select(columns)
+
+    @register_op("filter")
+    def filter_(t: pa.Table, exprs: list[str]) -> pa.Table:
+        mask = combined_mask([parse_filter(e) for e in exprs], t)
+        return t if mask is None else t.filter(mask)
+
+    register_op("token_count")(token_count_batch)
+    register_op("text_stats")(text_stats_batch)
+    register_op("langid")(langid_batch)
+    register_op("fingerprint")(fingerprint_batch)
+
+    register_op("dedup_exact", kind="dataset")(exact_dedup)
+    register_op("dedup_minhash", kind="dataset")(minhash_dedup)
+    register_op("sample_uniform", kind="dataset")(sample_uniform)
+    register_op("sample_stratified", kind="dataset")(sample_stratified)
+    register_op("topk", kind="dataset")(_topk)
+
+    @register_op("limit", kind="dataset")
+    def limit(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
+        return ds.limit(n)
+
+
+_register_builtins()

@@ -1,0 +1,66 @@
+"""Pipeline API tests (SURVEY §2.10 extension surface)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tbl_ray.pipeline import BATCH_OPS, Pipeline, register_op
+
+
+def test_pipeline_fuses_and_matches_manual(ray_session, sf_dir, duck):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = (
+        Pipeline()
+        .step("filter", exprs=["lang=en"])
+        .step("token_count")
+        .step("select", columns=["doc_id", "n_tokens"])
+        (ds)
+    )
+    got = pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    want = duck.execute(
+        "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) n FROM documents"
+        " WHERE lang = 'en' ORDER BY doc_id"
+    ).fetch_arrow_table()
+    assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+    assert got.column("n_tokens").to_pylist() == want.column("n").to_pylist()
+
+
+def test_pipeline_mixed_batch_dataset_ops(ray_session, sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = (
+        Pipeline()
+        .step("token_count")
+        .step("sample_uniform", n=25, id_col="doc_id", seed=3)
+        .step("select", columns=["doc_id", "n_tokens"])
+        (ds)
+    )
+    rows = out.take_all()
+    assert len(rows) == 25 and all("n_tokens" in r for r in rows)
+
+
+def test_pipeline_user_registered_op(ray_session):
+    @register_op("double_v")
+    def double_v(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("v"), "v", pc.multiply(t.column("v"), 2)
+        )
+
+    try:
+        ds = ray.data.from_arrow(pa.table({"v": [1, 2, 3]}))
+        out = Pipeline().step("double_v").step("double_v")(ds)
+        assert sorted(r["v"] for r in out.take_all()) == [4, 8, 12]
+    finally:
+        BATCH_OPS.pop("double_v", None)
+
+
+def test_pipeline_unknown_op_raises():
+    with pytest.raises(KeyError):
+        Pipeline().step("no_such_op")
+
+
+def test_pipeline_is_immutable():
+    p = Pipeline()
+    p2 = p.step("token_count")
+    assert p._steps == [] and len(p2._steps) == 1
