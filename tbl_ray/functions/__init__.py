@@ -1,4 +1,69 @@
 """Training-data pipeline functions beyond the reference's surface:
 text analysis, deduplication (exact / MinHash-LSH / SimHash / n-gram
-Jaccard / embedding-cosine), and similarity search. All are Ray-Data-first
+Jaccard / embedding-cosine / decontamination), similarity search (brute,
+IVF scan, persisted IVF index), deterministic sampling, broadcast joins,
+and mergeable sketches (HLL, DDSketch quantiles). All are Ray-Data-first
 batch operators over zero-copy Arrow."""
+
+from tbl_ray.functions.dedup import (
+    decontaminate,
+    exact_dedup,
+    exact_dedup_bucketed,
+    exact_dedup_shuffle,
+    minhash_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_dup_pairs,
+)
+from tbl_ray.functions.joins import broadcast_join, broadcast_semi_join
+from tbl_ray.functions.sampling import sample_stratified, sample_uniform
+from tbl_ray.functions.similarity import (
+    build_ivf_index,
+    knn_brute,
+    knn_ivf,
+    knn_ivf_index,
+)
+from tbl_ray.functions.sketches import (
+    approx_distinct,
+    approx_distinct_by,
+    approx_quantiles,
+)
+from tbl_ray.functions.text import (
+    fingerprint,
+    langid,
+    text_stats,
+    token_count,
+    top_vocab,
+)
+from tbl_ray.functions.windows import session_counts, tumbling_window
+
+__all__ = [
+    "approx_distinct",
+    "approx_distinct_by",
+    "approx_quantiles",
+    "broadcast_join",
+    "broadcast_semi_join",
+    "build_ivf_index",
+    "decontaminate",
+    "exact_dedup",
+    "exact_dedup_bucketed",
+    "exact_dedup_shuffle",
+    "fingerprint",
+    "knn_brute",
+    "knn_ivf",
+    "knn_ivf_index",
+    "langid",
+    "minhash_dedup",
+    "minhash_dup_pairs",
+    "ngram_jaccard",
+    "sample_stratified",
+    "sample_uniform",
+    "session_counts",
+    "simhash",
+    "simhash_dup_pairs",
+    "text_stats",
+    "token_count",
+    "top_vocab",
+    "tumbling_window",
+]
