@@ -416,6 +416,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["approx_quantiles"] = approx_quantiles_price
 
+    def pipeline_e2e(sf_dir: str):
+        """Composite webtext pipeline through the Pipeline API: language
+        filter -> token count (fused into one map_batches) -> exact dedup
+        (fingerprint plan) -> projection. Oracle: the equivalent SQL."""
+        from tbl_ray.pipeline import Pipeline
+
+        return (
+            Pipeline()
+            .step("filter", exprs=["lang=en"])
+            .step("token_count")
+            .step("dedup_exact", column="text", id_col="doc_id")
+            .step("select", columns=["doc_id", "n_tokens"])
+        )(_docs(sf_dir))
+
+    q["pipeline_e2e"] = pipeline_e2e
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value
@@ -665,6 +681,13 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
             " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
             " count(*) AS n_events FROM d GROUP BY user_id"
+        ),
+        "pipeline_e2e": (
+            "WITH en AS (SELECT * FROM documents WHERE lang = 'en'),"
+            " keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY text)"
+            " SELECT e.doc_id,"
+            " len(regexp_extract_all(e.text, '\\S+')) AS n_tokens"
+            " FROM en e JOIN keep k ON e.doc_id = k.doc_id"
         ),
         "join_broadcast": (
             "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o"
