@@ -169,15 +169,27 @@ def partition_by_key(
         path = ray.get(paths_ref)[shard]
         os.makedirs(os.path.dirname(path), exist_ok=True)
         body = t.drop_columns(["__shard__"])
-        pq.write_table(body, path + "_tmp", compression=compression)
-        os.replace(path + "_tmp", path)
-        return pa.table(
-            {
-                "path": [path],
-                "rows": [body.num_rows],
-                "bytes": [os.path.getsize(path)],
-            }
-        )
+        # the per-batch round-robin salt balances shards only to within
+        # one row per input block, so a shard can exceed the budget by up
+        # to the block count; enforce the budget exactly by splitting the
+        # overflow into `<path minus .parquet>.N.parquet` siblings
+        if max_rows_per_file and body.num_rows > max_rows_per_file:
+            pieces = [
+                body.slice(i, max_rows_per_file)
+                for i in range(0, body.num_rows, max_rows_per_file)
+            ]
+        else:
+            pieces = [body]
+        out_rows = []
+        stem = path[: -len(".parquet")]
+        for i, piece in enumerate(pieces):
+            p = path if i == 0 else f"{stem}.{i}.parquet"
+            pq.write_table(piece, p + "_tmp", compression=compression)
+            os.replace(p + "_tmp", p)
+            out_rows.append(
+                {"path": p, "rows": piece.num_rows, "bytes": os.path.getsize(p)}
+            )
+        return pa.Table.from_pylist(out_rows)
 
     tagged = ds.map_batches(Tag, batch_format="pyarrow", concurrency=_default_pool())
     manifest = tagged.groupby("__shard__").map_groups(

@@ -127,3 +127,31 @@ def test_partition_by_key_guards_high_cardinality(web_ds_path, tmp_path):
     ds = ray.data.read_parquet(web_ds_path)
     with pytest.raises(PartitionError, match="partition_by_hash"):
         partition_by_key(ds, "url", str(tmp_path / "x"), max_keys=1000)
+
+
+def test_salted_partition_budget_holds_across_many_blocks(tmp_path, ray_session):
+    # regression: per-batch round-robin salt leaves shard 0 with each
+    # block's remainder; with many blocks the overflow exceeded the budget
+    # and failed the job. The writer now splits overflow into budget-sized
+    # sibling files.
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.partition import partition_by_key
+
+    t = pa.table(
+        {"k": ["hot"] * 151 + ["cold"] * 7, "v": list(range(158))}
+    )
+    ds = ray.data.from_arrow(t).repartition(16)  # many odd-sized blocks
+    rows = partition_by_key(
+        ds, "k", str(tmp_path / "out"), max_rows_per_file=50
+    )
+    assert all(r["rows"] <= 50 for r in rows)
+    assert sum(r["rows"] for r in rows) == 158
+    # every written file is readable and rows survive exactly once
+    import pyarrow.parquet as pq2
+
+    vals = sorted(
+        v for r in rows for v in pq2.read_table(r["path"]).column("v").to_pylist()
+    )
+    assert vals == list(range(158))
