@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 from tbl_ray.codecs.base import (
     CODECS,
     EncodedChunk,
+    binary_parts,
     encode_array,
     is_binary_like,
     is_fixed_primitive,
@@ -29,6 +30,12 @@ from tbl_ray.codecs.base import (
     storage_type,
 )
 from tbl_ray.codecs.bitutil import bits_needed
+
+# NOTE: every import this module's functions need at WORKER time must be at
+# module top: the probe/selection paths execute inside Ray map workers, and
+# a runtime `from tbl_ray...` import there fails when the driver runs from
+# a foreign cwd (the package ships by cloudpickle value, not sys.path).
+from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, _encode_stream, train_symbols
 from tbl_ray.codecs.numeric import _as_u64
 
 _SAMPLE = 8192  # rows sampled for cardinality / entropy estimates
@@ -83,9 +90,6 @@ def probe_fsst_container_gain(
     negative means FSST makes the container *larger* (short high-entropy
     values such as urls/hashes).
     """
-    from tbl_ray.codecs.base import binary_parts
-    from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, _encode_stream, train_symbols
-
     _, data = binary_parts(arr.drop_null() if arr.null_count else arr)
     sample = np.ascontiguousarray(data[:_PROBE_BYTES])
     symbols = train_symbols(sample[:_TRAIN_SAMPLE].tobytes())
@@ -244,8 +248,6 @@ _BSS_MIN_CONTAINER_SAVINGS = 0.02  # bss is a cheap transpose; low bar
 def probe_bss_container_gain(arr: pa.Array) -> float:
     """Relative container-bytes savings of byte-stream-split-then-zstd over
     raw-then-zstd on a bounded sample of a float column."""
-    from tbl_ray.codecs.base import primitive_to_numpy
-
     valid = arr.drop_null() if arr.null_count else arr
     if len(valid) == 0:
         return 0.0

@@ -68,3 +68,45 @@ def test_entry_smoke():
     df = _to_pandas(res)
     assert len(df) >= 1
     assert "codec" in df.columns
+
+
+def test_worker_side_codec_probes_from_foreign_cwd(tmp_path):
+    # regression (round 2): probe_fsst/bss_container_gain had runtime
+    # `from tbl_ray...` imports; they execute inside Ray map workers and
+    # crashed with ModuleNotFoundError when the driver ran from a cwd
+    # without the repo on sys.path. Run a worker-probing encode from /tmp.
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import ray, sys
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, {repo!r})
+import numpy as np, pyarrow as pa, ray.data
+from tbl_ray.stages.encode import encode_dataset, decode_dataset
+rng = np.random.default_rng(0)
+words = ["the quick brown fox", "compression engines", "ray data streams"]
+t = pa.table({{
+    "text": pa.array([" ".join(words[i % 3] for _ in range(40)) for i in range(2000)]),
+    "score": pa.array(rng.normal(100.0, 3.0, 2000)),
+}})
+# no pre-planned decisions -> every actor probes (fsst for text, bss for
+# the float column) INSIDE the worker
+enc = encode_dataset(ray.data.from_arrow(t).repartition(4), batch_size=500, concurrency=2)
+back = decode_dataset(enc)
+assert back.count() == 2000
+print("FOREIGN_CWD_PROBE_OK")
+ray.shutdown()
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", script],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "FOREIGN_CWD_PROBE_OK" in r.stdout
