@@ -253,3 +253,27 @@ def test_bss_roundtrip_and_selection():
     from tbl_ray.codecs.base import arrays_identical
 
     assert arrays_identical(b2, sp)
+
+
+def test_no_function_scoped_tbl_ray_imports_in_codecs():
+    # codecs code executes inside Ray map workers; a runtime
+    # `from tbl_ray...` import there raises ModuleNotFoundError when the
+    # driver runs from a foreign cwd (the package ships by cloudpickle
+    # value, not sys.path). Keep every such import at module top.
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "tbl_ray" / "codecs"
+    offenders = []
+    for p in pkg.rglob("*.py"):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for sub in ast.walk(node):
+                    if (
+                        isinstance(sub, ast.ImportFrom)
+                        and sub.module
+                        and sub.module.startswith("tbl_ray")
+                    ):
+                        offenders.append(f"{p.name}:{sub.lineno} ({node.name})")
+    assert not offenders, offenders
