@@ -432,6 +432,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pipeline_e2e"] = pipeline_e2e
 
+    def join_asof(sf_dir: str):
+        """As-of enrichment: each event picks the latest config version
+        (per event_type) whose effective date <= its timestamp. Right side
+        is a fixed literal table, identical in the SQL oracle."""
+        from tbl_ray.functions.joins import broadcast_asof_join
+        from tbl_ray.sources import read_table
+
+        versions = pa.table(
+            {
+                "event_type": ["click", "click", "view", "purchase"],
+                "ts": pa.array(
+                    [
+                        np.datetime64("2024-01-01T00:00:00", "us"),
+                        np.datetime64("2024-01-15T00:00:00", "us"),
+                        np.datetime64("2024-01-05T00:00:00", "us"),
+                        np.datetime64("2024-02-01T00:00:00", "us"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "config_ver": pa.array([1, 2, 10, 20], pa.int64()),
+            }
+        )
+        ds = read_table(os.path.join(sf_dir, "events.parquet"))
+        out = broadcast_asof_join(ds, versions, on="ts", by="event_type")
+        return out.select_columns(["event_id", "event_type", "config_ver"])
+
+    q["join_asof"] = join_asof
+
+    def grouped_topn_docs(sf_dir: str):
+        """Top-5 newest docs per language: keyed shuffle, per-group
+        select_k (row_number() <= n in SQL)."""
+        from tbl_ray.stages.slicing import grouped_topn
+
+        out = grouped_topn(
+            _docs(sf_dir), "lang", ["doc_id"], 5, descending=[True]
+        )
+        return out.select_columns(["lang", "doc_id"])
+
+    q["grouped_topn"] = grouped_topn_docs
+
+    def normalize(sf_dir: str):
+        """Canonical text form (lower, collapse whitespace, trim) via
+        Arrow kernels — the standard dedup pre-processing step."""
+        from tbl_ray.functions.text import normalize_text
+
+        return normalize_text(_docs(sf_dir)).select_columns(["doc_id", "text"])
+
+    q["normalize_text"] = normalize
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value
@@ -681,6 +730,25 @@ def oracle_sql() -> dict[str, str]:
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts))"
             " SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,"
             " count(*) AS n_events FROM d GROUP BY user_id"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ',"
+            " 'g'))) AS text FROM documents"
+        ),
+        "grouped_topn": (
+            "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number()"
+            " OVER (PARTITION BY lang ORDER BY doc_id DESC) rn"
+            " FROM documents) WHERE rn <= 5"
+        ),
+        "join_asof": (
+            "WITH versions(event_type, vts, config_ver) AS (VALUES"
+            " ('click', TIMESTAMP '2024-01-01', CAST(1 AS BIGINT)),"
+            " ('click', TIMESTAMP '2024-01-15', 2),"
+            " ('view', TIMESTAMP '2024-01-05', 10),"
+            " ('purchase', TIMESTAMP '2024-02-01', 20))"
+            " SELECT e.event_id, e.event_type, v.config_ver FROM events e"
+            " ASOF LEFT JOIN versions v"
+            " ON e.event_type = v.event_type AND e.ts >= v.vts"
         ),
         "pipeline_e2e": (
             "WITH en AS (SELECT * FROM documents WHERE lang = 'en'),"

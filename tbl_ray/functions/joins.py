@@ -67,3 +67,80 @@ def broadcast_semi_join(
         return t.join(s, keys=keys, join_type=jt)
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_asof_join(
+    ds: "ray.data.Dataset",
+    small: pa.Table,
+    *,
+    on: str,
+    by: str | None = None,
+    value_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """As-of join against a small right side: each left row picks the right
+    row with the LATEST ``on`` value <= its own, within its ``by`` group
+    (DuckDB ``ASOF LEFT JOIN`` semantics; unmatched rows get nulls).
+
+    The standard event-enrichment join (trade->quote, request->config
+    version). Right side is bounded: sorted once driver-side, broadcast,
+    probed per batch with a vectorized ``searchsorted`` (left keys
+    dictionary-encoded — per-row Python only over batch-unique keys) —
+    the big side streams, nothing shuffles."""
+    import numpy as np
+
+    by_keys = [by] if by else []
+    vcols = value_cols or [
+        c for c in small.schema.names if c != on and c not in by_keys
+    ]
+    s = small.sort_by([*[(k, "ascending") for k in by_keys], (on, "ascending")])
+    if by:
+        rkeys = s.column(by).to_pylist()  # small side: bounded
+        bounds: dict[object, tuple[int, int]] = {}
+        start = 0
+        for i in range(1, s.num_rows + 1):
+            if i == s.num_rows or rkeys[i] != rkeys[start]:
+                bounds[rkeys[start]] = (start, i)
+                start = i
+    else:
+        bounds = {None: (0, s.num_rows)}
+    on_sorted = np.asarray(s.column(on))
+    right_ref = ray.put((s, bounds, on_sorted))
+
+    def probe(t: pa.Table) -> pa.Table:
+        s_tbl, bnds, on_arr = ray.get(right_ref)
+        n = t.num_rows
+        left_on = np.asarray(t.column(on))
+        take_idx = np.full(n, -1, dtype=np.int64)
+        if by:
+            denc = t.column(by).combine_chunks().dictionary_encode()
+            uniq = denc.dictionary.to_pylist()  # batch-unique keys only
+            codes = np.asarray(denc.indices.cast(pa.int64()))
+            for code, kk in enumerate(uniq):
+                if kk not in bnds:
+                    continue
+                lo, hi = bnds[kk]
+                rows = np.flatnonzero(codes == code)
+                ridx = np.searchsorted(
+                    on_arr[lo:hi], left_on[rows], side="right"
+                ) - 1
+                ok = ridx >= 0
+                take_idx[rows[ok]] = lo + ridx[ok]
+        else:
+            lo, hi = bnds[None]
+            ridx = np.searchsorted(on_arr[lo:hi], left_on, side="right") - 1
+            ok = ridx >= 0
+            take_idx[ok] = lo + ridx[ok]
+        null_mask = take_idx < 0
+        out = t
+        for c in vcols:
+            col = s_tbl.column(c).take(
+                pa.array(np.where(null_mask, 0, take_idx), pa.int64())
+            )
+            if null_mask.any():
+                col = pa.compute.if_else(
+                    pa.array(~null_mask), col, pa.nulls(n, col.type)
+                )
+            out = out.append_column(c, col)
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -206,3 +206,27 @@ def top_vocab(
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     counts = partials.groupby("word").aggregate(Sum("__n__", alias_name="n"))
     return topk(counts, ["n", "word"], k, descending=[True, False])
+
+
+def normalize_text_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text form for dedup/fingerprint pre-processing:
+    lowercase, collapse whitespace runs to one space, strip ends — all
+    Arrow kernels (SQL: ``lower(trim(regexp_replace(text, '\\s+', ' ',
+    'g')))``)."""
+    col = t.column(text_col)
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, r"\s+", " ")
+    out = pc.utf8_trim_whitespace(out)
+    return t.set_column(
+        t.schema.get_field_index(text_col), text_col, out
+    )
+
+
+def normalize_text(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        _wrap(normalize_text_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

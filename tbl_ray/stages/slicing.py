@@ -104,3 +104,35 @@ def topk(
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def grouped_topn(
+    ds: "ray.data.Dataset",
+    key: str,
+    cols: list[str],
+    n: int,
+    *,
+    descending: list[bool] | bool = False,
+) -> "ray.data.Dataset":
+    """Top-n rows per ``key`` group by the sort columns (SQL:
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n``).
+
+    One hash shuffle on the key; each group keeps its n best with
+    ``select_k_unstable`` (O(rows log n) per group, vectorized). The sort
+    keys should extend to a total order for deterministic output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(cols)
+    sort_keys = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(cols, descending)
+    ]
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n:
+            return t.sort_by(sort_keys)
+        return t.take(pc.select_k_unstable(t, k=n, sort_keys=sort_keys))
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")

@@ -789,3 +789,77 @@ def test_approx_quantiles_signs_and_zero(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(3)
     got = {r["q"]: r["value"] for r in approx_quantiles(ds, "v", [0.1, 0.5, 0.9]).to_pylist()}
     assert got[0.1] < -45 and abs(got[0.5]) < 1e-9 and got[0.9] > 45
+
+
+def test_broadcast_asof_join_matches_duck(ray_session, duck):
+    import numpy as np
+
+    from tbl_ray.functions.joins import broadcast_asof_join
+
+    rng = np.random.default_rng(5)
+    left = pa.table(
+        {
+            "sym": rng.choice(["a", "b", "c"], 400).tolist(),
+            "t": rng.integers(0, 1000, 400),
+            "qty": rng.integers(1, 50, 400),
+        }
+    )
+    right = pa.table(
+        {
+            "sym": ["a"] * 5 + ["b"] * 4,  # note: no 'c' quotes at all
+            "t": [10, 200, 400, 600, 800, 50, 300, 700, 900],
+            "px": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    got = pa.Table.from_pylist(
+        broadcast_asof_join(
+            ray.data.from_arrow(left).repartition(4), right, on="t", by="sym"
+        ).take_all()
+    ).sort_by([("sym", "ascending"), ("t", "ascending"), ("qty", "ascending")])
+    duck.register("asof_l", left)
+    duck.register("asof_r", right)
+    want = duck.execute(
+        "SELECT l.sym, l.t, l.qty, r.px FROM asof_l l"
+        " ASOF LEFT JOIN asof_r r ON l.sym = r.sym AND l.t >= r.t"
+        " ORDER BY l.sym, l.t, l.qty"
+    ).fetch_arrow_table()
+    assert got.column("px").to_pylist() == want.column("px").to_pylist()
+
+
+def test_broadcast_asof_join_no_by(ray_session):
+    from tbl_ray.functions.joins import broadcast_asof_join
+
+    left = pa.table({"t": [1, 5, 9, 100]})
+    right = pa.table({"t": [2, 6], "v": ["x", "y"]})
+    rows = sorted(
+        broadcast_asof_join(
+            ray.data.from_arrow(left), right, on="t"
+        ).take_all(),
+        key=lambda r: r["t"],
+    )
+    assert [r["v"] for r in rows] == [None, "x", "y", "y"]
+
+
+def test_normalize_text_matches_duck(sf_dir, duck):
+    from tbl_ray.functions.text import normalize_text
+
+    got = (
+        pa.Table.from_pylist(
+            normalize_text(docs_ds(sf_dir)).take_all()
+        )
+        .select(["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    want = duck.execute(
+        "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        " AS text FROM documents ORDER BY doc_id"
+    ).fetch_arrow_table()
+    assert got.column("text").to_pylist() == want.column("text").to_pylist()
+
+
+def test_normalize_text_edge_cases(ray_session):
+    from tbl_ray.functions.text import normalize_text_batch
+
+    t = pa.table({"text": ["  Mixed CASE \t\n spaces  ", "", "ok"]})
+    out = normalize_text_batch(t)
+    assert out.column("text").to_pylist() == ["mixed case spaces", "", "ok"]

@@ -240,3 +240,25 @@ def test_group_aggregate_rejects_bad_func(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": [1], "v": [2]}))
     with _pytest.raises(ValueError):
         group_aggregate(ds, "k", {"v": ["median"]})
+
+
+def test_grouped_topn_matches_duck(ray_session, sf_dir, duck):
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.slicing import grouped_topn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    got = pa.Table.from_pylist(
+        grouped_topn(
+            ds, "lang", ["doc_id"], 5, descending=[True]
+        ).take_all()
+    ).select(["lang", "doc_id"]).sort_by(
+        [("lang", "ascending"), ("doc_id", "ascending")]
+    )
+    want = duck.execute(
+        "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER ("
+        "PARTITION BY lang ORDER BY doc_id DESC) rn FROM documents)"
+        " WHERE rn <= 5 ORDER BY lang, doc_id"
+    ).fetch_arrow_table()
+    assert got.equals(want.cast(got.schema))
