@@ -103,15 +103,17 @@ def _register_builtins() -> None:
     import pyarrow.compute as pc
 
     from tbl_ray.filters import combined_mask, parse_filter
-    from tbl_ray.functions.dedup import exact_dedup, minhash_dedup
+    from tbl_ray.functions.dedup import decontaminate, exact_dedup, minhash_dedup
+    from tbl_ray.functions.joins import broadcast_join, broadcast_semi_join
     from tbl_ray.functions.sampling import sample_stratified, sample_uniform
     from tbl_ray.functions.text import (
         fingerprint_batch,
         langid_batch,
+        normalize_text_batch,
         text_stats_batch,
         token_count_batch,
     )
-    from tbl_ray.stages.slicing import topk as _topk
+    from tbl_ray.stages.slicing import grouped_topn, topk as _topk
     from tbl_ray.transforms import TransformSpec, batch_transform
 
     @register_op("transform")
@@ -131,12 +133,17 @@ def _register_builtins() -> None:
     register_op("text_stats")(text_stats_batch)
     register_op("langid")(langid_batch)
     register_op("fingerprint")(fingerprint_batch)
+    register_op("normalize_text")(normalize_text_batch)
 
     register_op("dedup_exact", kind="dataset")(exact_dedup)
     register_op("dedup_minhash", kind="dataset")(minhash_dedup)
+    register_op("decontaminate", kind="dataset")(decontaminate)
     register_op("sample_uniform", kind="dataset")(sample_uniform)
     register_op("sample_stratified", kind="dataset")(sample_stratified)
     register_op("topk", kind="dataset")(_topk)
+    register_op("grouped_topn", kind="dataset")(grouped_topn)
+    register_op("join_broadcast", kind="dataset")(broadcast_join)
+    register_op("join_semi", kind="dataset")(broadcast_semi_join)
 
     @register_op("limit", kind="dataset")
     def limit(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
