@@ -481,6 +481,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["normalize_text"] = normalize
 
+    def curate(sf_dir: str):
+        """Flagship composed funnel: normalize -> quality/lang filter ->
+        exact + MinHash dedup -> deterministic sample. Rows-only
+        (heuristic quality + approximate near-dedup)."""
+        from tbl_ray.pipelines.webtext import WebtextConfig, curate_webtext
+
+        kept, _ = curate_webtext(
+            _docs(sf_dir),
+            cfg=WebtextConfig(languages=[], min_quality=0.0, sample_n=100),
+        )
+        return kept.select_columns(["doc_id", "lang", "quality"])
+
+    q["curate_webtext"] = curate
+
     def approx_distinct_by_lang(sf_dir: str):
         """Per-key HLL: one (key, sketch) row per key per batch, keyed
         groupby merges sketches. Estimate is ~1.6% error so no value

@@ -863,3 +863,42 @@ def test_normalize_text_edge_cases(ray_session):
     t = pa.table({"text": ["  Mixed CASE \t\n spaces  ", "", "ok"]})
     out = normalize_text_batch(t)
     assert out.column("text").to_pylist() == ["mixed case spaces", "", "ok"]
+
+
+def test_curate_webtext_funnel(sf_dir, tmp_path):
+    from tbl_ray.pipelines.webtext import WebtextConfig, curate_webtext
+
+    docs = docs_ds(sf_dir)
+
+    def head_docs(t):
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.less(t.column("doc_id"), 5))
+
+    eval_ds = docs_ds(sf_dir).map_batches(
+        head_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out_path = str(tmp_path / "curated.parquet")
+    kept, report = curate_webtext(
+        docs,
+        cfg=WebtextConfig(languages=[], min_quality=0.0, sample_n=50),
+        eval_ds=eval_ds,
+        out_path=out_path,
+        audit_counts=True,
+    )
+    assert report["input_rows"] == 500
+    assert (
+        report["input_rows"]
+        >= report["after_filter"]
+        >= report["after_exact_dedup"]
+        >= report["after_minhash_dedup"]
+        >= report["after_decontaminate"]
+        >= report["after_sample"]
+    )
+    assert report["after_sample"] == 50
+    import pyarrow.parquet as pq2
+
+    written = pq2.read_table(out_path)
+    assert written.num_rows == 50
+    # curated rows carry the analysis columns
+    assert {"quality", "lang_pred"} <= set(written.schema.names)
