@@ -189,6 +189,11 @@ def bench_queries() -> dict[str, float]:
         "ann_topk",
         "ann_ivf_index",
         "image_decode",
+        "group_agg",
+        "top_vocab",
+        "sample_uniform",
+        "join_broadcast",
+        "curate_webtext",
         "encode_roundtrip",
     ]
     times: dict[str, float] = {}
