@@ -16,7 +16,11 @@ from tbl_ray.functions.dedup import (
     simhash,
     simhash_dup_pairs,
 )
-from tbl_ray.functions.joins import broadcast_join, broadcast_semi_join
+from tbl_ray.functions.joins import (
+    broadcast_asof_join,
+    broadcast_join,
+    broadcast_semi_join,
+)
 from tbl_ray.functions.sampling import sample_stratified, sample_uniform
 from tbl_ray.functions.similarity import (
     build_ivf_index,
@@ -31,6 +35,7 @@ from tbl_ray.functions.sketches import (
 )
 from tbl_ray.functions.text import (
     fingerprint,
+    normalize_text,
     langid,
     text_stats,
     token_count,
@@ -42,6 +47,7 @@ __all__ = [
     "approx_distinct",
     "approx_distinct_by",
     "approx_quantiles",
+    "broadcast_asof_join",
     "broadcast_join",
     "broadcast_semi_join",
     "build_ivf_index",
@@ -57,6 +63,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_dup_pairs",
     "ngram_jaccard",
+    "normalize_text",
     "sample_stratified",
     "sample_uniform",
     "session_counts",
