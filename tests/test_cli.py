@@ -174,3 +174,30 @@ def test_cli_streaming_csv_json_match_collected(tmp_path):
         f"SELECT l_orderkey FROM read_parquet('{LINEITEM}') LIMIT 120"
     ).fetchall()
     assert sorted(o["l_orderkey"] for o in objs) == sorted(w[0] for w in want)
+
+
+@pytest.mark.slow
+def test_ray_job_submit_entry_point(tmp_path):
+    # the `ray job submit` script runs standalone from a foreign cwd,
+    # encodes with manifest lineage, deep-verifies, and resumes on rerun
+    import json as _json
+
+    out = str(tmp_path / "jobout")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "encode_job.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--verify"],
+        cwd="/tmp", capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["encoded"] == 1 and rep["verify"]["corrupt"] == 0
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "encode_job.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out],
+        cwd="/tmp", capture_output=True, text=True, timeout=300, env=env,
+    )
+    rep2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["skipped"] == 1 and rep2["encoded"] == 0
