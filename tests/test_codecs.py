@@ -277,3 +277,22 @@ def test_no_function_scoped_tbl_ray_imports_in_codecs():
                     ):
                         offenders.append(f"{p.name}:{sub.lineno} ({node.name})")
     assert not offenders, offenders
+
+
+def test_unicode_and_nul_bytes_roundtrip():
+    # multibyte UTF-8, emoji, embedded NULs, nulls and empties all survive
+    # the auto path and FSST bit-exactly
+    vals = [
+        "héllo wörld", "日本語テキスト", "emoji 🎉🎊", "", None,
+        "mixed ascii + 中文", "\x00embedded\x00nul",
+    ]
+    arr = pa.array(vals * 300)
+    ch = encode_auto(arr, name="u")
+    assert decode_chunk(EncodedChunk.from_payload(ch.to_payload())).equals(arr)
+    fs = encode_array(arr.drop_null(), "fsst", name="u")
+    back = decode_chunk(EncodedChunk.from_payload(fs.to_payload()))
+    assert back.cast(pa.string()).equals(arr.drop_null().cast(pa.string()))
+    b = pa.array([b"\x00\x01\xff" * 50, b"", b"\xfe" * 10] * 200, type=pa.binary())
+    ch2 = encode_array(b, "fsst", name="b")
+    back2 = decode_chunk(EncodedChunk.from_payload(ch2.to_payload()))
+    assert back2.cast(pa.binary()).equals(b)
