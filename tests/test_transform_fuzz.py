@@ -106,3 +106,65 @@ def test_random_chain_matches_sql(spec):
     if got.num_rows:
         keys = [(n, "ascending") for n in got.schema.names]
         assert got.sort_by(keys).equals(want.cast(got.schema).sort_by(keys))
+
+
+@st.composite
+def mutation_specs(draw):
+    # with_columns (typed const), set, nullify, replace on a kept column
+    wc = []
+    if draw(st.booleans()):
+        v = draw(st.integers(0, 99))
+        wc = [f"extra:i64:val={v}"]
+    keep = draw(
+        st.lists(
+            st.sampled_from(["l_orderkey", "l_returnflag", "l_linestatus"]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    set_ = []
+    if "l_returnflag" in keep and draw(st.booleans()):
+        set_ = [f"l_returnflag={draw(st.sampled_from(['X', 'Y']))}"]
+    nullify = []
+    if "l_linestatus" in keep and draw(st.booleans()):
+        nullify = ["l_linestatus"]
+    replace = []
+    if "l_returnflag" in keep and not set_ and draw(st.booleans()):
+        replace = [f"l_returnflag.A={draw(st.sampled_from(['Q', 'W']))}"]
+    return wc, keep, set_, nullify, replace
+
+
+@given(mutation_specs())
+@settings(max_examples=40, deadline=None)
+def test_mutation_chain_matches_sql(spec):
+    wc, keep, set_, nullify, replace = spec
+    sel = [*keep, *(["extra"] if wc else [])]
+    ts = TransformSpec(
+        with_columns=wc, set=set_, nullify=nullify, replace=replace, select=sel
+    )
+    got = batch_transform(TABLE, ts)
+
+    def sql_col(c: str) -> str:
+        if c == "extra":
+            return f"CAST({wc[0].split('=')[-1]} AS BIGINT) AS extra"
+        for s_ in set_:
+            src, val = s_.split("=")
+            if src == c:
+                return f"'{val}' AS {c}"
+        if c in nullify:
+            return f"CAST(NULL AS VARCHAR) AS {c}"
+        for r_ in replace:
+            colold, new = r_.split("=")
+            col, old = colold.rsplit(".", 1)
+            if col == c:
+                return f"CASE WHEN {c} = '{old}' THEN '{new}' ELSE {c} END AS {c}"
+        return c
+
+    con = duckdb.connect()
+    con.register("t", TABLE)
+    want = con.execute(
+        "SELECT " + ", ".join(sql_col(c) for c in sel) + " FROM t"
+    ).arrow()
+    assert got.schema.names == want.schema.names
+    assert got.num_rows == want.num_rows
+    keys = [(n, "ascending") for n in got.schema.names]
+    assert got.sort_by(keys).equals(want.cast(got.schema).sort_by(keys))
