@@ -194,22 +194,90 @@ def _print_stdout(ds, n_rows, hex_mode) -> None:
         print(f"{total - cap} rows omitted")
 
 
-def _summary(mode, in_paths, out_paths, spec) -> None:
-    from tbl_ray.sources.outputs import get_common_prefix
+_MODE_BLURBS = {
+    "stdout": ("PRINT_TO_STDOUT", "loading {n} files and printing to stdout"),
+    "single_file": (
+        "SAVE_TO_ONE_FILE",
+        "loading {n} files and merging result into 1 output file",
+    ),
+    "output_dir": (
+        "SAVE_TO_NEW_DIR",
+        "loading {n} files and saving results to new directory",
+    ),
+    "inplace": ("MODIFY_INPLACE", "modifying {n} files in-place"),
+    "partition": ("REPARTITION", "repartitioning {n} files"),
+    "interactive": (
+        "INTERACTIVE",
+        "starting interactive session, loading {n} files",
+    ),
+    "encode": ("ENCODE", "encoding {n} files into a partitioned job dir"),
+    "decode": ("DECODE", "decoding an encoded job dir"),
+}
 
-    print(f"mode: {mode}", file=sys.stderr)
-    if in_paths:
-        prefix = get_common_prefix(in_paths) if len(in_paths) > 1 else ""
-        print(f"inputs: {len(in_paths)} file(s) under {prefix or in_paths[0]}", file=sys.stderr)
-    active = {
-        k: v
-        for k, v in vars(spec).items()
-        if v not in (None, [], {}) and k != "spec"
-    }
-    if active:
-        print(f"transforms: {active}", file=sys.stderr)
+# the reference's --transform flag names (summary.rs:60-82 wording)
+_TRANSFORM_LABELS = [
+    ("with_columns", "adding columns"),
+    ("filter", "filtering rows"),
+    ("drop", "dropping columns"),
+    ("cast", "casting types"),
+    ("set", "setting columns"),
+    ("nullify", "nullifying columns"),
+    ("replace", "replacing values"),
+    ("select", "selecting columns"),
+    ("offset", "skipping rows"),
+    ("head", "keeping head"),
+    ("tail", "keeping tail"),
+    ("value_counts", "counting values"),
+    ("sort", "sorting rows"),
+    ("rename", "renaming columns"),
+]
+
+
+def _bullet(key, value=None, indent=0) -> None:
+    pad = " " * indent
+    if value is None:
+        print(f"{pad}- {key}", file=sys.stderr)
+    else:
+        print(f"{pad}- {key}: {value}", file=sys.stderr)
+
+
+def _summary(mode, in_paths, out_paths, spec) -> None:
+    """Pre-run summary in the reference's three-section shape
+    (summary.rs:5-141: Inputs / Transformations / Outputs, bullet lists,
+    first 10 input files, total byte count)."""
+    print("Inputs", file=sys.stderr)
+    n_bytes = 0
+    for p in in_paths:
+        try:
+            n_bytes += os.path.getsize(p)
+        except OSError:
+            pass
+    _bullet("n_input_bytes", f"{n_bytes:,}")
+    _bullet("n_input_files", f"{len(in_paths):,}")
+    for p in in_paths[:10]:
+        _bullet(p, indent=4)
+    if len(in_paths) > 10:
+        _bullet("...", indent=4)
+
+    print("Transformations", file=sys.stderr)
+    transforming = False
+    for attr, label in _TRANSFORM_LABELS:
+        v = getattr(spec, attr, None)
+        if v not in (None, [], {}):
+            _bullet(label, v)
+            transforming = True
+    if not transforming:
+        print("[no transformations]", file=sys.stderr)
+
+    print("Outputs", file=sys.stderr)
+    name, blurb = _MODE_BLURBS.get(mode, (str(mode).upper(), "{n} files"))
+    _bullet("output_mode", name)
+    _bullet("summary", blurb.format(n=len(in_paths)))
     if out_paths:
-        print(f"outputs: {len(out_paths)} file(s)", file=sys.stderr)
+        shown = out_paths if isinstance(out_paths, (list, tuple)) else [out_paths]
+        _bullet("n_output_files", f"{len(shown):,}")
+        for p in list(shown)[:10]:
+            _bullet(p, indent=4)
 
 
 def _confirm_gate(args, writes: bool) -> bool:
