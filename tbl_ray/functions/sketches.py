@@ -97,16 +97,32 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _merge_sketch_batch(t: pa.Table) -> pa.Table:
+    regs = hll_merge(
+        [np.frombuffer(s.as_py(), dtype=np.uint8) for s in t.column("sketch")]
+    )
+    return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
+
+
 def approx_distinct(ds: "ray.data.Dataset", column: str) -> float:
-    """Approximate distinct count of one column (~1.6% error at p=12)."""
+    """Approximate distinct count of one column (~1.6% error at p=12).
+
+    Tree merge: one 4 KiB sketch per block, then a coalescing
+    ``map_batches`` folds 256 sketches per task, so the driver collects
+    ~n_blocks/256 sketches instead of one per block (a 100 TB input with
+    10^6 blocks would otherwise ship 4 GB of registers to the driver)."""
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         regs = hll_sketch(t.column(column))
         return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(
+    sketches = ds.map_batches(
         sketch_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
+    )
+    coalesced = sketches.map_batches(
+        _merge_sketch_batch, batch_format="pyarrow", batch_size=256
+    )
+    parts = coalesced.take_all()
     merged = hll_merge(
         [np.frombuffer(r["sketch"], dtype=np.uint8) for r in parts]
     )
