@@ -36,6 +36,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _keep_topk_per_query(t: pa.Table, k: int) -> pa.Table:
+    """Reduce a (query, id, score) candidate table to each query's k best
+    (score desc, id asc) — vectorized sort + per-group rank mask."""
+    if t.num_rows == 0:
+        return t
+    order = t.sort_by(
+        [("query", "ascending"), ("score", "descending"), ("id", "ascending")]
+    )
+    q = np.asarray(order.column("query"))
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(q)) + 1))
+    group_len = np.diff(np.append(starts, len(q)))
+    rank = np.arange(len(q)) - np.repeat(starts, group_len)
+    return order.filter(pa.array(rank < k))
+
+
+def _collect_topk(partials_ds: "ray.data.Dataset", nq: int, k: int) -> list[list[dict]]:
+    """Coalesce per-block candidate lists (256 blocks per merge task) so
+    the driver collects ~n_blocks/256 * nq * k rows instead of one list
+    per block, then finish the merge locally."""
+    merged = partials_ds.map_batches(
+        lambda t: _keep_topk_per_query(t, k),
+        batch_format="pyarrow",
+        batch_size=256 * k,
+    ).take_all()
+    out: list[list[dict]] = []
+    for qi in range(nq):
+        cand = [(r["score"], r["id"]) for r in merged if r["query"] == qi]
+        cand.sort(key=lambda sc: (-sc[0], sc[1]))
+        out.append([{"id": i, "score": s} for s, i in cand[:k]])
+    return out
+
+
 def knn_brute(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -73,14 +105,8 @@ def knn_brute(
 
     partials = ds.map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    nq = q.shape[0]
-    out: list[list[dict]] = []
-    for qi in range(nq):
-        cand = [(r["score"], r["id"]) for r in partials if r["query"] == qi]
-        cand.sort(key=lambda sc: (-sc[0], sc[1]))
-        out.append([{"id": i, "score": s} for s, i in cand[:k]])
-    return out
+    )
+    return _collect_topk(partials, q.shape[0], k)
 
 
 def train_centroids(
@@ -155,13 +181,8 @@ def knn_ivf(
 
     partials = ds.map_batches(
         probed_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    out: list[list[dict]] = []
-    for qi in range(q.shape[0]):
-        cand = [(r["score"], r["id"]) for r in partials if r["query"] == qi]
-        cand.sort(key=lambda sc: (-sc[0], sc[1]))
-        out.append([{"id": i, "score": s} for s, i in cand[:k]])
-    return out
+    )
+    return _collect_topk(partials, q.shape[0], k)
 
 
 # ---------------------------------------------------------------------------
@@ -293,14 +314,7 @@ def knn_ivf_index(
             }
         )
 
-    partials = (
-        ray.data.read_parquet(paths)
-        .map_batches(partition_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    partials = ray.data.read_parquet(paths).map_batches(
+        partition_topk, batch_format="pyarrow", zero_copy_batch=True
     )
-    out: list[list[dict]] = []
-    for qi in range(q.shape[0]):
-        cand = [(r["score"], r["id"]) for r in partials if r["query"] == qi]
-        cand.sort(key=lambda sc: (-sc[0], sc[1]))
-        out.append([{"id": i, "score": s} for s, i in cand[:k]])
-    return out
+    return _collect_topk(partials, q.shape[0], k)
