@@ -318,6 +318,7 @@ def minhash_dup_pairs(
     pair_ds = sk.groupby(["band", "bucket"]).map_groups(
         _bucket_pairs(threshold, id_col), batch_format="pyarrow"
     )
+    pair_ds = _coalesce_pairs(pair_ds, "est_jaccard", maximize=True)
     seen = {}
     for r in pair_ds.take_all():
         key = (r["id_a"], r["id_b"])
@@ -448,6 +449,7 @@ def simhash_dup_pairs(
 
     sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
     pair_ds = sk.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    pair_ds = _coalesce_pairs(pair_ds, "hamming", maximize=False)
     seen = {}
     for r in pair_ds.take_all():
         key = (r["id_a"], r["id_b"])
@@ -553,6 +555,7 @@ def embedding_dup_pairs(
 
     sk = ds.map_batches(Sketch, batch_format="pyarrow", concurrency=_default_pool())
     pair_ds = sk.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    pair_ds = _coalesce_pairs(pair_ds, "cosine", maximize=True)
     seen = {}
     for r in pair_ds.take_all():
         key = (r["id_a"], r["id_b"])
@@ -749,3 +752,31 @@ def decontaminate(
         return t.filter(pa.array(per_row < threshold))
 
     return train_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _coalesce_pairs(
+    pair_ds: "ray.data.Dataset", value_col: str, *, maximize: bool
+) -> "ray.data.Dataset":
+    """Pre-dedup (id_a, id_b) candidate pairs across bands/tables before
+    the driver collect: each merge task keeps the best ``value_col`` per
+    pair (vectorized sort + first-of-group mask), cutting the driver's
+    row count by ~the band multiplicity."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["id_a", "id_b", value_col])
+        order = t.select(["id_a", "id_b", value_col]).sort_by(
+            [
+                ("id_a", "ascending"),
+                ("id_b", "ascending"),
+                (value_col, "descending" if maximize else "ascending"),
+            ]
+        )
+        a = np.asarray(order.column("id_a"))
+        b = np.asarray(order.column("id_b"))
+        first = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        return order.filter(pa.array(first))
+
+    return pair_ds.map_batches(fold, batch_format="pyarrow", batch_size=65536)
