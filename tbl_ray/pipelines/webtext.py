@@ -82,16 +82,21 @@ def curate_webtext(
     kept = ds.map_batches(
         lambda t: _prep_batch(t, cfg), batch_format="pyarrow", zero_copy_batch=True
     )
+    # checkpoint: each dedup consumes its input TWICE (sketch pass +
+    # filter pass); without materializing, the lazy upstream re-executes
+    # per consumption and the prep stage would run ~4x. The object store
+    # holds (and spills) the filtered table instead.
+    kept = kept.materialize()
     if audit_counts:
         report["after_filter"] = kept.count()
 
-    kept = exact_dedup(kept, cfg.text_col, cfg.id_col)
+    kept = exact_dedup(kept, cfg.text_col, cfg.id_col).materialize()
     if audit_counts:
         report["after_exact_dedup"] = kept.count()
 
     kept = minhash_dedup(
         kept, cfg.text_col, cfg.id_col, threshold=cfg.minhash_threshold
-    )
+    ).materialize()
     if audit_counts:
         report["after_minhash_dedup"] = kept.count()
 
