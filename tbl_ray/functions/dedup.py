@@ -89,7 +89,12 @@ def exact_dedup(
     Semantically identical to :func:`exact_dedup_shuffle` up to 128-bit
     hash collisions (~2^-128/pair). The broadcast drop-set bounds this
     variant at ~10^8 duplicate rows; beyond that, co-bucket both sides by
-    id hash."""
+    id hash.
+
+    Consumes ``ds`` TWICE (sketch pass + filter pass): a lazy upstream
+    re-executes per pass — fine for a deterministic parquet read (re-scan
+    beats materializing 100 TB), but materialize() expensive-to-recompute
+    upstreams first (see pipelines.webtext for the checkpoint pattern)."""
 
     def sketch(t: pa.Table) -> pa.Table:
         h1, h2 = _fingerprint128(t.column(column).combine_chunks())
@@ -335,7 +340,10 @@ def minhash_dedup(
     id_col: str = "doc_id",
     **kwargs,
 ) -> "ray.data.Dataset":
-    """Drop near-duplicates, keeping the min-id doc of each group."""
+    """Drop near-duplicates, keeping the min-id doc of each group.
+
+    Consumes ``ds`` twice (sketch + filter pass); see :func:`exact_dedup`
+    on when to checkpoint the upstream first."""
     pairs = minhash_dup_pairs(ds, text_col, id_col, **kwargs)
     roots = union_find([(p["id_a"], p["id_b"]) for p in pairs])
     drop = np.sort(
