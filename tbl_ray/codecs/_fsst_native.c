@@ -1,0 +1,124 @@
+/* Native FSST walk kernels — compiled on demand by tbl_ray.codecs.native.
+ *
+ * From-scratch C implementation of the same greedy longest-match-first
+ * walk as the numpy path in tbl_ray/codecs/fsst.py (_encode_stream):
+ * bit-identical output by construction — same Fibonacci hash, same
+ * two-way set-associative long table, same short2/short1 direct tables,
+ * same match priority (way0 > way1 > 2-byte > 1-byte > escape), same
+ * fixed-size segment structure with matches never crossing a segment
+ * boundary. The scheme is the public FSST paper (Boncz, Neumann & Leis,
+ * VLDB 2020); nothing here derives from /root/reference (the reference
+ * has no FSST at all — it delegates compression to parquet codecs).
+ *
+ * Little-endian hosts only (the Python loader checks sys.byteorder and
+ * falls back to the numpy path otherwise): an 8-byte memcpy load IS the
+ * little-endian window value the numpy path compares against.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+static const uint64_t MASK64[9] = {
+    0x0000000000000000ULL, 0x00000000000000FFULL, 0x000000000000FFFFULL,
+    0x0000000000FFFFFFULL, 0x00000000FFFFFFFFULL, 0x000000FFFFFFFFFFULL,
+    0x0000FFFFFFFFFFFFULL, 0x00FFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL,
+};
+
+/* Greedy-encode `data[0:M]` (padded by >= 8 readable bytes past M) into
+ * `out` (capacity >= 2*M), one contiguous sub-stream per `seg`-byte
+ * segment; per-segment encoded lengths land in `seg_lens`. Returns the
+ * total encoded length. Tables are the C-contiguous (2, H) arrays built
+ * by _encode_tables: index = way * H + slot. */
+int64_t fsst_encode(const uint8_t *data, int64_t M, int64_t seg,
+                    const uint64_t *long_val, const int32_t *long_len,
+                    const uint8_t *long_code, const uint8_t *short2,
+                    const uint8_t *short1, int32_t hash_bits, uint8_t *out,
+                    int64_t *seg_lens) {
+  const uint64_t H = (uint64_t)1 << hash_bits;
+  const uint32_t shift = 32 - (uint32_t)hash_bits;
+  int64_t o = 0;
+  int64_t n_segs = (M + seg - 1) / seg;
+  for (int64_t s = 0; s < n_segs; s++) {
+    int64_t pos = s * seg;
+    int64_t end = pos + seg < M ? pos + seg : M;
+    int64_t seg_start_o = o;
+    while (pos < end) {
+      uint64_t win;
+      memcpy(&win, data + pos, 8);
+      uint32_t w32 = (uint32_t)win;
+      uint64_t slot = ((w32 & 0xFFFFFFu) * 2654435769u) >> shift;
+      int64_t room = end - pos;
+      int64_t i0 = (int64_t)slot;
+      int32_t L = long_len[i0];
+      if (L > 0 && L <= room && (win & MASK64[L]) == long_val[i0]) {
+        out[o++] = long_code[i0];
+        pos += L;
+        continue;
+      }
+      int64_t i1 = (int64_t)(H + slot);
+      L = long_len[i1];
+      if (L > 0 && L <= room && (win & MASK64[L]) == long_val[i1]) {
+        out[o++] = long_code[i1];
+        pos += L;
+        continue;
+      }
+      uint8_t c2 = short2[w32 & 0xFFFFu];
+      if (c2 != 255 && room >= 2) {
+        out[o++] = c2;
+        pos += 2;
+        continue;
+      }
+      uint8_t c1 = short1[w32 & 0xFFu];
+      if (c1 != 255) {
+        out[o++] = c1;
+        pos += 1;
+        continue;
+      }
+      out[o++] = 255;
+      out[o++] = data[pos];
+      pos += 1;
+    }
+    seg_lens[s] = o - seg_start_o;
+  }
+  return o;
+}
+
+/* Decode `enc[0:N]` (segment lengths in `seg_lens[0:n_segs]`) back into
+ * `out` (capacity out_size + 8: symbol emission is an unconditional
+ * 8-byte memcpy of which only sym_lens[c] bytes are kept, so the caller
+ * must pad the buffer by 8 writable bytes past out_size). `sym_bytes`/
+ * `sym_lens` hold the n_syms learned symbols (8 bytes per row,
+ * C-contiguous, same LUT layout as the numpy path). Escape parity resets
+ * at every segment start, matching _decode_stream. Returns bytes
+ * written, or -1 on overflow/corruption. */
+int64_t fsst_decode(const uint8_t *enc, int64_t N, const int64_t *seg_lens,
+                    int64_t n_segs, const uint8_t *sym_bytes,
+                    const int64_t *sym_lens, int64_t n_syms, uint8_t *out,
+                    int64_t out_size) {
+  int64_t o = 0;
+  int64_t p = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    int64_t end = p + seg_lens[s];
+    if (end > N)
+      return -1;
+    while (p < end) {
+      uint8_t c = enc[p];
+      if (c == 255) {
+        if (p + 1 >= end || o >= out_size)
+          return -1;
+        out[o++] = enc[p + 1];
+        p += 2;
+      } else {
+        if (c >= n_syms)
+          return -1;
+        int64_t L = sym_lens[c];
+        if (o + L > out_size)
+          return -1;
+        memcpy(out + o, sym_bytes + (int64_t)c * 8, 8);
+        o += L;
+        p += 1;
+      }
+    }
+  }
+  return o;
+}

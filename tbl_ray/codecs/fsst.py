@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from tbl_ray.codecs import native
 from tbl_ray.codecs.base import (
     binary_from_parts,
     binary_parts,
@@ -190,10 +191,42 @@ def _encode_tables(symbols: list[bytes]):
 # ---------------------------------------------------------------------------
 
 
+def _encode_stream_native(data: np.ndarray, symbols: list[bytes]):
+    """C-kernel walk (``_fsst_native.c``) — bit-identical to the numpy
+    path (same tables, same priority, same segment structure; verified in
+    ``tests/test_codecs.py::test_native_matches_numpy``) at ~20-30x the
+    throughput: the greedy byte walk is the one loop numpy can't amortize."""
+    M = len(data)
+    n_segs = (M + _SEG - 1) // _SEG
+    long_val, long_len, long_code, short2, short1 = _encode_tables(symbols)
+    _L = native.lib()
+    data_p = np.empty(M + 8, np.uint8)
+    data_p[:M] = data
+    data_p[M:] = 0
+    out = np.empty(2 * M + 8, np.uint8)
+    seg_lens = np.empty(n_segs, np.int64)
+    n = _L.fsst_encode(
+        data_p.ctypes.data,
+        M,
+        _SEG,
+        long_val.ctypes.data,
+        long_len.ctypes.data,
+        long_code.ctypes.data,
+        short2.ctypes.data,
+        short1.ctypes.data,
+        _HASH_BITS,
+        out.ctypes.data,
+        seg_lens.ctypes.data,
+    )
+    return out[:n], seg_lens
+
+
 def _encode_stream(data: np.ndarray, symbols: list[bytes]):
     """uint8 data -> (encoded uint8 stream, per-segment encoded lengths).
 
-    One cursor per segment walks greedily; every loop iteration advances all
+    Native C kernel when available (compile-on-demand, see
+    :mod:`tbl_ray.codecs.native`); otherwise the numpy walk below: one
+    cursor per segment advances greedily; every loop iteration advances all
     still-active segments by one emitted symbol, with matching done by pure
     gathers into the hash/direct tables — work is O(visited positions), i.e.
     O(output symbols), never O(positions × lengths).
@@ -202,6 +235,8 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
     n_segs = (M + _SEG - 1) // _SEG
     if M == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    if native.lib() is not None:
+        return _encode_stream_native(data, symbols)
 
     long_val, long_len, long_code, short2, short1 = _encode_tables(symbols)
     data_p = np.concatenate([data, np.zeros(_MAX_SYM, np.uint8)])
@@ -337,11 +372,42 @@ def _encode_stream(data: np.ndarray, symbols: list[bytes]):
 # ---------------------------------------------------------------------------
 
 
+def _decode_stream_native(
+    enc: np.ndarray, seg_enc_lens: np.ndarray, symbols: list[bytes], out_size: int
+) -> np.ndarray:
+    sym_bytes = np.zeros((len(symbols), 8), np.uint8)
+    sym_lens = np.empty(len(symbols), np.int64)
+    for i, s in enumerate(symbols):
+        sym_bytes[i, : len(s)] = np.frombuffer(s, np.uint8)
+        sym_lens[i] = len(s)
+    enc_c = np.ascontiguousarray(enc)
+    lens_c = np.ascontiguousarray(seg_enc_lens, dtype=np.int64)
+    # +8 capacity: the kernel emits every symbol as one 8-byte store and
+    # keeps only its true length
+    out = np.empty(out_size + 8, np.uint8)
+    n = native.lib().fsst_decode(
+        enc_c.ctypes.data,
+        len(enc_c),
+        lens_c.ctypes.data,
+        len(lens_c),
+        sym_bytes.ctypes.data,
+        sym_lens.ctypes.data,
+        len(symbols),
+        out.ctypes.data,
+        out_size,
+    )
+    if n != out_size:
+        raise ValueError(f"fsst decode size mismatch: {n} != {out_size}")
+    return out[:out_size]
+
+
 def _decode_stream(
     enc: np.ndarray, seg_enc_lens: np.ndarray, symbols: list[bytes], out_size: int
 ) -> np.ndarray:
     if len(enc) == 0:
         return np.zeros(0, np.uint8)
+    if native.lib() is not None:
+        return _decode_stream_native(enc, seg_enc_lens, symbols, out_size)
     n = len(enc)
     seg_start_pos = np.concatenate(([0], np.cumsum(seg_enc_lens)))[:-1]
     is_seg_start = np.zeros(n, dtype=bool)

@@ -296,3 +296,68 @@ def test_unicode_and_nul_bytes_roundtrip():
     ch2 = encode_array(b, "fsst", name="b")
     back2 = decode_chunk(EncodedChunk.from_payload(ch2.to_payload()))
     assert back2.cast(pa.binary()).equals(b)
+
+
+def test_native_matches_numpy():
+    """The C walk kernel must be bit-identical to the numpy path — same
+    encoded stream, same segment lengths, same decode — across segment
+    boundaries, escapes, embedded NULs, and empty/short inputs."""
+    from tbl_ray.codecs import native
+    from tbl_ray.codecs.fsst import _SEG, _decode_stream, _encode_stream, train_symbols
+
+    if native.lib() is None:
+        pytest.skip("no native kernel on this host")
+    rng = np.random.default_rng(11)
+    text = (b"the quick brown fox jumps over the lazy dog " * 200)[: _SEG * 3 + 17]
+    cases = [
+        b"",
+        b"a",
+        b"\x00" * 37,
+        text,
+        bytes(rng.integers(0, 256, _SEG * 2, dtype=np.uint8)),  # escape-heavy
+        (b"ab" * _SEG)[: _SEG],  # exact one segment
+        b"\xff" * 300 + b"abcabcabc" * 50,  # 0xff runs (escape parity)
+    ]
+    real = native._kernels()
+    numpy_only = native._Kernels.__new__(native._Kernels)
+    numpy_only.cdll = None
+    for raw in cases:
+        data = np.frombuffer(raw, dtype=np.uint8)
+        symbols = train_symbols(raw[:4096])
+        try:
+            native._K = numpy_only
+            e_np, l_np = _encode_stream(data, symbols)
+            native._K = real
+            e_c, l_c = _encode_stream(data, symbols)
+            assert np.array_equal(e_np, e_c) and np.array_equal(l_np, l_c)
+            d_c = _decode_stream(e_c, l_c, symbols, len(data))
+            assert bytes(d_c) == raw
+            native._K = numpy_only
+            d_np = _decode_stream(e_c, l_c, symbols, len(data))
+            assert np.array_equal(d_np, d_c)
+        finally:
+            native._K = real
+
+
+def test_native_disabled_by_env(monkeypatch):
+    """TBL_RAY_NO_NATIVE=1 must keep the loader off entirely."""
+    from tbl_ray.codecs import native
+
+    monkeypatch.setenv("TBL_RAY_NO_NATIVE", "1")
+    assert native._build_cdll() is None
+
+
+def test_native_handle_survives_cloudpickle():
+    """Ray ships tbl_ray functions by value; every shipped callable must
+    cloudpickle even though a live CDLL sits behind the native handle."""
+    from ray import cloudpickle
+
+    from tbl_ray.codecs import native
+    from tbl_ray.stages.encode import ColumnEncoder, decode_table
+
+    native.lib()  # force the CDLL to exist in this process
+    for obj in (ColumnEncoder, ColumnEncoder({}), decode_table):
+        clone = cloudpickle.loads(cloudpickle.dumps(obj))
+        assert clone is not None
+    rebuilt = cloudpickle.loads(cloudpickle.dumps(native._kernels()))
+    assert rebuilt.cdll is not None
