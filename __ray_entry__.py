@@ -481,6 +481,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["normalize_text"] = normalize
 
+    def repetition(sf_dir: str):
+        """Gopher-style word-repetition quality metrics, one Arrow
+        dictionary-encode + numpy lexsort per batch."""
+        from tbl_ray.functions.scrub import repetition_stats
+
+        return repetition_stats(_docs(sf_dir)).select_columns(
+            ["doc_id", "n_words", "n_distinct_words",
+             "dup_word_frac", "top_word_frac"]
+        )
+
+    q["repetition_stats"] = repetition
+
+    def redact_terms(sf_dir: str):
+        """Vectorized global regex redaction + match count (the PII-scrub
+        machinery, exercised on a pattern this corpus actually contains;
+        the email/IPv4/phone presets are unit-tested on synthetic PII)."""
+        from tbl_ray.functions.scrub import redact
+
+        out = redact(
+            _docs(sf_dir), "text", r"\b(spark|dup)\b", "<TOPIC>", "n_redacted"
+        )
+        return out.select_columns(["doc_id", "text", "n_redacted"])
+
+    q["redact"] = redact_terms
+
+    def dedup_lines(sf_dir: str):
+        """Corpus-frequency unit dedup (RefinedWeb line-dedup shape, word
+        separator here — the corpus is single-line): drop units appearing
+        >= 900 times corpus-wide. Shuffle moves (unit, count) partials
+        only; the small frequent set broadcasts back."""
+        from tbl_ray.functions.scrub import line_dedup
+
+        out = line_dedup(_docs(sf_dir), "text", sep=" ", min_count=900)
+        return out.select_columns(["doc_id", "text"])
+
+    q["dedup_lines"] = dedup_lines
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -748,6 +785,36 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": (
             "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ',"
             " 'g'))) AS text FROM documents"
+        ),
+        "repetition_stats": (
+            "WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word"
+            " FROM documents),"
+            " c AS (SELECT doc_id, word, count(*) AS c FROM w"
+            " GROUP BY doc_id, word),"
+            " per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,"
+            " count(*) AS n_distinct_words, CAST(max(c) AS BIGINT) AS top"
+            " FROM c GROUP BY doc_id)"
+            " SELECT doc_id, n_words, n_distinct_words,"
+            " CAST(n_words - n_distinct_words AS DOUBLE) / n_words"
+            " AS dup_word_frac,"
+            " CAST(top AS DOUBLE) / n_words AS top_word_frac FROM per"
+        ),
+        "redact": (
+            "SELECT doc_id,"
+            " regexp_replace(text, '\\b(spark|dup)\\b', '<TOPIC>', 'g')"
+            " AS text,"
+            " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
+            " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "dedup_lines": (
+            "WITH l AS (SELECT doc_id,"
+            " unnest(str_split(text, ' ')) AS w,"
+            " unnest(range(1, len(str_split(text, ' ')) + 1)) AS pos"
+            " FROM documents),"
+            " f AS (SELECT w, count(*) AS c FROM l GROUP BY w)"
+            " SELECT doc_id, coalesce(string_agg(w, ' ' ORDER BY pos)"
+            " FILTER (WHERE c < 900), '') AS text"
+            " FROM l JOIN f USING (w) GROUP BY doc_id"
         ),
         "grouped_topn": (
             "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number()"

@@ -22,6 +22,13 @@ from tbl_ray.functions.joins import (
     broadcast_semi_join,
 )
 from tbl_ray.functions.sampling import sample_stratified, sample_uniform
+from tbl_ray.functions.scrub import (
+    frequent_units,
+    line_dedup,
+    redact,
+    redact_pii,
+    repetition_stats,
+)
 from tbl_ray.functions.similarity import (
     build_ivf_index,
     knn_brute,
@@ -56,14 +63,19 @@ __all__ = [
     "exact_dedup_bucketed",
     "exact_dedup_shuffle",
     "fingerprint",
+    "frequent_units",
     "knn_brute",
     "knn_ivf",
     "knn_ivf_index",
     "langid",
+    "line_dedup",
     "minhash_dedup",
     "minhash_dup_pairs",
     "ngram_jaccard",
     "normalize_text",
+    "redact",
+    "redact_pii",
+    "repetition_stats",
     "sample_stratified",
     "sample_uniform",
     "session_counts",

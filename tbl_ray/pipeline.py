@@ -106,6 +106,12 @@ def _register_builtins() -> None:
     from tbl_ray.functions.dedup import decontaminate, exact_dedup, minhash_dedup
     from tbl_ray.functions.joins import broadcast_join, broadcast_semi_join
     from tbl_ray.functions.sampling import sample_stratified, sample_uniform
+    from tbl_ray.functions.scrub import (
+        line_dedup,
+        redact_batch,
+        redact_pii,
+        repetition_stats_batch,
+    )
     from tbl_ray.functions.text import (
         fingerprint_batch,
         langid_batch,
@@ -134,8 +140,12 @@ def _register_builtins() -> None:
     register_op("langid")(langid_batch)
     register_op("fingerprint")(fingerprint_batch)
     register_op("normalize_text")(normalize_text_batch)
+    register_op("repetition_stats")(repetition_stats_batch)
+    register_op("redact")(redact_batch)
 
     register_op("dedup_exact", kind="dataset")(exact_dedup)
+    register_op("dedup_lines", kind="dataset")(line_dedup)
+    register_op("redact_pii", kind="dataset")(redact_pii)
     register_op("dedup_minhash", kind="dataset")(minhash_dedup)
     register_op("decontaminate", kind="dataset")(decontaminate)
     register_op("sample_uniform", kind="dataset")(sample_uniform)
