@@ -24,7 +24,45 @@ import ray.data
 from tbl_ray.stages.encode import _default_pool
 
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
+from tbl_ray.sizing import fits_local
 from tbl_ray.webtable import _mix
+
+
+def _collect_sketch(sk_ds: "ray.data.Dataset") -> pa.Table | None:
+    """Pull a (small, size-gated) sketch dataset into one local table;
+    ``None`` when the sketch is empty."""
+    batches = [
+        b
+        for b in sk_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not batches:
+        return None
+    return pa.concat_tables(batches).combine_chunks()
+
+
+def _local_bucket_groups(t: pa.Table | None, group_fn):
+    """Apply a per-(band, bucket) group function over a locally collected
+    sketch table: one lexsort segments the groups, and only multi-member
+    groups (the candidate-bearing ones) reach ``group_fn`` — the same
+    work the distributed ``groupby(...).map_groups`` does, minus the
+    exchange. Yields ``group_fn``'s non-empty outputs."""
+    if t is None or t.num_rows < 2:
+        return
+    band = np.asarray(t.column("band"))
+    bucket = np.asarray(t.column("bucket"))
+    order = np.lexsort((bucket, band))
+    ts = t.take(pa.array(order))
+    b1, b2 = band[order], bucket[order]
+    first = np.empty(len(b1), dtype=bool)
+    first[0] = True
+    first[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, len(b1)))
+    for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        out = group_fn(ts.slice(int(s), int(sz)))
+        if out.num_rows:
+            yield out
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _SHINGLE = 8  # byte-level shingle width (fits one uint64 window)
@@ -107,12 +145,28 @@ def exact_dedup(
         return pa.table({"drop": ids[1:].astype(np.int64)})
 
     pair_ds = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-    drop_ds = pair_ds.groupby(["f1", "f2"]).map_groups(
-        losers, batch_format="pyarrow"
-    )
-    drop = np.sort(
-        np.fromiter((r["drop"] for r in drop_ds.take_all()), dtype=np.int64)
-    )
+    if fits_local(ds):
+        # cost-based fast path: the sketch is ~24 B/row of a small input,
+        # so one driver lexsort replaces the distributed groupby and its
+        # fixed sample/exchange cost. Winners identical by construction.
+        t = _collect_sketch(pair_ds)
+        if t is None:
+            return ds
+        f1 = np.asarray(t.column("f1"))
+        f2 = np.asarray(t.column("f2"))
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        order = np.lexsort((ids, f2, f1))
+        f1s, f2s, idss = f1[order], f2[order], ids[order]
+        dup = np.zeros(len(idss), dtype=bool)
+        dup[1:] = (f1s[1:] == f1s[:-1]) & (f2s[1:] == f2s[:-1])
+        drop = np.sort(idss[dup])
+    else:
+        drop_ds = pair_ds.groupby(["f1", "f2"]).map_groups(
+            losers, batch_format="pyarrow"
+        )
+        drop = np.sort(
+            np.fromiter((r["drop"] for r in drop_ds.take_all()), dtype=np.int64)
+        )
     if drop.size == 0:
         return ds
     drop_ref = ray.put(drop)
@@ -320,15 +374,30 @@ def minhash_dup_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pair_ds = sk.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs(threshold, id_col), batch_format="pyarrow"
-    )
-    pair_ds = _coalesce_pairs(pair_ds, "est_jaccard", maximize=True)
-    seen = {}
-    for r in pair_ds.take_all():
-        key = (r["id_a"], r["id_b"])
-        if key not in seen or r["est_jaccard"] > seen[key]:
-            seen[key] = r["est_jaccard"]
+    pairs_fn = _bucket_pairs(threshold, id_col)
+    seen: dict[tuple[int, int], float] = {}
+    if fits_local(ds):
+        # cost-based fast path (see tbl_ray.sizing): group the collected
+        # sketch locally — bucket membership and pair estimates are
+        # identical to the distributed groupby by construction
+        for pt in _local_bucket_groups(_collect_sketch(sk), pairs_fn):
+            for a, b, j in zip(
+                pt.column("id_a").to_pylist(),
+                pt.column("id_b").to_pylist(),
+                pt.column("est_jaccard").to_pylist(),
+            ):
+                key = (a, b)
+                if key not in seen or j > seen[key]:
+                    seen[key] = j
+    else:
+        pair_ds = sk.groupby(["band", "bucket"]).map_groups(
+            pairs_fn, batch_format="pyarrow"
+        )
+        pair_ds = _coalesce_pairs(pair_ds, "est_jaccard", maximize=True)
+        for r in pair_ds.take_all():
+            key = (r["id_a"], r["id_b"])
+            if key not in seen or r["est_jaccard"] > seen[key]:
+                seen[key] = r["est_jaccard"]
     return [
         {"id_a": a, "id_b": b, "est_jaccard": j} for (a, b), j in sorted(seen.items())
     ]
@@ -456,13 +525,26 @@ def simhash_dup_pairs(
         )
 
     sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-    pair_ds = sk.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pyarrow")
-    pair_ds = _coalesce_pairs(pair_ds, "hamming", maximize=False)
-    seen = {}
-    for r in pair_ds.take_all():
-        key = (r["id_a"], r["id_b"])
-        if key not in seen or r["hamming"] < seen[key]:
-            seen[key] = r["hamming"]
+    seen: dict[tuple[int, int], int] = {}
+    if fits_local(ds):
+        for pt in _local_bucket_groups(_collect_sketch(sk), pairs):
+            for a, b, h in zip(
+                pt.column("id_a").to_pylist(),
+                pt.column("id_b").to_pylist(),
+                pt.column("hamming").to_pylist(),
+            ):
+                key = (a, b)
+                if key not in seen or h < seen[key]:
+                    seen[key] = h
+    else:
+        pair_ds = sk.groupby(["band", "bucket"]).map_groups(
+            pairs, batch_format="pyarrow"
+        )
+        pair_ds = _coalesce_pairs(pair_ds, "hamming", maximize=False)
+        for r in pair_ds.take_all():
+            key = (r["id_a"], r["id_b"])
+            if key not in seen or r["hamming"] < seen[key]:
+                seen[key] = r["hamming"]
     return [{"id_a": a, "id_b": b, "hamming": h} for (a, b), h in sorted(seen.items())]
 
 

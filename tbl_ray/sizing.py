@@ -1,0 +1,70 @@
+"""Cost-based plan selection helpers.
+
+Ray Data's distributed groupby/sort machinery has a fixed cost (key
+sampling, range partitioning, an all-to-all exchange) that dwarfs the
+useful work when the data is small — exactly like a SQL engine choosing a
+broadcast join over a shuffle join from table statistics. The helpers
+here give operators a *free* input-size estimate so they can swap a
+distributed exchange for a single local resolve when — and only when —
+the input is provably small:
+
+- a ``MaterializedDataset`` knows its exact object-store footprint;
+- a lazy dataset whose plan still exposes its input files is bounded by
+  the sum of their on-disk sizes (plan metadata — never executes);
+- anything else returns ``None`` and callers MUST take the scale-safe
+  distributed path.
+
+The switch point is ``LOCAL_SKETCH_BYTES`` (default 128 MiB, override
+``TBL_RAY_LOCAL_SKETCH_BYTES``; ``0`` disables local paths entirely).
+Both plans are semantically identical by construction — the tests run
+each operator through both.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def local_sketch_bytes() -> int:
+    """Read the threshold at call time so tests/users can flip the env
+    var without reimporting."""
+    return int(os.environ.get("TBL_RAY_LOCAL_SKETCH_BYTES", str(128 << 20)))
+
+
+def estimate_input_bytes(ds) -> int | None:
+    """Best-effort byte estimate of ``ds`` WITHOUT executing its plan.
+
+    Returns ``None`` when the size cannot be known cheaply (e.g. a lazy
+    map over a non-file source) — callers must treat ``None`` as "assume
+    huge"."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds.size_bytes()
+    except Exception:  # pragma: no cover - defensive against API drift
+        pass
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[len("file://"):] if f.startswith("file://") else f
+        if not os.path.exists(p):
+            return None  # remote scheme — unknown here, assume huge
+        total += os.path.getsize(p)
+    return total
+
+
+def fits_local(ds) -> bool:
+    """True when ``ds`` is provably small enough that a sketch over it
+    can be resolved in a single local task instead of a distributed
+    exchange."""
+    budget = local_sketch_bytes()
+    if budget <= 0:
+        return False
+    est = estimate_input_bytes(ds)
+    return est is not None and est <= budget

@@ -1,0 +1,107 @@
+"""Cost-based plan selection (tbl_ray.sizing): the local sketch-resolve
+fast path must produce results identical to the distributed exchange."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tbl_ray.functions.dedup import (
+    exact_dedup,
+    minhash_dup_pairs,
+    simhash_dup_pairs,
+)
+from tbl_ray.sizing import estimate_input_bytes, fits_local
+
+
+def test_estimate_read_parquet(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    est = estimate_input_bytes(ds)
+    assert est is not None and est > 0
+    assert fits_local(ds)
+
+
+def test_estimate_unknown_for_lazy_transform(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    # transformed plan loses input files -> unknown -> distributed path
+    assert estimate_input_bytes(ds) is None
+    assert not fits_local(ds)
+
+
+def test_estimate_materialized():
+    ds = ray.data.from_arrow(pa.table({"x": list(range(10))})).materialize()
+    est = estimate_input_bytes(ds)
+    assert est is not None and est > 0
+    assert fits_local(ds)
+
+
+def test_env_zero_disables_local(sf_dir, monkeypatch):
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", "0")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    assert not fits_local(ds)
+
+
+@pytest.fixture()
+def dup_docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about columnar encoding",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "another unrelated text talking about ray data pipelines",
+    ]
+    return pa.table({"doc_id": list(range(5)), "text": texts})
+
+
+def _both_paths(monkeypatch, fn):
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", str(1 << 30))
+    local = fn()
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", "0")
+    dist = fn()
+    return local, dist
+
+
+def test_exact_dedup_paths_identical(dup_docs, monkeypatch, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(dup_docs, p)
+
+    def run():
+        ds = ray.data.read_parquet(p)
+        out = exact_dedup(ds, "text", "doc_id").take_all()
+        return sorted(r["doc_id"] for r in out)
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist == [0, 2, 3, 4]
+
+
+def test_minhash_pairs_paths_identical(dup_docs, monkeypatch, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(dup_docs, p)
+
+    def run():
+        ds = ray.data.read_parquet(p)
+        return minhash_dup_pairs(ds, "text", "doc_id", threshold=0.5)
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist
+    assert {(p["id_a"], p["id_b"]) for p in local} >= {(0, 1)}
+
+
+def test_simhash_pairs_paths_identical(dup_docs, monkeypatch, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(dup_docs, p)
+
+    def run():
+        ds = ray.data.read_parquet(p)
+        return simhash_dup_pairs(ds, "text", "doc_id", max_hamming=3)
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist
+    assert {(p["id_a"], p["id_b"]) for p in local} >= {(0, 1)}
