@@ -24,21 +24,8 @@ import ray.data
 from tbl_ray.stages.encode import _default_pool
 
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
-from tbl_ray.sizing import fits_local
+from tbl_ray.sizing import collect_local as _collect_sketch, fits_local
 from tbl_ray.webtable import _mix
-
-
-def _collect_sketch(sk_ds: "ray.data.Dataset") -> pa.Table | None:
-    """Pull a (small, size-gated) sketch dataset into one local table;
-    ``None`` when the sketch is empty."""
-    batches = [
-        b
-        for b in sk_ds.iter_batches(batch_format="pyarrow", batch_size=None)
-        if b.num_rows
-    ]
-    if not batches:
-        return None
-    return pa.concat_tables(batches).combine_chunks()
 
 
 def _local_bucket_groups(t: pa.Table | None, group_fn):

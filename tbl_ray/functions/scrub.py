@@ -253,6 +253,19 @@ def frequent_units(
         return pa.table({"unit": vc.field("values"), "__n__": vc.field("counts")})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from tbl_ray.sizing import collect_local, fits_local
+
+    t = collect_local(partials) if fits_local(ds) else None
+    if t is not None:
+        # cost-based fast path (tbl_ray.sizing): local fold of the partials
+        merged = (
+            t.group_by("unit")
+            .aggregate([("__n__", "sum")])
+            .rename_columns(["unit", "n"])
+        )
+        keep = pc.greater_equal(merged.column("n"), int(min_count))
+        return ray.data.from_arrow(merged.filter(keep))
     counts = partials.groupby("unit").aggregate(Sum("__n__", alias_name="n"))
     return counts.filter(expr=f"n >= {int(min_count)}")
 

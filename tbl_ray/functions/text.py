@@ -204,6 +204,24 @@ def top_vocab(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from tbl_ray.sizing import collect_local, fits_local
+
+    t = collect_local(partials) if fits_local(ds) else None
+    if t is not None:
+        # cost-based fast path (tbl_ray.sizing): fold the partials with
+        # one local Arrow group_by + sort instead of the exchange
+        merged = (
+            t.group_by("word")
+            .aggregate([("__n__", "sum")])
+            .rename_columns(["word", "n"])
+        )
+        top = merged.sort_by(
+            [("n", "descending"), ("word", "ascending")]
+        ).slice(0, k)
+        import ray.data as rd
+
+        return rd.from_arrow(top)
     counts = partials.groupby("word").aggregate(Sum("__n__", alias_name="n"))
     return topk(counts, ["n", "word"], k, descending=[True, False])
 

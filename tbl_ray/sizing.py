@@ -59,6 +59,23 @@ def estimate_input_bytes(ds) -> int | None:
     return total
 
 
+def collect_local(ds) -> "object | None":
+    """Pull a (small, size-gated by the caller) dataset into one local
+    pyarrow Table; ``None`` when empty. Callers must only use this on
+    data they have bounded — a sketch/partials stream derived from a
+    :func:`fits_local` input."""
+    import pyarrow as pa
+
+    batches = [
+        b
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not batches:
+        return None
+    return pa.concat_tables(batches).combine_chunks()
+
+
 def fits_local(ds) -> bool:
     """True when ``ds`` is provably small enough that a sketch over it
     can be resolved in a single local task instead of a distributed

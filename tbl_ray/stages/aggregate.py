@@ -32,10 +32,27 @@ class _PartialCounts:
 
 
 def value_counts(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
-    """Distributed value_counts: partials -> small shuffle -> sort desc."""
+    """Distributed value_counts: partials -> small shuffle -> sort desc.
+
+    Cost-based fast path (see :mod:`tbl_ray.sizing`): when the input is
+    provably small, the partials fold in one local Arrow ``group_by``
+    instead of paying the distributed exchange's fixed cost. Identical
+    counts either way."""
+    from tbl_ray.sizing import collect_local, fits_local
+
     partials = ds.map_batches(
         _PartialCounts(column), batch_format="pyarrow", zero_copy_batch=True
     )
+    t = collect_local(partials) if fits_local(ds) else None
+    if t is not None:
+        merged = (
+            t.group_by(column)
+            .aggregate([("__partial_count__", "sum")])
+            .rename_columns([column, "count"])
+        )
+        return ray.data.from_arrow(
+            merged.sort_by([("count", "descending")])
+        )
     counts = partials.groupby(column).aggregate(
         Sum("__partial_count__", alias_name="count")
     )
@@ -96,20 +113,36 @@ def group_aggregate(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    merge_aggs = []
+    # (partial-name, merge-func, final-name) triples drive both plans
+    merge_plan: list[tuple[str, str, str]] = []
     for col, funcs in aggs.items():
         need = set(funcs)
         if "mean" in need:
             need |= {"sum", "count"}
         if "count" in need or "mean" in need:
-            merge_aggs.append(Sum(f"__count__{col}", alias_name=f"count_{col}"))
+            merge_plan.append((f"__count__{col}", "sum", f"count_{col}"))
         if "sum" in need or "mean" in need:
-            merge_aggs.append(Sum(f"__sum__{col}", alias_name=f"sum_{col}"))
+            merge_plan.append((f"__sum__{col}", "sum", f"sum_{col}"))
         if "min" in need:
-            merge_aggs.append(Min(f"__min__{col}", alias_name=f"min_{col}"))
+            merge_plan.append((f"__min__{col}", "min", f"min_{col}"))
         if "max" in need:
-            merge_aggs.append(Max(f"__max__{col}", alias_name=f"max_{col}"))
-    merged = partials.groupby(keys).aggregate(*merge_aggs)
+            merge_plan.append((f"__max__{col}", "max", f"max_{col}"))
+
+    from tbl_ray.sizing import collect_local, fits_local
+
+    t = collect_local(partials) if fits_local(ds) else None
+    if t is not None:
+        mt = t.group_by(keys).aggregate([(src, f) for src, f, _ in merge_plan])
+        # arrow names merge results "<src>_<func>"; keys come first
+        mt = mt.rename_columns(keys + [final for _, _, final in merge_plan])
+        merged = ray.data.from_arrow(mt)
+    else:
+        # big input, or a degenerate empty one — the exchange is correct
+        # (and on empty data, trivially cheap) in both cases
+        ray_aggs = {"sum": Sum, "min": Min, "max": Max}
+        merged = partials.groupby(keys).aggregate(
+            *[ray_aggs[f](src, alias_name=final) for src, f, final in merge_plan]
+        )
 
     drops: list[str] = []
     means = [(col, funcs) for col, funcs in aggs.items() if "mean" in funcs]

@@ -92,6 +92,61 @@ def test_minhash_pairs_paths_identical(dup_docs, monkeypatch, tmp_path):
     assert {(p["id_a"], p["id_b"]) for p in local} >= {(0, 1)}
 
 
+def test_value_counts_paths_identical(sf_dir, monkeypatch):
+    from tbl_ray.stages.aggregate import value_counts
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        rows = value_counts(ds, "lang").take_all()
+        return sorted((r["lang"], r["count"]) for r in rows)
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist and len(local) > 0
+
+
+def test_group_aggregate_paths_identical(sf_dir, monkeypatch):
+    from tbl_ray.stages.aggregate import group_aggregate
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        rows = group_aggregate(
+            ds, "lang", {"n_chars": ["count", "sum", "min", "max", "mean"]}
+        ).take_all()
+        return sorted(
+            (r["lang"], r["count_n_chars"], r["sum_n_chars"],
+             r["min_n_chars"], r["max_n_chars"], r["mean_n_chars"])
+            for r in rows
+        )
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist and len(local) > 0
+
+
+def test_top_vocab_paths_identical(sf_dir, monkeypatch):
+    from tbl_ray.functions.text import top_vocab
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return [
+            (r["word"], r["n"]) for r in top_vocab(ds, "text", k=10).take_all()
+        ]
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist and len(local) == 10
+
+
+def test_frequent_units_paths_identical(sf_dir, monkeypatch):
+    from tbl_ray.functions.scrub import frequent_units
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        rows = frequent_units(ds, "text", " ", 50).take_all()
+        return sorted((r["unit"], r["n"]) for r in rows)
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist and len(local) > 0
+
+
 def test_simhash_pairs_paths_identical(dup_docs, monkeypatch, tmp_path):
     import pyarrow.parquet as pq
 
