@@ -518,6 +518,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_lines"] = dedup_lines
 
+    def bpe_tokens(sf_dir: str):
+        """BPE-pre-tokenizer token counts (RE2 pattern shared verbatim
+        with the DuckDB oracle)."""
+        from tbl_ray.functions.text import token_count_bpe
+
+        return token_count_bpe(_docs(sf_dir)).select_columns(
+            ["doc_id", "n_bpe_tokens"]
+        )
+
+    q["token_count_bpe"] = bpe_tokens
+
+    def chunk(sf_dir: str):
+        """Fixed-size sequence chunking: zero-copy offsets rebuild over
+        the batch's flat UTF-8 buffer; char->byte via one cumsum +
+        searchsorted."""
+        from tbl_ray.functions.chunking import chunk_fixed
+
+        return chunk_fixed(_docs(sf_dir), "text", "doc_id", size=40)
+
+    q["chunk_fixed"] = chunk
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -805,6 +826,19 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+            " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|"
+            " ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT)"
+            " AS n_bpe_tokens FROM documents"
+        ),
+        "chunk_fixed": (
+            "WITH c AS (SELECT doc_id, text, unnest(range(0,"
+            " CAST(greatest(ceil(length(text)/40.0), 1) AS BIGINT)))"
+            " AS chunk_id FROM documents)"
+            " SELECT doc_id, chunk_id,"
+            " substr(text, 1 + CAST(chunk_id*40 AS INT), 40) AS text FROM c"
         ),
         "dedup_lines": (
             "WITH l AS (SELECT doc_id,"

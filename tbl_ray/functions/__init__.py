@@ -21,6 +21,7 @@ from tbl_ray.functions.joins import (
     broadcast_join,
     broadcast_semi_join,
 )
+from tbl_ray.functions.chunking import chunk_fixed
 from tbl_ray.functions.sampling import sample_stratified, sample_uniform
 from tbl_ray.functions.scrub import (
     frequent_units,
@@ -46,6 +47,7 @@ from tbl_ray.functions.text import (
     langid,
     text_stats,
     token_count,
+    token_count_bpe,
     top_vocab,
 )
 from tbl_ray.functions.windows import session_counts, tumbling_window
@@ -57,6 +59,7 @@ __all__ = [
     "broadcast_asof_join",
     "broadcast_join",
     "broadcast_semi_join",
+    "chunk_fixed",
     "build_ivf_index",
     "decontaminate",
     "exact_dedup",
@@ -83,6 +86,7 @@ __all__ = [
     "simhash_dup_pairs",
     "text_stats",
     "token_count",
+    "token_count_bpe",
     "top_vocab",
     "tumbling_window",
 ]

@@ -38,6 +38,33 @@ def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     return t.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer split, restricted to RE2 syntax (no
+# lookahead), so Arrow and DuckDB — both RE2 — count identically:
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def token_count_bpe_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-pre-tokenizer token count (:data:`BPE_SPLIT_PATTERN` matches —
+    the standard budget estimate for sequence packing; a real BPE merge
+    table only splits these further)."""
+    text = t.column(text_col)
+    n = pc.count_substring_regex(text, BPE_SPLIT_PATTERN)
+    return t.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def token_count_bpe(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        _wrap(token_count_bpe_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def text_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / digit / stopword statistics + quality score.
 
