@@ -539,6 +539,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["chunk_fixed"] = chunk
 
+    def shuffle_head_q(sf_dir: str):
+        """Seeded deterministic shuffle, first 100 rows WITH the 0-based
+        rank column — the order itself is oracle-checked (row_number in
+        SQL vs the per-block top-k + collapsed-block numbering here)."""
+        from tbl_ray.functions.sampling import shuffle_head
+
+        return shuffle_head(_docs(sf_dir), 100, seed=7).select_columns(
+            ["doc_id", "pos"]
+        )
+
+    q["shuffle_head"] = shuffle_head_q
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -826,6 +838,12 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "shuffle_head": (
+            "SELECT doc_id, row_number() OVER (ORDER BY"
+            " CAST(((doc_id + 7) * 2654435761) % 4294967296 AS BIGINT),"
+            " doc_id) - 1 AS pos FROM documents"
+            " ORDER BY pos LIMIT 100"
         ),
         "token_count_bpe": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text,"

@@ -22,7 +22,12 @@ from tbl_ray.functions.joins import (
     broadcast_semi_join,
 )
 from tbl_ray.functions.chunking import chunk_fixed
-from tbl_ray.functions.sampling import sample_stratified, sample_uniform
+from tbl_ray.functions.sampling import (
+    sample_stratified,
+    sample_uniform,
+    shuffle_deterministic,
+    shuffle_head,
+)
 from tbl_ray.functions.scrub import (
     frequent_units,
     line_dedup,
@@ -82,6 +87,8 @@ __all__ = [
     "sample_stratified",
     "sample_uniform",
     "session_counts",
+    "shuffle_deterministic",
+    "shuffle_head",
     "simhash",
     "simhash_dup_pairs",
     "text_stats",

@@ -58,6 +58,68 @@ def sample_uniform(
     return picked.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shuffle_deterministic(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Seeded pseudo-random global order: sort by (sample key, id).
+
+    The reproducible corpus shuffle before training: the order is a pure
+    function of (seed, id) — identical across runs, cluster sizes, and
+    block layouts, unlike ``ds.random_shuffle()``. Costs one distributed
+    range-partition sort (inherent: a global shuffle must move every
+    row). Different epochs = different seeds."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        return t.append_column(
+            "__sk__", pa.array(_sample_key(ids, seed).astype(np.int64))
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__sk__"])
+
+    return keyed.sort(["__sk__", id_col]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def shuffle_head(
+    ds: "ray.data.Dataset",
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """First ``n`` rows of :func:`shuffle_deterministic`'s order, with an
+    explicit ``pos`` column (0-based rank) — shuffle-free via the same
+    per-block top-k as :func:`sample_uniform`, then positions assigned in
+    the single collapsed block. ``pos`` makes the order itself
+    oracle-checkable (SQL: ``row_number() OVER (ORDER BY sk, id) - 1``)."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        return t.append_column(
+            "__sk__", pa.array(_sample_key(ids, seed).astype(np.int64))
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    picked = topk(keyed, ["__sk__", id_col], n)
+
+    def number(t: pa.Table) -> pa.Table:
+        # topk's final stage emits ONE sorted block; rank = row index
+        t = t.append_column("pos", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+        return t.drop_columns(["__sk__"])
+
+    return picked.map_batches(
+        number, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def sample_stratified(
     ds: "ray.data.Dataset",
     key: str,

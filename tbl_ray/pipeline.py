@@ -156,6 +156,11 @@ def _register_builtins() -> None:
     register_op("decontaminate", kind="dataset")(decontaminate)
     register_op("sample_uniform", kind="dataset")(sample_uniform)
     register_op("sample_stratified", kind="dataset")(sample_stratified)
+
+    from tbl_ray.functions.sampling import shuffle_deterministic, shuffle_head
+
+    register_op("shuffle", kind="dataset")(shuffle_deterministic)
+    register_op("shuffle_head", kind="dataset")(shuffle_head)
     register_op("topk", kind="dataset")(_topk)
     register_op("grouped_topn", kind="dataset")(grouped_topn)
     register_op("join_broadcast", kind="dataset")(broadcast_join)

@@ -160,3 +160,32 @@ def test_simhash_pairs_paths_identical(dup_docs, monkeypatch, tmp_path):
     local, dist = _both_paths(monkeypatch, run)
     assert local == dist
     assert {(p["id_a"], p["id_b"]) for p in local} >= {(0, 1)}
+
+
+def test_shuffle_deterministic_and_head(sf_dir):
+    import numpy as np
+
+    from tbl_ray.functions.sampling import (
+        _sample_key,
+        shuffle_deterministic,
+        shuffle_head,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ids = np.array(
+        [r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all()],
+        dtype=np.int64,
+    )
+    keys = _sample_key(ids, 7)
+    expected = ids[np.lexsort((ids, keys))]
+
+    got = [
+        r["doc_id"]
+        for r in shuffle_deterministic(ds, seed=7).select_columns(["doc_id"]).take_all()
+    ]
+    assert got == expected.tolist()
+
+    head = shuffle_head(ds, 10, seed=7).take_all()
+    assert [r["pos"] for r in head] == list(range(10))
+    assert [r["doc_id"] for r in head] == expected[:10].tolist()
+    assert "__sk__" not in head[0]
