@@ -551,6 +551,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["shuffle_head"] = shuffle_head_q
 
+    def pack(sf_dir: str):
+        """Greedy sequence packing (rows-only: the greedy break points
+        are not reasonably SQL-expressible; invariants — every doc
+        packed exactly once, budget respected — are unit-tested)."""
+        from tbl_ray.functions.chunking import pack_sequences
+
+        return pack_sequences(_docs(sf_dir), max_tokens=256).select_columns(
+            ["seq_id", "n_docs", "n_tokens"]
+        )
+
+    q["pack_sequences"] = pack
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only

@@ -21,7 +21,7 @@ from tbl_ray.functions.joins import (
     broadcast_join,
     broadcast_semi_join,
 )
-from tbl_ray.functions.chunking import chunk_fixed
+from tbl_ray.functions.chunking import chunk_fixed, pack_sequences
 from tbl_ray.functions.sampling import (
     sample_stratified,
     sample_uniform,
@@ -81,6 +81,7 @@ __all__ = [
     "minhash_dup_pairs",
     "ngram_jaccard",
     "normalize_text",
+    "pack_sequences",
     "redact",
     "redact_pii",
     "repetition_stats",

@@ -96,3 +96,83 @@ def chunk_fixed(
         return chunk_fixed_batch(t, text_col=text_col, id_col=id_col, size=size)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences_batch(
+    t: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+    sep: str = "\n\n",
+) -> pa.Table:
+    """Greedy sequence packing: concatenate consecutive documents (in
+    batch order, ``sep``-joined) into sequences whose whitespace-token
+    total stays <= ``max_tokens``; a single over-budget document gets its
+    own sequence. Output: (seq_id = first doc id, text, n_docs,
+    n_tokens).
+
+    Greedy packing is inherently sequential, but the loop here runs per
+    SEQUENCE, not per document — each break point is one ``searchsorted``
+    into the token cumsum — and the text assembly is one vectorized
+    ``binary_join`` over a rebuilt list array."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    n = t.num_rows
+    out_schema = {
+        "seq_id": pa.int64(), text_col: pa.string(),
+        "n_docs": pa.int64(), "n_tokens": pa.int64(),
+    }
+    if n == 0:
+        return pa.table({k: pa.array([], v) for k, v in out_schema.items()})
+    col = t.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    toks = np.asarray(
+        pc.count_substring_regex(col, r"\S+"), dtype=np.int64
+    )
+    cum = np.cumsum(toks)
+    breaks = [0]
+    while breaks[-1] < n:
+        start = breaks[-1]
+        base = cum[start - 1] if start else 0
+        end = int(np.searchsorted(cum, base + max_tokens, side="right"))
+        breaks.append(max(end, start + 1))  # over-budget doc: alone
+    bounds = np.asarray(breaks, dtype=np.int64)
+    seq_starts, seq_ends = bounds[:-1], bounds[1:]
+    lists = pa.ListArray.from_arrays(
+        pa.array(bounds.astype(np.int32), pa.int32()), col
+    )
+    joined = pc.binary_join(lists, sep)
+    ids = np.asarray(t.column(id_col), dtype=np.int64)
+    base_cum = np.concatenate([[0], cum])
+    return pa.table(
+        {
+            "seq_id": pa.array(ids[seq_starts]),
+            text_col: joined,
+            "n_docs": pa.array(seq_ends - seq_starts),
+            "n_tokens": pa.array(base_cum[seq_ends] - base_cum[seq_starts]),
+        }
+    )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+    sep: str = "\n\n",
+) -> "ray.data.Dataset":
+    """Distributed greedy packing, per block: documents never straddle
+    blocks, so each block packs independently (the standard distributed
+    compromise — a global pack would serialize the whole corpus). Shuffle
+    first (:func:`tbl_ray.functions.sampling.shuffle_deterministic`) if
+    packing order should be seed-random rather than storage order."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pack_sequences_batch(
+            t, text_col=text_col, id_col=id_col, max_tokens=max_tokens, sep=sep
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -143,11 +143,12 @@ def _register_builtins() -> None:
     register_op("repetition_stats")(repetition_stats_batch)
     register_op("redact")(redact_batch)
 
-    from tbl_ray.functions.chunking import chunk_fixed_batch
+    from tbl_ray.functions.chunking import chunk_fixed_batch, pack_sequences_batch
     from tbl_ray.functions.text import token_count_bpe_batch
 
     register_op("token_count_bpe")(token_count_bpe_batch)
     register_op("chunk_fixed")(chunk_fixed_batch)
+    register_op("pack_sequences")(pack_sequences_batch)
 
     register_op("dedup_exact", kind="dataset")(exact_dedup)
     register_op("dedup_lines", kind="dataset")(line_dedup)

@@ -65,3 +65,44 @@ def test_token_count_bpe_hand_case():
     out = token_count_bpe_batch(t)
     # Hello | world | 's | ' 123' | ' ok' | '!'  -> 6
     assert out.column("n_bpe_tokens").to_pylist() == [6, 0, None]
+
+
+# -- sequence packing -----------------------------------------------------
+
+
+def test_pack_hand_case():
+    from tbl_ray.functions.chunking import pack_sequences_batch
+
+    t = pa.table(
+        {"doc_id": [10, 11, 12, 13],
+         "text": ["a b c", "d e", "f g h i j k l m", "one"]}
+    )
+    out = pack_sequences_batch(t, max_tokens=6, sep=" | ")
+    rows = out.to_pylist()
+    assert rows[0] == {"seq_id": 10, "text": "a b c | d e", "n_docs": 2, "n_tokens": 5}
+    assert rows[1]["seq_id"] == 12 and rows[1]["n_docs"] == 1  # oversize: alone
+    assert rows[2] == {"seq_id": 13, "text": "one", "n_docs": 1, "n_tokens": 1}
+
+
+def test_pack_invariants(sf_dir):
+    from tbl_ray.functions.chunking import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    n_docs = ds.count()
+    packs = pack_sequences(ds, max_tokens=200).take_all()
+    assert sum(r["n_docs"] for r in packs) == n_docs  # every doc exactly once
+    # budget respected except single-doc over-budget packs
+    assert all(r["n_tokens"] <= 200 or r["n_docs"] == 1 for r in packs)
+    assert len(packs) < n_docs  # actually packs multiple docs together
+
+
+def test_pack_empty_and_null():
+    from tbl_ray.functions.chunking import pack_sequences_batch
+
+    t = pa.table({"doc_id": [0], "text": pa.array([None], pa.string())})
+    assert pack_sequences_batch(t, max_tokens=4).to_pylist() == [
+        {"seq_id": 0, "text": "", "n_docs": 1, "n_tokens": 0}
+    ]
+    empty = pack_sequences_batch(t.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["seq_id", "text", "n_docs", "n_tokens"]
