@@ -122,3 +122,56 @@ int64_t fsst_decode(const uint8_t *enc, int64_t N, const int64_t *seg_lens,
   }
   return o;
 }
+
+/* MinHash signature kernel — one pass over the flat UTF-8 buffer instead
+ * of the numpy path's n_hashes multiply/mask/reduceat passes (each a full
+ * sweep of a len(data)-sized uint64 array: ~5 * n_hashes * 8 bytes of
+ * memory traffic per input byte; this loop reads each byte once and keeps
+ * the whole signature row in registers/L1).
+ *
+ * Bit-identical to tbl_ray/functions/dedup.py:minhash_signatures by
+ * construction: same big-endian 8-byte window, same splitmix64 finalizer
+ * (tbl_ray/webtable.py:_mix), same universal hash a[i]*h + b[i] with
+ * uint64 wraparound, same U64_MAX masking rules (windows whose mixed
+ * value lands on U64_MAX are treated as masked, exactly like the numpy
+ * path's hi[h == U64_MAX] = U64_MAX).
+ */
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+/* sig must be pre-sized n_rows * n_hashes; filled with U64_MAX here.
+ * shingle is the window width in bytes (<= 8); rows shorter than it get
+ * an all-U64_MAX signature row, matching the numpy path. */
+void minhash_sig(const uint8_t *data, const int64_t *offsets, int64_t n_rows,
+                 const uint64_t *a, const uint64_t *b, int32_t n_hashes,
+                 int32_t shingle, uint64_t *sig) {
+  uint64_t row_sig[256];
+  if (n_hashes > 256)
+    return; /* loader guards; numpy path handles wider signatures */
+  for (int64_t r = 0; r < n_rows; r++) {
+    for (int32_t i = 0; i < n_hashes; i++)
+      row_sig[i] = 0xFFFFFFFFFFFFFFFFULL;
+    int64_t start = offsets[r], end = offsets[r + 1];
+    for (int64_t p = start; p + shingle <= end; p++) {
+      uint64_t w;
+      /* p + shingle <= end <= buffer length: always in-bounds for
+       * shingle == 8 (the only width the Python caller uses) */
+      memcpy(&w, data + p, 8);
+      w = __builtin_bswap64(w) >> (8 * (8 - shingle)) << (8 * (8 - shingle));
+      uint64_t h = splitmix64(w);
+      if (h == 0xFFFFFFFFFFFFFFFFULL)
+        continue; /* numpy masks natural U64_MAX hashes too */
+      for (int32_t i = 0; i < n_hashes; i++) {
+        uint64_t v = a[i] * h + b[i];
+        if (v < row_sig[i])
+          row_sig[i] = v;
+      }
+    }
+    for (int32_t i = 0; i < n_hashes; i++)
+      sig[r * (int64_t)n_hashes + i] = row_sig[i];
+  }
+}

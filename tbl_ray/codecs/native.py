@@ -88,6 +88,17 @@ def _build_cdll() -> ctypes.CDLL | None:
         ctypes.c_void_p,  # out (>= 2*M)
         ctypes.c_void_p,  # seg_lens (n_segs,) i64
     ]
+    lib.minhash_sig.restype = None
+    lib.minhash_sig.argtypes = [
+        ctypes.c_void_p,  # data (flat utf-8)
+        ctypes.c_void_p,  # offsets (n_rows + 1) i64
+        ctypes.c_int64,  # n_rows
+        ctypes.c_void_p,  # a (n_hashes,) u64
+        ctypes.c_void_p,  # b (n_hashes,) u64
+        ctypes.c_int32,  # n_hashes (<= 256)
+        ctypes.c_int32,  # shingle (callers pass 8; see kernel comment)
+        ctypes.c_void_p,  # sig out (n_rows * n_hashes) u64
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,  # enc

@@ -24,6 +24,7 @@ import ray.data
 from tbl_ray.stages.encode import _default_pool
 
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
+from tbl_ray.codecs.native import lib as _native_lib
 from tbl_ray.sizing import collect_local as _collect_sketch, fits_local
 from tbl_ray.webtable import _mix
 
@@ -237,16 +238,50 @@ def minhash_signatures(col: pa.Array, n_hashes: int = 32, seed: int = 7) -> np.n
     """(n_rows, n_hashes) uint64 MinHash signature matrix.
 
     One base shingle hash per position; the i-th permutation is the
-    universal-hash ``a_i * h + b_i`` (wraparound), minimized per row with
-    ``np.minimum.reduceat`` — all vectorized."""
-    h, starts, lens = _window_hashes(col)
-    n = len(lens)
+    universal-hash ``a_i * h + b_i`` (wraparound), minimized per row.
+
+    Native path (``codecs/_fsst_native.c:minhash_sig``, bit-identical by
+    construction, parity-tested): one pass over the bytes with the whole
+    signature row in registers. The numpy fallback sweeps a
+    len(data)-sized uint64 array ~5x per hash function — at 32 hashes
+    that is ~1.3 KB of memory traffic per input byte, which is what makes
+    the numpy path bandwidth-bound at scale."""
+    n = len(col)
     sig = np.full((n, n_hashes), _U64_MAX, dtype=np.uint64)
-    if len(h) == 0:
+    if n == 0:
         return sig
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=n_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
     b = rng.integers(0, 2**63, size=n_hashes, dtype=np.uint64)
+
+    # _native_lib is imported at module top: a function-scoped
+    # `from tbl_ray...` import would raise ModuleNotFoundError inside Ray
+    # workers, which receive this function by value (guard test ASTs for it)
+    nat = _native_lib()
+    if nat is not None and n_hashes <= 256:
+        arr = col
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        offsets, data = binary_parts(arr)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        data = np.ascontiguousarray(data)
+        import ctypes
+
+        nat.minhash_sig(
+            data.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            np.int64(n),
+            a.ctypes.data_as(ctypes.c_void_p),
+            b.ctypes.data_as(ctypes.c_void_p),
+            np.int32(n_hashes),
+            np.int32(_SHINGLE),
+            sig.ctypes.data_as(ctypes.c_void_p),
+        )
+        return sig
+
+    h, starts, lens = _window_hashes(col)
+    if len(h) == 0:
+        return sig
     empty = lens == 0
     with np.errstate(over="ignore"):
         for i in range(n_hashes):

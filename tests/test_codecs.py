@@ -279,6 +279,47 @@ def test_no_function_scoped_tbl_ray_imports_in_codecs():
     assert not offenders, offenders
 
 
+def test_no_tbl_ray_imports_in_worker_shipped_bodies():
+    # Wider net over functions/ and stages/: nested functions (closures
+    # passed to map_batches) and class methods (actor/callable instances)
+    # execute inside Ray workers, where a runtime `from tbl_ray...` import
+    # raises ModuleNotFoundError (the package ships by cloudpickle value).
+    # Top-level module functions may import lazily — they run on the
+    # driver — but anything that ships must resolve its imports at module
+    # scope. (Regression: minhash_signatures grew a function-scoped
+    # native-kernel import and broke every worker-side sketch.)
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "tbl_ray"
+    offenders = []
+    for pkg in ("functions", "stages"):
+        for p in (root / pkg).rglob("*.py"):
+            tree = ast.parse(p.read_text())
+
+            def scan(fn_node, where):
+                for sub in ast.walk(fn_node):
+                    if (
+                        isinstance(sub, ast.ImportFrom)
+                        and sub.module
+                        and sub.module.startswith("tbl_ray")
+                    ):
+                        offenders.append(f"{p.name}:{sub.lineno} ({where})")
+
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ClassDef):
+                    for item in node.body:
+                        if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                            scan(item, f"{node.name}.{item.name}")
+                elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    for inner in ast.walk(node):
+                        if inner is not node and isinstance(
+                            inner, (ast.FunctionDef, ast.AsyncFunctionDef)
+                        ):
+                            scan(inner, f"{node.name}.{inner.name}")
+    assert not offenders, offenders
+
+
 def test_unicode_and_nul_bytes_roundtrip():
     # multibyte UTF-8, emoji, embedded NULs, nulls and empties all survive
     # the auto path and FSST bit-exactly

@@ -902,3 +902,46 @@ def test_curate_webtext_funnel(sf_dir, tmp_path):
     assert written.num_rows == 50
     # curated rows carry the analysis columns
     assert {"quality", "lang_pred"} <= set(written.schema.names)
+
+
+def test_minhash_native_numpy_parity():
+    """The C minhash kernel must be bit-identical to the numpy path on
+    empties, short rows, unicode, and random payloads."""
+    from tbl_ray.codecs import native
+    from tbl_ray.functions.dedup import minhash_signatures
+
+    rng = np.random.default_rng(0)
+    texts = [
+        "",
+        "short",
+        "exactly8",
+        "ninechars",
+        "répétition of ünicode ▲▼ and more bytes",
+        "the quick brown fox jumps over the lazy dog " * 20,
+    ] + [
+        "".join(chr(int(c)) for c in rng.integers(32, 900, int(n)))
+        for n in rng.integers(0, 200, 200)
+    ]
+    col = pa.array(texts)
+    real = native._kernels()
+    if real.cdll is None:
+        pytest.skip("no compiler on this host")
+    numpy_only = native._Kernels.__new__(native._Kernels)
+    numpy_only.cdll = None
+    try:
+        native._K = real
+        sig_c = minhash_signatures(col, 32, 7)
+        native._K = numpy_only
+        sig_np = minhash_signatures(col, 32, 7)
+    finally:
+        native._K = real
+    assert np.array_equal(sig_c, sig_np)
+    # and a different seed/hash-count still agrees
+    try:
+        native._K = real
+        s2_c = minhash_signatures(col, 16, 99)
+        native._K = numpy_only
+        s2_np = minhash_signatures(col, 16, 99)
+    finally:
+        native._K = real
+    assert np.array_equal(s2_c, s2_np)
