@@ -193,6 +193,10 @@ def bench_queries() -> dict[str, float]:
         "top_vocab",
         "sample_uniform",
         "join_broadcast",
+        "dedup_lines",
+        "chunk_fixed",
+        "pack_sequences",
+        "shuffle_head",
         "curate_webtext",
         "encode_roundtrip",
     ]

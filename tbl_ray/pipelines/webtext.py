@@ -41,6 +41,12 @@ class WebtextConfig:
     decontaminate_ngram: int = 8
     sample_n: int | None = None
     sample_seed: int = 0
+    # optional scrub/reshape stages (off by default; see functions.scrub
+    # and functions.chunking for semantics)
+    redact_pii: bool = False
+    line_dedup_min_count: int | None = None
+    line_dedup_sep: str = "\n"
+    pack_max_tokens: int | None = None
 
 
 def _prep_batch(t: pa.Table, cfg: WebtextConfig) -> pa.Table:
@@ -107,12 +113,36 @@ def curate_webtext(
         if audit_counts:
             report["after_decontaminate"] = kept.count()
 
+    if cfg.line_dedup_min_count is not None:
+        from tbl_ray.functions.scrub import line_dedup
+
+        # two-pass operator: kept is already materialized above
+        kept = line_dedup(
+            kept, cfg.text_col, sep=cfg.line_dedup_sep,
+            min_count=cfg.line_dedup_min_count,
+        )
+
+    if cfg.redact_pii:
+        from tbl_ray.functions.scrub import redact_pii as _redact
+
+        kept = _redact(kept, cfg.text_col)
+
     if cfg.sample_n is not None:
         kept = sample_uniform(
             kept, cfg.sample_n, id_col=cfg.id_col, seed=cfg.sample_seed
         )
         if audit_counts:
             report["after_sample"] = kept.count()
+
+    if cfg.pack_max_tokens is not None:
+        from tbl_ray.functions.chunking import pack_sequences
+
+        kept = pack_sequences(
+            kept, text_col=cfg.text_col, id_col=cfg.id_col,
+            max_tokens=cfg.pack_max_tokens,
+        )
+        if audit_counts:
+            report["after_pack"] = kept.count()
 
     if out_path:
         write_parquet_atomic(kept, out_path)

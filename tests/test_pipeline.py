@@ -64,3 +64,29 @@ def test_pipeline_is_immutable():
     p = Pipeline()
     p2 = p.step("token_count")
     assert p._steps == [] and len(p2._steps) == 1
+
+
+def test_curate_webtext_full_funnel(sf_dir):
+    """All optional stages on: line dedup -> PII redact -> sample -> pack."""
+    import ray.data
+
+    from tbl_ray.pipelines.webtext import WebtextConfig, curate_webtext
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    kept, report = curate_webtext(
+        ds,
+        cfg=WebtextConfig(
+            languages=[],
+            min_quality=0.0,
+            sample_n=100,
+            redact_pii=True,
+            line_dedup_min_count=10**9,  # no-op threshold; exercises the stage
+            line_dedup_sep=" ",
+            pack_max_tokens=256,
+        ),
+        audit_counts=True,
+    )
+    rows = kept.take_all()
+    assert rows and set(rows[0]) >= {"seq_id", "text", "n_docs", "n_tokens"}
+    assert sum(r["n_docs"] for r in rows) == report["after_sample"]
+    assert report["after_pack"] == len(rows)
