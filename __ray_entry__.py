@@ -563,6 +563,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pack_sequences"] = pack
 
+    def bigrams(sf_dir: str):
+        """Top-k corpus word bigrams: n shifted zero-copy slices of the
+        flat word array joined element-wise; windows crossing a document
+        boundary masked out."""
+        from tbl_ray.functions.text import top_ngrams
+
+        return top_ngrams(_docs(sf_dir), "text", n=2, k=50)
+
+    q["top_ngrams"] = bigrams
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -850,6 +860,16 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "top_ngrams": (
+            "WITH wl AS (SELECT doc_id, list_filter(str_split_regex(text,"
+            " '\\s+'), x -> x <> '') AS ws FROM documents),"
+            " w AS (SELECT doc_id, unnest(ws) AS word,"
+            " unnest(range(1, len(ws)+1)) AS pos FROM wl)"
+            " SELECT w1.word || ' ' || w2.word AS ngram, count(*) AS n"
+            " FROM w w1 JOIN w w2 ON w1.doc_id = w2.doc_id"
+            " AND w2.pos = w1.pos + 1"
+            " GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"
         ),
         "shuffle_head": (
             "SELECT doc_id, row_number() OVER (ORDER BY"

@@ -53,6 +53,7 @@ from tbl_ray.functions.text import (
     text_stats,
     token_count,
     token_count_bpe,
+    top_ngrams,
     top_vocab,
 )
 from tbl_ray.functions.windows import session_counts, tumbling_window
@@ -95,6 +96,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "token_count_bpe",
+    "top_ngrams",
     "top_vocab",
     "tumbling_window",
 ]

@@ -231,26 +231,98 @@ def top_vocab(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk_counts(ds, partials, "word", k)
+
+
+def _topk_counts(
+    ds: "ray.data.Dataset",
+    partials: "ray.data.Dataset",
+    key: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Merge (key, __n__) partials and keep the top-k by (n desc, key
+    asc) — locally when the input is provably small (tbl_ray.sizing),
+    via keyed groupby + shuffle-free topk otherwise."""
+    from ray.data.aggregate import Sum
 
     from tbl_ray.sizing import collect_local, fits_local
+    from tbl_ray.stages.slicing import topk
 
     t = collect_local(partials) if fits_local(ds) else None
     if t is not None:
-        # cost-based fast path (tbl_ray.sizing): fold the partials with
-        # one local Arrow group_by + sort instead of the exchange
         merged = (
-            t.group_by("word")
+            t.group_by(key)
             .aggregate([("__n__", "sum")])
-            .rename_columns(["word", "n"])
+            .rename_columns([key, "n"])
         )
         top = merged.sort_by(
-            [("n", "descending"), ("word", "ascending")]
+            [("n", "descending"), (key, "ascending")]
         ).slice(0, k)
         import ray.data as rd
 
         return rd.from_arrow(top)
-    counts = partials.groupby("word").aggregate(Sum("__n__", alias_name="n"))
-    return topk(counts, ["n", "word"], k, descending=[True, False])
+    counts = partials.groupby(key).aggregate(Sum("__n__", alias_name="n"))
+    return topk(counts, ["n", key], k, descending=[True, False])
+
+
+def top_ngrams(
+    ds: "ray.data.Dataset", text_col: str = "text", n: int = 2, k: int = 100
+) -> "ray.data.Dataset":
+    """Top-k word n-grams over the corpus: (ngram, n) sorted by count
+    desc then ngram asc. n-grams never cross documents; words are
+    whitespace-split with empty artifacts dropped (same vocabulary as
+    :func:`top_vocab`).
+
+    Vectorized n-gram build: ``n`` shifted zero-copy slices of the
+    batch-flat word array joined element-wise, with one boolean mask
+    dropping the window positions that would cross a row boundary."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()),
+             "__n__": pa.array([], pa.int64())}
+        )
+        col = t.column(text_col).combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        lists = pc.split_pattern_regex(col, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        keep = np.asarray(pc.not_equal(flat, ""), dtype=bool)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        kept_per_row = (
+            np.add.reduceat(keep.astype(np.int64), starts)
+            if len(keep)
+            else np.zeros(len(lens), np.int64)
+        )
+        kept_per_row[lens == 0] = 0  # reduceat artifact on empty rows
+        flat = flat.filter(pa.array(keep))
+        L = len(flat)
+        if L < n:
+            return empty
+        # window j valid iff j+n stays inside j's row
+        row_ends = np.repeat(np.cumsum(kept_per_row), kept_per_row)
+        valid = (np.arange(L, dtype=np.int64) + n) <= row_ends
+        valid = valid[: L - n + 1]
+        if not valid.any():
+            return empty
+        parts = [flat.slice(i, L - n + 1) for i in range(n)]
+        grams = (
+            parts[0]
+            if n == 1
+            else pc.binary_join_element_wise(*parts, " ")
+        )
+        vc = grams.filter(pa.array(valid)).value_counts()
+        return pa.table({"ngram": vc.field("values"), "__n__": vc.field("counts")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk_counts(ds, partials, "ngram", k)
 
 
 def normalize_text_batch(t: pa.Table, text_col: str = "text") -> pa.Table:

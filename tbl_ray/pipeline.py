@@ -162,6 +162,10 @@ def _register_builtins() -> None:
 
     register_op("shuffle", kind="dataset")(shuffle_deterministic)
     register_op("shuffle_head", kind="dataset")(shuffle_head)
+    from tbl_ray.functions.text import top_ngrams, top_vocab
+
+    register_op("top_vocab", kind="dataset")(top_vocab)
+    register_op("top_ngrams", kind="dataset")(top_ngrams)
     register_op("topk", kind="dataset")(_topk)
     register_op("grouped_topn", kind="dataset")(grouped_topn)
     register_op("join_broadcast", kind="dataset")(broadcast_join)

@@ -945,3 +945,19 @@ def test_minhash_native_numpy_parity():
     finally:
         native._K = real
     assert np.array_equal(s2_c, s2_np)
+
+
+def test_top_ngrams_boundaries_and_paths(monkeypatch):
+    from tbl_ray.functions.text import top_ngrams
+
+    d = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2], "text": ["a b c", "c  a", ""]})
+    )
+    # bigrams never cross documents; doubled spaces produce no '' words
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", "0")
+    got = sorted((r["ngram"], r["n"]) for r in top_ngrams(d, n=2, k=10).take_all())
+    assert got == [("a b", 1), ("b c", 1), ("c a", 1)]
+    tri = [(r["ngram"], r["n"]) for r in top_ngrams(d, n=3, k=10).take_all()]
+    assert tri == [("a b c", 1)]
+    uni = {r["ngram"]: r["n"] for r in top_ngrams(d, n=1, k=10).take_all()}
+    assert uni == {"a": 2, "b": 1, "c": 2}
