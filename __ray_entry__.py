@@ -573,6 +573,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["top_ngrams"] = bigrams
 
+    def join_shuffle_q(sf_dir: str):
+        """Large-large co-partitioned hash join: both sides widened to a
+        union schema, ONE hash shuffle on the key, per-group local
+        match emission."""
+        import ray.data
+
+        from tbl_ray.functions.joins import shuffle_join
+        from tbl_ray.sources import read_table
+
+        li = read_table(os.path.join(sf_dir, "lineitem.parquet")).select_columns(
+            ["l_orderkey", "l_quantity"]
+        )
+        orders = read_table(os.path.join(sf_dir, "orders.parquet")).select_columns(
+            ["o_orderkey", "o_custkey"]
+        )
+
+        def rn(t):
+            return t.rename_columns(["l_orderkey", "o_custkey"])
+
+        right = orders.map_batches(rn, batch_format="pyarrow")
+        return shuffle_join(li, right, "l_orderkey")
+
+    q["join_shuffle"] = join_shuffle_q
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -860,6 +884,10 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "join_shuffle": (
+            "SELECT l.l_orderkey, l.l_quantity, o.o_custkey"
+            " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "top_ngrams": (
             "WITH wl AS (SELECT doc_id, list_filter(str_split_regex(text,"

@@ -20,6 +20,7 @@ from tbl_ray.functions.joins import (
     broadcast_asof_join,
     broadcast_join,
     broadcast_semi_join,
+    shuffle_join,
 )
 from tbl_ray.functions.chunking import chunk_fixed, pack_sequences
 from tbl_ray.functions.sampling import (
@@ -91,6 +92,7 @@ __all__ = [
     "session_counts",
     "shuffle_deterministic",
     "shuffle_head",
+    "shuffle_join",
     "simhash",
     "simhash_dup_pairs",
     "text_stats",

@@ -144,3 +144,105 @@ def broadcast_asof_join(
         return out
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    *,
+    join_type: str = "inner",
+    rsuffix: str = "_r",
+) -> "ray.data.Dataset":
+    """EXPLICIT co-partitioned hash join for two LARGE sides.
+
+    This is the all-to-all this module's broadcast joins deliberately
+    avoid — reach for it only when neither side fits a broadcast. Both
+    sides are widened to one union schema (each filling the other's
+    columns with typed nulls, plus a side tag), the union hash-shuffles
+    ONCE on the key, and each key group emits its left x right matches
+    locally. ``join_type``: ``inner`` or ``left outer``. Right-side
+    non-key columns colliding with left names get ``rsuffix``.
+
+    Skew caveat: one key's matches materialize in one task — salt hot
+    keys first (``tbl_ray.stages.partition``) if |left_key| x |right_key|
+    can explode."""
+    import numpy as np
+
+    if join_type not in _JOIN_TYPES:
+        raise ValueError(f"join_type must be one of {sorted(_JOIN_TYPES)}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lsch = left.schema()
+    rsch = right.schema()
+    lsch = getattr(lsch, "base_schema", lsch)
+    rsch = getattr(rsch, "base_schema", rsch)
+    for kcol in keys:
+        if kcol not in lsch.names or kcol not in rsch.names:
+            raise ValueError(f"key column {kcol!r} missing from a side")
+        if lsch.field(kcol).type != rsch.field(kcol).type:
+            raise ValueError(f"key column {kcol!r} dtype differs across sides")
+    lcols = [c for c in lsch.names if c not in keys]
+    rcols_in = [c for c in rsch.names if c not in keys]
+    rename = {
+        c: (c + rsuffix if c in set(lcols) else c) for c in rcols_in
+    }
+    rcols_out = [rename[c] for c in rcols_in]
+    fields = (
+        [(k, lsch.field(k).type) for k in keys]
+        + [(c, lsch.field(c).type) for c in lcols]
+        + [(rename[c], rsch.field(c).type) for c in rcols_in]
+        + [("__side__", pa.int8())]
+    )
+    out_names = [n for n, _ in fields[:-1]]
+
+    r_orig = {rename[c]: c for c in rcols_in}  # out name -> right source
+
+    def widen(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in fields[:-1]:
+                if name in keys:
+                    src = name
+                elif side == 0:
+                    src = name if name in lcols else None
+                else:
+                    src = r_orig.get(name)
+                if src is not None:
+                    cols[name] = t.column(src).cast(typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            cols["__side__"] = pa.nulls(n, pa.int8()).fill_null(side)
+            return pa.table(cols)
+
+        return fn
+
+    u = left.map_batches(widen(0), batch_format="pyarrow").union(
+        right.map_batches(widen(1), batch_format="pyarrow")
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = np.asarray(t.column("__side__"))
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        body = t.drop_columns(["__side__"])
+        empty = body.slice(0, 0)
+        if len(li) == 0:
+            return empty
+        if len(ri) == 0:
+            if join_type == "inner":
+                return empty
+            return body.take(li)  # left outer: right columns already null
+        ia = np.repeat(li, len(ri))
+        ib = np.tile(ri, len(li))
+        lt = body.take(ia)
+        rt = body.take(ib)
+        cols = {}
+        for name in out_names:
+            if name in keys or name in lcols:
+                cols[name] = lt.column(name)
+            else:
+                cols[name] = rt.column(name)
+        return pa.table(cols)
+
+    return u.groupby(keys).map_groups(merge, batch_format="pyarrow")

@@ -171,6 +171,10 @@ def _register_builtins() -> None:
     register_op("join_broadcast", kind="dataset")(broadcast_join)
     register_op("join_semi", kind="dataset")(broadcast_semi_join)
 
+    from tbl_ray.functions.joins import shuffle_join
+
+    register_op("join_shuffle", kind="dataset")(shuffle_join)
+
     @register_op("limit", kind="dataset")
     def limit(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
         return ds.limit(n)

@@ -961,3 +961,34 @@ def test_top_ngrams_boundaries_and_paths(monkeypatch):
     assert tri == [("a b c", 1)]
     uni = {r["ngram"]: r["n"] for r in top_ngrams(d, n=1, k=10).take_all()}
     assert uni == {"a": 2, "b": 1, "c": 2}
+
+
+def test_shuffle_join_inner_and_left_outer():
+    from tbl_ray.functions.joins import shuffle_join
+
+    l = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    r = ray.data.from_arrow(pa.table({"k": [1, 1, 4], "b": [10, 11, 40]}))
+    inner = sorted(
+        (row["k"], row["a"], row["b"])
+        for row in shuffle_join(l, r, "k").take_all()
+    )
+    assert inner == [(1, "x", 10), (1, "x", 11)]
+    louter = sorted(
+        (row["k"], row["a"], row["b"])
+        for row in shuffle_join(l, r, "k", join_type="left outer").take_all()
+    )
+    assert louter == [(1, "x", 10), (1, "x", 11), (2, "y", None), (3, "z", None)]
+
+
+def test_shuffle_join_collision_suffix_and_key_checks():
+    from tbl_ray.functions.joins import shuffle_join
+
+    l = ray.data.from_arrow(pa.table({"k": [1], "v": [5]}))
+    r = ray.data.from_arrow(pa.table({"k": [1], "v": [9]}))
+    out = shuffle_join(l, r, "k").take_all()
+    assert out == [{"k": 1, "v": 5, "v_r": 9}]
+    bad = ray.data.from_arrow(pa.table({"k": ["1"], "w": [0]}))
+    with pytest.raises(ValueError, match="dtype differs"):
+        shuffle_join(l, bad, "k")
+    with pytest.raises(ValueError, match="missing"):
+        shuffle_join(l, ray.data.from_arrow(pa.table({"z": [1]})), "k")
