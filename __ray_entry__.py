@@ -597,6 +597,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["join_shuffle"] = join_shuffle_q
 
+    def url_parts_q(sf_dir: str):
+        """URL decomposition (scheme/host/path/domain/path-depth) over a
+        deterministically constructed url column — both sides build the
+        same URLs, then parse with the same RE2 patterns."""
+        import pyarrow.compute as pc
+
+        from tbl_ray.functions.urls import url_parts_batch
+
+        def build(t: pa.Table) -> pa.Table:
+            url = pc.binary_join_element_wise(
+                "https://",
+                t.column("source").combine_chunks().cast(pa.string()),
+                ".example.com/docs/",
+                pc.cast(t.column("doc_id"), pa.string()),
+                "",
+            )
+            out = pa.table({"doc_id": t.column("doc_id"), "url": url})
+            return url_parts_batch(out)
+
+        return _docs(sf_dir).map_batches(
+            build, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    q["url_parts"] = url_parts_q
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -884,6 +909,21 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "url_parts": (
+            "WITH u AS (SELECT doc_id, 'https://' || source ||"
+            " '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url"
+            " FROM documents),"
+            " h AS (SELECT doc_id, url,"
+            " regexp_extract(url, '^([a-z][a-z0-9+.\\-]*)://', 1) AS scheme,"
+            " regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/?#]+)', 1)"
+            " AS host,"
+            " regexp_extract(url,"
+            " '^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path FROM u)"
+            " SELECT doc_id, url, scheme, host, path,"
+            " regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,"
+            " CAST(len(path) - len(replace(path, '/', '')) AS BIGINT)"
+            " AS path_depth FROM h"
         ),
         "join_shuffle": (
             "SELECT l.l_orderkey, l.l_quantity, o.o_custkey"

@@ -57,6 +57,7 @@ from tbl_ray.functions.text import (
     top_ngrams,
     top_vocab,
 )
+from tbl_ray.functions.urls import url_parts
 from tbl_ray.functions.windows import session_counts, tumbling_window
 
 __all__ = [
@@ -101,4 +102,5 @@ __all__ = [
     "top_ngrams",
     "top_vocab",
     "tumbling_window",
+    "url_parts",
 ]

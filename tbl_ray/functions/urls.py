@@ -1,0 +1,55 @@
+"""URL analysis operators — the per-page keys a Common-Crawl-style
+pipeline groups, caps, and dedups by (the north-rule web table is keyed
+``url``). All vectorized ``pyarrow.compute`` RE2 kernels, the same regex
+engine DuckDB uses, so every extraction is oracle-checkable verbatim.
+
+Typical composition: ``url_parts`` then per-domain caps via
+``tbl_ray.stages.slicing.grouped_topn(ds, ["domain"], n)`` or salted
+partitioning via ``tbl_ray.stages.partition`` (domain keys are Zipf —
+never hash-partition them unsalted).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# RE2 (shared verbatim with the DuckDB oracles; group 1 = the value)
+SCHEME_RE = r"^([a-z][a-z0-9+.\-]*)://"
+HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/?#]+)"
+PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)"
+DOMAIN_RE = r"([^.]+\.[^.]+)$"  # registrable-domain approximation
+
+
+def _extract(col, pattern: str):
+    """Group-1 extraction with DuckDB ``regexp_extract`` semantics:
+    no-match -> '', null input -> null."""
+    # Arrow wants named groups, DuckDB numbered ones: the first '(' in
+    # every pattern above IS group 1, so one textual rewrite maps them
+    named = pattern.replace("(", "(?P<g>", 1)
+    got = pc.struct_field(pc.extract_regex(col, named), "g")
+    return pc.if_else(pc.is_null(col), col, pc.fill_null(got, ""))
+
+
+def url_parts_batch(t: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append ``scheme``, ``host``, ``path``, ``domain`` (last two host
+    labels) and ``path_depth`` (number of '/' in the path)."""
+    col = t.column(url_col)
+    host = _extract(col, HOST_RE)
+    path = _extract(col, PATH_RE)
+    out = t.append_column("scheme", _extract(col, SCHEME_RE))
+    out = out.append_column("host", host)
+    out = out.append_column("path", path)
+    out = out.append_column("domain", _extract(host, DOMAIN_RE))
+    out = out.append_column(
+        "path_depth", pc.cast(pc.count_substring(path, "/"), pa.int64())
+    )
+    return out
+
+
+def url_parts(ds: "ray.data.Dataset", url_col: str = "url") -> "ray.data.Dataset":
+    def fn(t: pa.Table) -> pa.Table:
+        return url_parts_batch(t, url_col=url_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

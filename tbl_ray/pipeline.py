@@ -148,6 +148,10 @@ def _register_builtins() -> None:
 
     register_op("token_count_bpe")(token_count_bpe_batch)
     register_op("chunk_fixed")(chunk_fixed_batch)
+
+    from tbl_ray.functions.urls import url_parts_batch
+
+    register_op("url_parts")(url_parts_batch)
     register_op("pack_sequences")(pack_sequences_batch)
 
     register_op("dedup_exact", kind="dataset")(exact_dedup)
