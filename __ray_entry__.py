@@ -622,6 +622,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["url_parts"] = url_parts_q
 
+    def histogram_q(sf_dir: str):
+        """Fixed-bin histogram over n_chars: per-block bincount partials,
+        tiny keyed merge."""
+        from tbl_ray.functions.sketches import histogram
+
+        return histogram(_docs(sf_dir), "n_chars", 100.0, 600.0, 10)
+
+    q["histogram"] = histogram_q
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -909,6 +918,11 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "histogram": (
+            "SELECT LEAST(GREATEST(CAST(floor((n_chars - 100.0) / 50.0)"
+            " AS BIGINT), 0), 9) AS bucket, count(*) AS n"
+            " FROM documents WHERE n_chars IS NOT NULL GROUP BY bucket"
         ),
         "url_parts": (
             "WITH u AS (SELECT doc_id, 'https://' || source ||"

@@ -46,6 +46,7 @@ from tbl_ray.functions.sketches import (
     approx_distinct,
     approx_distinct_by,
     approx_quantiles,
+    histogram,
 )
 from tbl_ray.functions.text import (
     fingerprint,
@@ -75,6 +76,7 @@ __all__ = [
     "exact_dedup_shuffle",
     "fingerprint",
     "frequent_units",
+    "histogram",
     "knn_brute",
     "knn_ivf",
     "knn_ivf_index",

@@ -278,3 +278,58 @@ def approx_quantiles(
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
     )
+
+
+def histogram(
+    ds: "ray.data.Dataset",
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> "ray.data.Dataset":
+    """Fixed-bin histogram: (bucket, n) for ``nbins`` equal bins over
+    [lo, hi), out-of-range values clamped into the edge bins, nulls
+    ignored, empty buckets absent (SQL GROUP BY semantics).
+
+    The cheapest possible exchange: each block collapses to at most
+    ``nbins`` (bucket, partial) rows via one vectorized ``bincount``;
+    the merge is a tiny keyed sum (or a local fold under the
+    :mod:`tbl_ray.sizing` gate)."""
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(column).combine_chunks()
+        v = np.asarray(col.drop_null(), dtype=np.float64)
+        if len(v) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "__n__": pa.array([], pa.int64())}
+            )
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, nbins - 1)
+        counts = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)),
+             "__n__": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Sum
+
+    from tbl_ray.sizing import collect_local, fits_local
+
+    t = collect_local(partials) if fits_local(ds) else None
+    if t is not None:
+        merged = (
+            t.group_by("bucket")
+            .aggregate([("__n__", "sum")])
+            .rename_columns(["bucket", "n"])
+        )
+        return ray.data.from_arrow(merged.sort_by([("bucket", "ascending")]))
+    counts = partials.groupby("bucket").aggregate(Sum("__n__", alias_name="n"))
+    return counts.sort("bucket")

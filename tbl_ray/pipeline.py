@@ -179,6 +179,10 @@ def _register_builtins() -> None:
 
     register_op("join_shuffle", kind="dataset")(shuffle_join)
 
+    from tbl_ray.functions.sketches import histogram
+
+    register_op("histogram", kind="dataset")(histogram)
+
     @register_op("limit", kind="dataset")
     def limit(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
         return ds.limit(n)

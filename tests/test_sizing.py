@@ -189,3 +189,22 @@ def test_shuffle_deterministic_and_head(sf_dir):
     assert [r["pos"] for r in head] == list(range(10))
     assert [r["doc_id"] for r in head] == expected[:10].tolist()
     assert "__sk__" not in head[0]
+
+
+def test_histogram_paths_identical_and_semantics(sf_dir, monkeypatch):
+    from tbl_ray.functions.sketches import histogram
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return [(r["bucket"], r["n"]) for r in
+                histogram(ds, "n_chars", 100.0, 600.0, 10).take_all()]
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist and len(local) > 1
+    assert local == sorted(local)  # bucket ascending
+    # clamping + nulls
+    d = ray.data.from_arrow(
+        pa.table({"v": pa.array([-5.0, 0.0, 4.9, 5.0, 99.0, None], pa.float64())})
+    )
+    got = {r["bucket"]: r["n"] for r in histogram(d, "v", 0.0, 10.0, 2).take_all()}
+    assert got == {0: 3, 1: 2}  # -5 clamps low, 99 clamps high, null dropped
