@@ -631,6 +631,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["histogram"] = histogram_q
 
+    def centroids_q(sf_dir: str):
+        """Per-label mean embedding (long form): one (key, sum-vec,
+        count) partial per key per block, keyed merge, divide once."""
+        import ray.data
+
+        from tbl_ray.functions.similarity import embedding_centroids
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_centroids(ds, "label")
+
+    q["embedding_centroids"] = centroids_q
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -918,6 +930,12 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "embedding_centroids": (
+            "WITH e AS (SELECT label, unnest(embedding) AS v,"
+            " unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)"
+            " SELECT label, pos, avg(CAST(v AS DOUBLE)) AS value,"
+            " count(*) AS n FROM e GROUP BY label, pos"
         ),
         "histogram": (
             "SELECT LEAST(GREATEST(CAST(floor((n_chars - 100.0) / 50.0)"

@@ -38,6 +38,7 @@ from tbl_ray.functions.scrub import (
 )
 from tbl_ray.functions.similarity import (
     build_ivf_index,
+    embedding_centroids,
     knn_brute,
     knn_ivf,
     knn_ivf_index,
@@ -71,6 +72,7 @@ __all__ = [
     "chunk_fixed",
     "build_ivf_index",
     "decontaminate",
+    "embedding_centroids",
     "exact_dedup",
     "exact_dedup_bucketed",
     "exact_dedup_shuffle",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -318,3 +319,74 @@ def knn_ivf_index(
         partition_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     return _collect_topk(partials, q.shape[0], k)
+
+
+def embedding_centroids(
+    ds: "ray.data.Dataset",
+    key: str = "label",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-key mean embedding, long form: (key, pos, value, n) with
+    ``pos`` the 1-based vector component — SQL-comparable via aligned
+    ``unnest`` + ``avg``.
+
+    Scale shape: each block collapses to one (key, sum-vector, count)
+    row per batch-distinct key (a sorted ``reduceat`` over the vector
+    matrix — no per-row Python), so the exchange moves one d-dim partial
+    per key per block; the merge sums partials per key and divides once."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _vec_matrix(t, vec_col).astype(np.float64)
+        d = m.shape[1]
+        keys = t.column(key).combine_chunks()
+        denc = pc.dictionary_encode(keys)
+        codes = np.asarray(denc.indices.cast(pa.int64()))
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+        )
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        counts = np.bincount(codes, minlength=len(denc.dictionary))
+        uniq_codes = codes[order][starts]
+        return pa.table(
+            {
+                key: denc.dictionary.take(pa.array(uniq_codes)),
+                "__sum__": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel()), d
+                ),
+                "__n__": pa.array(counts[uniq_codes].astype(np.int64)),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        """One key's partials -> long-form centroid rows."""
+        vecs = np.asarray(
+            t.column("__sum__").combine_chunks().values, dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        total = vecs.sum(axis=0)
+        n = int(np.asarray(t.column("__n__")).sum())
+        d = len(total)
+        return pa.table(
+            {
+                key: t.column(key).take(pa.array([0] * d)),
+                "pos": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "value": pa.array(total / n),
+                "n": pa.array([n] * d, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from tbl_ray.sizing import collect_local, fits_local
+
+    t = collect_local(partials) if fits_local(ds) else None
+    if t is not None:
+        keys_arr = t.column(key).combine_chunks()
+        denc = pc.dictionary_encode(keys_arr)
+        codes = np.asarray(denc.indices.cast(pa.int64()))
+        outs = [
+            fold(t.take(pa.array(np.flatnonzero(codes == c))))
+            for c in np.unique(codes)
+        ]
+        return ray.data.from_arrow(pa.concat_tables(outs))
+    return partials.groupby(key).map_groups(fold, batch_format="pyarrow")

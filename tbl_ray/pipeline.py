@@ -183,6 +183,10 @@ def _register_builtins() -> None:
 
     register_op("histogram", kind="dataset")(histogram)
 
+    from tbl_ray.functions.similarity import embedding_centroids
+
+    register_op("embedding_centroids", kind="dataset")(embedding_centroids)
+
     @register_op("limit", kind="dataset")
     def limit(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
         return ds.limit(n)

@@ -992,3 +992,30 @@ def test_shuffle_join_collision_suffix_and_key_checks():
         shuffle_join(l, bad, "k")
     with pytest.raises(ValueError, match="missing"):
         shuffle_join(l, ray.data.from_arrow(pa.table({"z": [1]})), "k")
+
+
+def test_embedding_centroids_paths_identical(sf_dir, monkeypatch):
+    from tbl_ray.functions.similarity import embedding_centroids
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return sorted(
+            (r["label"], r["pos"], r["value"], r["n"])
+            for r in embedding_centroids(ds, "label").take_all()
+        )
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", str(1 << 30))
+    local = run()
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", "0")
+    dist = run()
+    assert local == dist and len(local) > 0
+    # mean of a hand-built table
+    t = pa.table({
+        "label": [0, 0, 1],
+        "embedding": [[1.0, 3.0], [3.0, 5.0], [10.0, 20.0]],
+    })
+    d = ray.data.from_arrow(t)
+    got = {(r["label"], r["pos"]): (r["value"], r["n"])
+           for r in embedding_centroids(d, "label").take_all()}
+    assert got == {(0, 1): (2.0, 2), (0, 2): (4.0, 2),
+                   (1, 1): (10.0, 1), (1, 2): (20.0, 1)}
