@@ -643,6 +643,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_centroids"] = centroids_q
 
+    def count_distinct_q(sf_dir: str):
+        """Exact per-key distinct counts (the precise sibling of the HLL
+        approx_distinct_by): per-block distinct pairs, one keyed dedup
+        exchange, pre-aggregated count fold."""
+        from tbl_ray.functions.sketches import count_distinct_by
+
+        return count_distinct_by(_docs(sf_dir), "lang", "source")
+
+    q["count_distinct_by"] = count_distinct_q
+
     def curate(sf_dir: str):
         """Flagship composed funnel: normalize -> quality/lang filter ->
         exact + MinHash dedup -> deterministic sample. Rows-only
@@ -930,6 +940,10 @@ def oracle_sql() -> dict[str, str]:
             " AS text,"
             " CAST(len(regexp_extract_all(text, '\\b(spark|dup)\\b'))"
             " AS BIGINT) AS n_redacted FROM documents"
+        ),
+        "count_distinct_by": (
+            "SELECT lang, CAST(count(DISTINCT source) AS BIGINT)"
+            " AS n_distinct FROM documents GROUP BY lang"
         ),
         "embedding_centroids": (
             "WITH e AS (SELECT label, unnest(embedding) AS v,"

@@ -47,6 +47,7 @@ from tbl_ray.functions.sketches import (
     approx_distinct,
     approx_distinct_by,
     approx_quantiles,
+    count_distinct_by,
     histogram,
 )
 from tbl_ray.functions.text import (
@@ -69,6 +70,7 @@ __all__ = [
     "broadcast_asof_join",
     "broadcast_join",
     "broadcast_semi_join",
+    "count_distinct_by",
     "chunk_fixed",
     "build_ivf_index",
     "decontaminate",

@@ -333,3 +333,56 @@ def histogram(
         return ray.data.from_arrow(merged.sort_by([("bucket", "ascending")]))
     counts = partials.groupby("bucket").aggregate(Sum("__n__", alias_name="n"))
     return counts.sort("bucket")
+
+
+def count_distinct_by(
+    ds: "ray.data.Dataset",
+    key: str,
+    column: str,
+) -> "ray.data.Dataset":
+    """EXACT distinct-value count per key: (key, n_distinct) —
+    the precise sibling of :func:`approx_distinct_by` (HLL). Nulls in
+    ``column`` don't count (SQL ``count(DISTINCT col)``); a key whose
+    values are all null still appears with 0.
+
+    Scale shape: each block first collapses to its distinct
+    (key, value) pairs (Arrow group_by — no rows leave the block twice),
+    the pair set dedups globally on ONE keyed exchange, and the final
+    per-key count folds pre-aggregated partials. Exact distinct
+    inherently moves the distinct pairs; when |distinct| ~ |rows|, use
+    the HLL sibling instead."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select([key, column]).group_by([key, column]).aggregate([])
+
+    p = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Sum
+
+    from tbl_ray.sizing import collect_local, fits_local
+
+    t = collect_local(p) if fits_local(ds) else None
+    if t is not None:
+        d = t.group_by([key, column]).aggregate([])
+        out = (
+            d.group_by(key)
+            .aggregate([(column, "count")])
+            .rename_columns([key, "n_distinct"])
+        )
+        return ray.data.from_arrow(out)
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    distinct_pairs = p.groupby([key, column]).map_groups(
+        first, batch_format="pyarrow"
+    )
+
+    def partial_counts(t2: pa.Table) -> pa.Table:
+        c = t2.group_by(key).aggregate([(column, "count")])
+        return c.rename_columns([key, "__n__"])
+
+    partials = distinct_pairs.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(key).aggregate(Sum("__n__", alias_name="n_distinct"))

@@ -179,9 +179,10 @@ def _register_builtins() -> None:
 
     register_op("join_shuffle", kind="dataset")(shuffle_join)
 
-    from tbl_ray.functions.sketches import histogram
+    from tbl_ray.functions.sketches import count_distinct_by, histogram
 
     register_op("histogram", kind="dataset")(histogram)
+    register_op("count_distinct_by", kind="dataset")(count_distinct_by)
 
     from tbl_ray.functions.similarity import embedding_centroids
 

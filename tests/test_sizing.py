@@ -208,3 +208,25 @@ def test_histogram_paths_identical_and_semantics(sf_dir, monkeypatch):
     )
     got = {r["bucket"]: r["n"] for r in histogram(d, "v", 0.0, 10.0, 2).take_all()}
     assert got == {0: 3, 1: 2}  # -5 clamps low, 99 clamps high, null dropped
+
+
+def test_count_distinct_by_paths_identical(sf_dir, monkeypatch):
+    from tbl_ray.functions.sketches import count_distinct_by
+
+    def run():
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return sorted(
+            (r["lang"], r["n_distinct"])
+            for r in count_distinct_by(ds, "lang", "source").take_all()
+        )
+
+    local, dist = _both_paths(monkeypatch, run)
+    assert local == dist and len(local) > 0
+    # nulls don't count; all-null keys still appear with 0
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "v": pa.array(["x", "x", None, None, None], pa.string()),
+    })
+    d = ray.data.from_arrow(t)
+    got = {r["k"]: r["n_distinct"] for r in count_distinct_by(d, "k", "v").take_all()}
+    assert got == {"a": 1, "b": 0}
