@@ -398,7 +398,10 @@ def minhash_dup_pairs(
     )
     pairs_fn = _bucket_pairs(threshold, id_col)
     seen: dict[tuple[int, int], float] = {}
-    if fits_local(ds):
+    # the banded sketch is ~bands x (n_hashes + 3) x 8 bytes per row —
+    # often 10-20x a short compressed document — so the local gate
+    # divides the budget by that amplification (see sizing.fits_local)
+    if fits_local(ds, amplification=float(bands * (n_hashes + 3) * 8) / 64.0):
         # cost-based fast path (see tbl_ray.sizing): group the collected
         # sketch locally — bucket membership and pair estimates are
         # identical to the distributed groupby by construction
@@ -548,7 +551,9 @@ def simhash_dup_pairs(
 
     sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
     seen: dict[tuple[int, int], int] = {}
-    if fits_local(ds):
+    # 4 bands x (8B simhash + key/bucket) per row; same amplification
+    # guard as the minhash gate, ~2x for short documents
+    if fits_local(ds, amplification=2.0):
         for pt in _local_bucket_groups(_collect_sketch(sk), pairs):
             for a, b, h in zip(
                 pt.column("id_a").to_pylist(),

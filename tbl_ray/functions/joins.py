@@ -16,6 +16,7 @@ should never hide inside an operator).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -199,6 +200,14 @@ def shuffle_join(
 
     def widen(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            if side == 1:
+                # SQL equality never matches NULL = NULL: right rows with
+                # a null key can match nothing, so drop them before the
+                # exchange (left null-key rows stay — inner emits nothing
+                # for their group, left outer emits them with null right
+                # columns, both per SQL)
+                for kcol in keys:
+                    t = t.filter(pc.is_valid(t.column(kcol)))
             n = t.num_rows
             cols = {}
             for name, typ in fields[:-1]:

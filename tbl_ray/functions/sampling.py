@@ -31,6 +31,21 @@ def _sample_key(ids: np.ndarray, seed: int) -> np.ndarray:
         ) % np.uint64(1 << 32)
 
 
+def _with_sample_key(
+    ds: "ray.data.Dataset", id_col: str, seed: int
+) -> "ray.data.Dataset":
+    """Append the ``__sk__`` sample-key column (shared by every sampler
+    and shuffle here — their relative orders must agree exactly)."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        return t.append_column(
+            "__sk__", pa.array(_sample_key(ids, seed).astype(np.int64))
+        )
+
+    return ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sample_uniform(
     ds: "ray.data.Dataset",
     n: int,
@@ -43,13 +58,7 @@ def sample_uniform(
     Output carries the original columns (key column dropped); the sample
     is identical across runs, cluster sizes, and block layouts."""
 
-    def add_key(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col), dtype=np.int64)
-        return t.append_column(
-            "__sk__", pa.array(_sample_key(ids, seed).astype(np.int64))
-        )
-
-    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = _with_sample_key(ds, id_col, seed)
     picked = topk(keyed, ["__sk__", id_col], n)
 
     def strip(t: pa.Table) -> pa.Table:
@@ -72,13 +81,7 @@ def shuffle_deterministic(
     range-partition sort (inherent: a global shuffle must move every
     row). Different epochs = different seeds."""
 
-    def add_key(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col), dtype=np.int64)
-        return t.append_column(
-            "__sk__", pa.array(_sample_key(ids, seed).astype(np.int64))
-        )
-
-    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = _with_sample_key(ds, id_col, seed)
 
     def strip(t: pa.Table) -> pa.Table:
         return t.drop_columns(["__sk__"])
@@ -101,13 +104,7 @@ def shuffle_head(
     the single collapsed block. ``pos`` makes the order itself
     oracle-checkable (SQL: ``row_number() OVER (ORDER BY sk, id) - 1``)."""
 
-    def add_key(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column(id_col), dtype=np.int64)
-        return t.append_column(
-            "__sk__", pa.array(_sample_key(ids, seed).astype(np.int64))
-        )
-
-    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = _with_sample_key(ds, id_col, seed)
     picked = topk(keyed, ["__sk__", id_col], n)
 
     def number(t: pa.Table) -> pa.Table:

@@ -254,16 +254,10 @@ def frequent_units(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    from tbl_ray.sizing import collect_local, fits_local
+    from tbl_ray.sizing import fold_partials_local
 
-    t = collect_local(partials) if fits_local(ds) else None
-    if t is not None:
-        # cost-based fast path (tbl_ray.sizing): local fold of the partials
-        merged = (
-            t.group_by("unit")
-            .aggregate([("__n__", "sum")])
-            .rename_columns(["unit", "n"])
-        )
+    merged = fold_partials_local(ds, partials, "unit", [("__n__", "sum")], ["n"])
+    if merged is not None:
         keep = pc.greater_equal(merged.column("n"), int(min_count))
         return ray.data.from_arrow(merged.filter(keep))
     counts = partials.groupby("unit").aggregate(Sum("__n__", alias_name="n"))

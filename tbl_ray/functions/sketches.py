@@ -321,15 +321,10 @@ def histogram(
 
     from ray.data.aggregate import Sum
 
-    from tbl_ray.sizing import collect_local, fits_local
+    from tbl_ray.sizing import fold_partials_local
 
-    t = collect_local(partials) if fits_local(ds) else None
-    if t is not None:
-        merged = (
-            t.group_by("bucket")
-            .aggregate([("__n__", "sum")])
-            .rename_columns(["bucket", "n"])
-        )
+    merged = fold_partials_local(ds, partials, "bucket", [("__n__", "sum")], ["n"])
+    if merged is not None:
         return ray.data.from_arrow(merged.sort_by([("bucket", "ascending")]))
     counts = partials.groupby("bucket").aggregate(Sum("__n__", alias_name="n"))
     return counts.sort("bucket")

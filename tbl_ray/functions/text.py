@@ -245,16 +245,11 @@ def _topk_counts(
     via keyed groupby + shuffle-free topk otherwise."""
     from ray.data.aggregate import Sum
 
-    from tbl_ray.sizing import collect_local, fits_local
+    from tbl_ray.sizing import fold_partials_local
     from tbl_ray.stages.slicing import topk
 
-    t = collect_local(partials) if fits_local(ds) else None
-    if t is not None:
-        merged = (
-            t.group_by(key)
-            .aggregate([("__n__", "sum")])
-            .rename_columns([key, "n"])
-        )
+    merged = fold_partials_local(ds, partials, key, [("__n__", "sum")], ["n"])
+    if merged is not None:
         top = merged.sort_by(
             [("n", "descending"), (key, "ascending")]
         ).slice(0, k)

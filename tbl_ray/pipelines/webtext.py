@@ -114,9 +114,15 @@ def curate_webtext(
             report["after_decontaminate"] = kept.count()
 
     if cfg.line_dedup_min_count is not None:
+        from ray.data.dataset import MaterializedDataset
+
         from tbl_ray.functions.scrub import line_dedup
 
-        # two-pass operator: kept is already materialized above
+        # two-pass operator: checkpoint first unless the stream is already
+        # materialized (decontaminate above leaves it lazy and would
+        # otherwise re-run its full n-gram probe once per pass)
+        if not isinstance(kept, MaterializedDataset):
+            kept = kept.materialize()
         kept = line_dedup(
             kept, cfg.text_col, sep=cfg.line_dedup_sep,
             min_count=cfg.line_dedup_min_count,

@@ -76,11 +76,44 @@ def collect_local(ds) -> "object | None":
     return pa.concat_tables(batches).combine_chunks()
 
 
-def fits_local(ds) -> bool:
+def fold_partials_local(
+    ds,
+    partials,
+    keys,
+    aggs,
+    out_names,
+    amplification: float = 1.0,
+):
+    """Merge a (key..., partial...) dataset with one local Arrow
+    ``group_by`` when the sizing gate allows; ``None`` means the caller
+    must run its distributed plan (big/unknown input, or empty partials).
+
+    ``aggs`` is the Arrow aggregate spec ``[(src_col, func), ...]``;
+    output columns are ``keys + out_names`` — pyarrow emits group keys
+    FIRST, an ordering every caller of this helper relies on (pinned by
+    tests)."""
+    import pyarrow  # noqa: F401 - explicit dependency of the rename below
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    t = collect_local(partials) if fits_local(ds, amplification) else None
+    if t is None:
+        return None
+    mt = t.group_by(key_list).aggregate(list(aggs))
+    return mt.rename_columns(key_list + list(out_names))
+
+
+def fits_local(ds, amplification: float = 1.0) -> bool:
     """True when ``ds`` is provably small enough that a sketch over it
     can be resolved in a single local task instead of a distributed
-    exchange."""
-    budget = local_sketch_bytes()
+    exchange.
+
+    ``amplification`` divides the budget for operators whose collected
+    sketch is LARGER than the input it derives from — e.g. a banded
+    MinHash sketch carries ~(bands x (n_hashes + 3) x 8) bytes per row,
+    which can be 10-20x a short compressed document; gating such a
+    collect on raw input bytes alone would let a 128 MiB parquet pull a
+    multi-GiB sketch onto the driver."""
+    budget = local_sketch_bytes() / max(amplification, 1.0)
     if budget <= 0:
         return False
     est = estimate_input_bytes(ds)

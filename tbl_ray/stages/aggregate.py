@@ -38,18 +38,15 @@ def value_counts(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
     provably small, the partials fold in one local Arrow ``group_by``
     instead of paying the distributed exchange's fixed cost. Identical
     counts either way."""
-    from tbl_ray.sizing import collect_local, fits_local
+    from tbl_ray.sizing import fold_partials_local
 
     partials = ds.map_batches(
         _PartialCounts(column), batch_format="pyarrow", zero_copy_batch=True
     )
-    t = collect_local(partials) if fits_local(ds) else None
-    if t is not None:
-        merged = (
-            t.group_by(column)
-            .aggregate([("__partial_count__", "sum")])
-            .rename_columns([column, "count"])
-        )
+    merged = fold_partials_local(
+        ds, partials, column, [("__partial_count__", "sum")], ["count"]
+    )
+    if merged is not None:
         return ray.data.from_arrow(
             merged.sort_by([("count", "descending")])
         )
@@ -128,13 +125,16 @@ def group_aggregate(
         if "max" in need:
             merge_plan.append((f"__max__{col}", "max", f"max_{col}"))
 
-    from tbl_ray.sizing import collect_local, fits_local
+    from tbl_ray.sizing import fold_partials_local
 
-    t = collect_local(partials) if fits_local(ds) else None
-    if t is not None:
-        mt = t.group_by(keys).aggregate([(src, f) for src, f, _ in merge_plan])
-        # arrow names merge results "<src>_<func>"; keys come first
-        mt = mt.rename_columns(keys + [final for _, _, final in merge_plan])
+    mt = fold_partials_local(
+        ds,
+        partials,
+        keys,
+        [(src, f) for src, f, _ in merge_plan],
+        [final for _, _, final in merge_plan],
+    )
+    if mt is not None:
         merged = ray.data.from_arrow(mt)
     else:
         # big input, or a degenerate empty one — the exchange is correct

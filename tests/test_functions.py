@@ -1019,3 +1019,26 @@ def test_embedding_centroids_paths_identical(sf_dir, monkeypatch):
            for r in embedding_centroids(d, "label").take_all()}
     assert got == {(0, 1): (2.0, 2), (0, 2): (4.0, 2),
                    (1, 1): (10.0, 1), (1, 2): (20.0, 1)}
+
+
+def test_shuffle_join_null_keys_never_match():
+    # SQL equality never matches NULL = NULL (review finding): null-key
+    # right rows match nothing; null-key left rows vanish under inner
+    # and survive with null right columns under left outer
+    from tbl_ray.functions.joins import shuffle_join
+
+    l = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "a": ["x", "y"]})
+    )
+    r = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "b": [10, 99]})
+    )
+    inner = sorted(
+        (row["k"], row["a"], row["b"]) for row in shuffle_join(l, r, "k").take_all()
+    )
+    assert inner == [(1, "x", 10)]
+    louter = sorted(
+        (row["a"], row["k"], row["b"])
+        for row in shuffle_join(l, r, "k", join_type="left outer").take_all()
+    )
+    assert louter == [("x", 1, 10), ("y", None, None)]
