@@ -197,6 +197,10 @@ def bench_queries() -> dict[str, float]:
         "chunk_fixed",
         "pack_sequences",
         "shuffle_head",
+        "top_ngrams",
+        "url_parts",
+        "histogram",
+        "join_shuffle",
         "curate_webtext",
         "encode_roundtrip",
     ]

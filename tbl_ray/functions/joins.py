@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from tbl_ray.functions.dedup import _fingerprint128
+
 _JOIN_TYPES = {"inner", "left outer"}
 
 
@@ -154,6 +156,7 @@ def shuffle_join(
     *,
     join_type: str = "inner",
     rsuffix: str = "_r",
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """EXPLICIT co-partitioned hash join for two LARGE sides.
 
@@ -165,7 +168,10 @@ def shuffle_join(
     locally. ``join_type``: ``inner`` or ``left outer``. Right-side
     non-key columns colliding with left names get ``rsuffix``.
 
-    Skew caveat: one key's matches materialize in one task — salt hot
+    ``n_buckets`` is the co-partition width (one vectorized Arrow join
+    per bucket) — size it to at least the cluster's core count.
+
+    Skew caveat: one bucket's matches materialize in one task — salt hot
     keys first (``tbl_ray.stages.partition``) if |left_key| x |right_key|
     can explode."""
     import numpy as np
@@ -230,28 +236,44 @@ def shuffle_join(
         right.map_batches(widen(1), batch_format="pyarrow")
     )
 
-    def merge(t: pa.Table) -> pa.Table:
-        side = np.asarray(t.column("__side__"))
-        li = np.flatnonzero(side == 0)
-        ri = np.flatnonzero(side == 1)
-        body = t.drop_columns(["__side__"])
-        empty = body.slice(0, 0)
-        if len(li) == 0:
-            return empty
-        if len(ri) == 0:
-            if join_type == "inner":
-                return empty
-            return body.take(li)  # left outer: right columns already null
-        ia = np.repeat(li, len(ri))
-        ib = np.tile(ri, len(li))
-        lt = body.take(ia)
-        rt = body.take(ib)
-        cols = {}
-        for name in out_names:
-            if name in keys or name in lcols:
-                cols[name] = lt.column(name)
-            else:
-                cols[name] = rt.column(name)
-        return pa.table(cols)
+    # Co-partition by key-HASH bucket, not by key: grouping on the raw key
+    # calls the merge once per key (measured 150k Python calls on a 600k-row
+    # lineitem join); grouping on n_buckets coarse buckets calls it once per
+    # bucket and lets Arrow's vectorized hash join do the per-key work —
+    # with SQL null semantics for free (Arrow join never matches NULL keys,
+    # verified; right null-key rows were already dropped above).
+    def bucket_join(t: pa.Table) -> pa.Table:
+        side = t.column("__side__")
+        lt = t.filter(pc.equal(side, 0)).select(keys + lcols)
+        rt = t.filter(pc.equal(side, 1)).select(keys + rcols_out)
+        return lt.join(rt, keys=keys, join_type=join_type).select(out_names)
 
-    return u.groupby(keys).map_groups(merge, batch_format="pyarrow")
+    u = u.map_batches(
+        _KeyBucket(keys, n_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = u.groupby("__bucket__").map_groups(bucket_join, batch_format="pyarrow")
+    return out
+
+
+class _KeyBucket:
+    """Append a deterministic ``__bucket__`` = hash(key tuple) % n column
+    (the co-partitioning key for :func:`shuffle_join`). Any dtype hashes
+    via its canonical string form — cross-batch and cross-side stable;
+    null keys land in bucket 0 (only left-outer null rows reach here and
+    they match nothing regardless of placement)."""
+
+    def __init__(self, keys: list[str], n_buckets: int):
+        self.keys = keys
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        for kcol in self.keys:
+            col = t.column(kcol).combine_chunks()
+            h1, _ = _fingerprint128(pc.fill_null(col.cast(pa.string()), ""))
+            with np.errstate(over="ignore"):
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + h1
+        bucket = (acc % np.uint64(self.n_buckets)).astype(np.int64)
+        return t.append_column("__bucket__", pa.array(bucket))
