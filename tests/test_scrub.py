@@ -59,6 +59,7 @@ def test_redact_pii_presets():
         "server 192.168.0.1 and 10.0.0.255 up",
         "call +1 555-123-4567 or 020 7946 0958",
         "clean text, no pii",
+        "ssn 078-05-1120 on file",
     ]
     ds = ray.data.read_parquet  # noqa: F841  (keep import pattern visible)
     d = ray.data.from_arrow(pa.table({"text": rows}))
@@ -69,6 +70,8 @@ def test_redact_pii_presets():
     assert "<PHONE>" in out[2]["text"] and out[2]["n_pii_phone"] >= 1
     assert out[3]["text"] == "clean text, no pii"
     assert out[3]["n_pii_email"] == 0
+    # SSN redacts before the phone rule can clip it
+    assert out[4]["text"] == "ssn <SSN> on file" and out[4]["n_pii_ssn"] == 1
 
 
 # -- corpus-frequency unit dedup -----------------------------------------
