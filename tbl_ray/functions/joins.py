@@ -183,6 +183,12 @@ def shuffle_join(
     rsch = right.schema()
     lsch = getattr(lsch, "base_schema", lsch)
     rsch = getattr(rsch, "base_schema", rsch)
+    if lsch is None or rsch is None:
+        raise ValueError(
+            "shuffle_join needs a known schema on both sides; a row-filtered "
+            "empty dataset loses its schema — construct empty sides with "
+            "ray.data.from_arrow(<0-row table>) instead"
+        )
     for kcol in keys:
         if kcol not in lsch.names or kcol not in rsch.names:
             raise ValueError(f"key column {kcol!r} missing from a side")

@@ -1042,3 +1042,33 @@ def test_shuffle_join_null_keys_never_match():
         for row in shuffle_join(l, r, "k", join_type="left outer").take_all()
     )
     assert louter == [("x", 1, 10), ("y", None, None)]
+
+
+def test_shuffle_join_multikey_empty_side_single_bucket():
+    from tbl_ray.functions.joins import shuffle_join
+
+    l = ray.data.from_arrow(
+        pa.table({"k1": [1, 1, 2], "k2": ["a", "b", "a"], "v": [10, 11, 12]})
+    )
+    r = ray.data.from_arrow(
+        pa.table({"k1": [1, 2, 2], "k2": ["a", "a", "z"], "w": [7, 8, 9]})
+    )
+    got = sorted(
+        (x["k1"], x["k2"], x["v"], x["w"])
+        for x in shuffle_join(l, r, ["k1", "k2"], n_buckets=1).take_all()
+    )
+    assert got == [(1, "a", 10, 7), (2, "a", 12, 8)]
+    empty_r = ray.data.from_arrow(
+        pa.table({"k1": pa.array([], pa.int64()),
+                  "k2": pa.array([], pa.string()),
+                  "w": pa.array([], pa.int64())})
+    )
+    lo = sorted(
+        (x["v"], x["w"])
+        for x in shuffle_join(l, empty_r, ["k1", "k2"], join_type="left outer").take_all()
+    )
+    assert lo == [(10, None), (11, None), (12, None)]
+    # a schema-less (row-filtered empty) side fails with a clear message
+    bad = ray.data.from_arrow(pa.table({"k1": [9]})).filter(lambda row: False)
+    with pytest.raises(ValueError, match="known schema"):
+        shuffle_join(l, bad, ["k1"])
