@@ -818,6 +818,307 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["webtable_invariant"] = webtable_invariant
 
+    def window_fns(sf_dir: str):
+        """SQL window functions (row_number / lag / running sum) per
+        customer ordered by date: one keyed shuffle + vectorized per-group
+        pass. Value floored to int64 so the running sum is exact (not
+        float-order-dependent)."""
+        import pyarrow.compute as pc
+
+        from tbl_ray.functions.winfns import window_functions
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "orders.parquet")],
+            TransformSpec(
+                select=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+            ),
+        )
+
+        def floor_price(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return t.append_column(
+                "price_fl",
+                _pc.cast(_pc.floor(t.column("o_totalprice")), pa.int64()),
+            )
+
+        out = window_functions(
+            ds.map_batches(
+                floor_price, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="o_custkey",
+            order_cols=["o_orderdate", "o_orderkey"],
+            value_col="price_fl",
+        )
+        return out.select_columns(
+            ["o_orderkey", "o_custkey", "rn", "lag_price_fl", "cum_price_fl"]
+        )
+
+    q["window_fns"] = window_fns
+
+    def rolling_window(sf_dir: str):
+        """Sliding 1-hour RANGE-frame count/sum per user: two-pointer
+        searchsorted + prefix sums per key group, exact int arithmetic."""
+        from tbl_ray.functions.winfns import rolling_range_agg
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "events.parquet")],
+            TransformSpec(select=["event_id", "user_id", "ts", "value"]),
+        )
+
+        def floor_val(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return t.append_column(
+                "value_fl", _pc.cast(_pc.floor(t.column("value")), pa.int64())
+            )
+
+        out = rolling_range_agg(
+            ds.map_batches(
+                floor_val, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value_fl",
+            window="1h",
+        )
+        return out.select_columns(["event_id", "n_w", "sum_w"])
+
+    q["rolling_window"] = rolling_window
+
+    def explode(sf_dir: str):
+        """Unnest the embedding list column into long form (vec_id, pos,
+        val) — zero-copy flatten + parent-index take per batch."""
+        from tbl_ray.sources import read_table
+        from tbl_ray.stages.reshape import explode_list
+
+        ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+
+        def head_vecs(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return t.filter(_pc.less(t.column("vec_id"), 200))
+
+        small = ds.map_batches(
+            head_vecs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return explode_list(small, "embedding", id_cols=["vec_id"])
+
+    q["explode"] = explode
+
+    def pivot_langs(sf_dir: str):
+        """Wide per-source doc counts per language — conditional-
+        aggregation pivot with pre-aggregated partials."""
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.reshape import pivot_counts
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["lang", "source"]),
+        )
+        return pivot_counts(
+            ds, "lang", "source", ["src0", "src1", "src2", "src3"]
+        )
+
+    q["pivot_counts"] = pivot_langs
+
+    def distinct_q(sf_dir: str):
+        """SELECT DISTINCT via per-batch local distinct + tiny keyed
+        merge."""
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.aggregate import distinct_rows
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "lineitem.parquet")],
+            TransformSpec(select=["l_returnflag", "l_linestatus"]),
+        )
+        return distinct_rows(ds, ["l_returnflag", "l_linestatus"])
+
+    q["distinct"] = distinct_q
+
+    def grouped_quantiles_q(sf_dir: str):
+        """EXACT per-group quantiles (DuckDB quantile_cont-identical
+        interpolation) — keyed shuffle + vectorized sort per group."""
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.aggregate import grouped_quantiles
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "lineitem.parquet")],
+            TransformSpec(select=["l_returnflag", "l_quantity"]),
+        )
+        return grouped_quantiles(
+            ds, "l_returnflag", "l_quantity", [0.5, 0.9]
+        )
+
+    q["grouped_quantiles"] = grouped_quantiles_q
+
+    def range_join_q(sf_dir: str):
+        """Interval join: each event matched to the broadcast promo
+        windows containing its timestamp (BETWEEN semantics)."""
+        from tbl_ray.functions.joins import broadcast_range_join
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        promos = pa.table(
+            {
+                "event_type": ["click", "click", "view", "purchase"],
+                "start_ts": pa.array(
+                    [
+                        np.datetime64("2024-01-03T00:00:00", "us"),
+                        np.datetime64("2024-01-10T12:00:00", "us"),
+                        np.datetime64("2024-01-05T00:00:00", "us"),
+                        np.datetime64("2024-01-01T00:00:00", "us"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "end_ts": pa.array(
+                    [
+                        np.datetime64("2024-01-12T00:00:00", "us"),
+                        np.datetime64("2024-01-20T00:00:00", "us"),
+                        np.datetime64("2024-01-25T00:00:00", "us"),
+                        np.datetime64("2024-03-01T00:00:00", "us"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "promo_id": pa.array([101, 102, 201, 301], pa.int64()),
+            }
+        )
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "events.parquet")],
+            TransformSpec(select=["event_id", "event_type", "ts"]),
+        )
+        out = broadcast_range_join(
+            ds, promos, by="event_type", on="ts",
+            start_col="start_ts", end_col="end_ts",
+        )
+        return out.select_columns(["event_id", "promo_id"])
+
+    q["range_join"] = range_join_q
+
+    def _urgent_keys(sf_dir: str) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        return (
+            t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+            .select(["o_orderkey"])
+            .rename_columns(["l_orderkey"])
+        )
+
+    def join_semi_q(sf_dir: str):
+        """Semi join: lineitems of urgent orders (broadcast key filter,
+        no shuffle)."""
+        from tbl_ray.functions.joins import broadcast_semi_join
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        li = read_for_spec(
+            [os.path.join(sf_dir, "lineitem.parquet")],
+            TransformSpec(select=["l_orderkey", "l_linenumber"]),
+        )
+        return broadcast_semi_join(li, _urgent_keys(sf_dir), "l_orderkey")
+
+    q["join_semi"] = join_semi_q
+
+    def join_anti_q(sf_dir: str):
+        """Anti join: lineitems NOT belonging to urgent orders."""
+        from tbl_ray.functions.joins import broadcast_semi_join
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        li = read_for_spec(
+            [os.path.join(sf_dir, "lineitem.parquet")],
+            TransformSpec(select=["l_orderkey", "l_linenumber"]),
+        )
+        return broadcast_semi_join(
+            li, _urgent_keys(sf_dir), "l_orderkey", anti=True
+        )
+
+    q["join_anti"] = join_anti_q
+
+    def q3_revenue(sf_dir: str):
+        """TPC-H-Q3-shaped composite: shuffle join lineitem x urgent
+        orders, pre-aggregated revenue per order (exact integer cents),
+        top-10 without a global sort. Exercises join + groupby + topk in
+        one streaming plan."""
+        from tbl_ray.functions.joins import shuffle_join
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.aggregate import group_aggregate
+        from tbl_ray.stages.slicing import topk
+        from tbl_ray.transforms import TransformSpec
+
+        li = read_for_spec(
+            [os.path.join(sf_dir, "lineitem.parquet")],
+            TransformSpec(
+                select=["l_orderkey", "l_extendedprice", "l_discount"]
+            ),
+        )
+
+        def revenue(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            cents = _pc.cast(
+                _pc.floor(
+                    _pc.multiply(
+                        _pc.multiply(
+                            t.column("l_extendedprice"),
+                            _pc.subtract(
+                                pa.scalar(1.0), t.column("l_discount")
+                            ),
+                        ),
+                        pa.scalar(100.0),
+                    )
+                ),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "revenue_cents": cents,
+                }
+            )
+
+        ords = read_for_spec(
+            [os.path.join(sf_dir, "orders.parquet")],
+            TransformSpec(
+                select=["o_orderkey", "o_orderpriority"],
+                filter=["o_orderpriority=1-URGENT"],
+            ),
+        )
+
+        def key_only(t: pa.Table) -> pa.Table:
+            return pa.table({"l_orderkey": t.column("o_orderkey")})
+
+        li2 = li.map_batches(
+            revenue, batch_format="pyarrow", zero_copy_batch=True
+        )
+        ords2 = ords.map_batches(
+            key_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+        joined = shuffle_join(li2, ords2, "l_orderkey")
+        agg = group_aggregate(
+            joined, "l_orderkey", {"revenue_cents": ["sum"]}
+        )
+        return topk(
+            agg,
+            ["sum_revenue_cents", "l_orderkey"],
+            10,
+            descending=[True, False],
+        )
+
+    q["q3_revenue"] = q3_revenue
+
     return q
 
 
@@ -1079,6 +1380,77 @@ def oracle_sql() -> dict[str, str]:
             " SELECT e.vec_id FROM embeddings e, q"
             " ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,"
             " e.vec_id LIMIT 10"
+        ),
+        "window_fns": (
+            "WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,"
+            " CAST(floor(o_totalprice) AS BIGINT) AS price_fl FROM orders)"
+            " SELECT o_orderkey, o_custkey,"
+            " row_number() OVER w AS rn,"
+            " lag(price_fl) OVER w AS lag_price_fl,"
+            " sum(price_fl) OVER (PARTITION BY o_custkey ORDER BY"
+            " o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) AS cum_price_fl"
+            " FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY"
+            " o_orderdate, o_orderkey)"
+        ),
+        "rolling_window": (
+            "WITH e AS (SELECT event_id, user_id, ts,"
+            " CAST(floor(value) AS BIGINT) AS value_fl FROM events)"
+            " SELECT event_id, count(*) OVER w AS n_w,"
+            " sum(value_fl) OVER w AS sum_w"
+            " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "explode": (
+            "SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
+            " unnest(embedding) AS val FROM embeddings WHERE vec_id < 200"
+        ),
+        "pivot_counts": (
+            "SELECT lang,"
+            " sum(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS n_src0,"
+            " sum(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS n_src1,"
+            " sum(CASE WHEN source='src2' THEN 1 ELSE 0 END) AS n_src2,"
+            " sum(CASE WHEN source='src3' THEN 1 ELSE 0 END) AS n_src3"
+            " FROM documents GROUP BY lang"
+        ),
+        "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "grouped_quantiles": (
+            "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS q_0_5,"
+            " quantile_cont(l_quantity, 0.9) AS q_0_9"
+            " FROM lineitem GROUP BY l_returnflag"
+        ),
+        "range_join": (
+            "SELECT e.event_id, p.promo_id FROM events e JOIN (VALUES"
+            " ('click', TIMESTAMP '2024-01-03 00:00:00',"
+            "  TIMESTAMP '2024-01-12 00:00:00', 101),"
+            " ('click', TIMESTAMP '2024-01-10 12:00:00',"
+            "  TIMESTAMP '2024-01-20 00:00:00', 102),"
+            " ('view', TIMESTAMP '2024-01-05 00:00:00',"
+            "  TIMESTAMP '2024-01-25 00:00:00', 201),"
+            " ('purchase', TIMESTAMP '2024-01-01 00:00:00',"
+            "  TIMESTAMP '2024-03-01 00:00:00', 301)"
+            " ) p(event_type, start_ts, end_ts, promo_id)"
+            " ON e.event_type = p.event_type"
+            " AND e.ts BETWEEN p.start_ts AND p.end_ts"
+        ),
+        "join_semi": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem"
+            " WHERE l_orderkey IN (SELECT o_orderkey FROM orders"
+            " WHERE o_orderpriority='1-URGENT')"
+        ),
+        "join_anti": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem"
+            " WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders"
+            " WHERE o_orderpriority='1-URGENT')"
+        ),
+        "q3_revenue": (
+            "SELECT l_orderkey,"
+            " sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)) AS sum_revenue_cents"
+            " FROM lineitem WHERE l_orderkey IN"
+            " (SELECT o_orderkey FROM orders WHERE o_orderpriority='1-URGENT')"
+            " GROUP BY l_orderkey"
+            " ORDER BY sum_revenue_cents DESC, l_orderkey LIMIT 10"
         ),
         # langid / quality / fingerprint / dedup_minhash / simhash / ann_ivf /
         # encode_roundtrip / webtable_invariant: non-SQL-expressible

@@ -283,3 +283,73 @@ class _KeyBucket:
                 acc = acc * np.uint64(0x9E3779B97F4A7C15) + h1
         bucket = (acc % np.uint64(self.n_buckets)).astype(np.int64)
         return t.append_column("__bucket__", pa.array(bucket))
+
+
+def broadcast_range_join(
+    ds: "ray.data.Dataset",
+    small: pa.Table,
+    *,
+    by: str,
+    on: str,
+    start_col: str,
+    end_col: str,
+) -> "ray.data.Dataset":
+    """Interval (range) join against a small broadcast side: each big-side
+    row matches every small-side row with the same ``by`` key whose
+    ``[start_col, end_col]`` range contains the row's ``on`` value
+    (inclusive both ends — SQL ``BETWEEN``). Inner semantics: unmatched
+    rows emit nothing; a row inside k overlapping ranges emits k rows.
+
+    Execution: the range table ships once via ``ray.put``; every batch
+    runs one vectorized mask per small-side range (equality on ``by`` AND
+    two comparisons on ``on``) and a single ``take`` to materialize the
+    matches. Cost is O(|small| x batch_rows) vector ops — the right shape
+    while the range side is a dimension table (promo windows, config
+    epochs, maintenance windows). For a LARGE range side, bucket both
+    sides by (key, coarse time bucket) with
+    ``tbl_ray.stages.partition.partition_by_hash`` and range-join per
+    bucket instead.
+    """
+    for c in (by, start_col, end_col):
+        if c not in small.schema.names:
+            raise ValueError(f"column {c!r} missing from range side")
+    small_ref = ray.put(small.combine_chunks())
+
+    def probe(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = ray.get(small_ref)
+        payload = [c for c in s.schema.names if c not in (by, start_col, end_col)]
+        key = t.column(by)
+        onv = t.column(on)
+        big_idx: list = []
+        small_idx: list = []
+        for i in range(s.num_rows):
+            mask = pc.and_kleene(
+                pc.equal(key, s.column(by)[i]),
+                pc.and_kleene(
+                    pc.greater_equal(onv, s.column(start_col)[i]),
+                    pc.less_equal(onv, s.column(end_col)[i]),
+                ),
+            )
+            rows = np.flatnonzero(
+                pc.fill_null(mask, False).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            if len(rows):
+                big_idx.append(rows)
+                small_idx.append(np.full(len(rows), i, dtype=np.int64))
+        if not big_idx:
+            empty = t.slice(0, 0)
+            for c in payload:
+                empty = empty.append_column(c, s.column(c).slice(0, 0))
+            return empty
+        bi = np.concatenate(big_idx)
+        si = np.concatenate(small_idx)
+        out = t.take(bi)
+        for c in payload:
+            out = out.append_column(c, s.column(c).take(si))
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

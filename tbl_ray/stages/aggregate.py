@@ -170,3 +170,97 @@ def group_aggregate(
         return t.drop_columns(drops) if drops else t
 
     return merged.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_rows(
+    ds: "ray.data.Dataset", cols: list[str] | str
+) -> "ray.data.Dataset":
+    """``SELECT DISTINCT cols`` — per-batch local distinct (Arrow
+    ``group_by`` with no aggregates) so the exchange moves at most one
+    row per distinct tuple per block, then a keyed merge proportional to
+    the distinct count, never the input rows. Nulls form their own group
+    (SQL DISTINCT treats NULLs as equal)."""
+    from tbl_ray.sizing import fold_partials_local
+
+    key_list = [cols] if isinstance(cols, str) else list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(key_list).group_by(key_list).aggregate([])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mt = fold_partials_local(ds, partials, key_list, [], [])
+    if mt is not None:
+        return ray.data.from_arrow(mt)
+    # distributed: one exchange on hash(key tuple) % n coarse buckets —
+    # Ray's native groupby range-sorts the key and cannot order null
+    # keys; the bucket column is a non-null int64, and a local Arrow
+    # distinct per bucket handles nulls fine
+    from tbl_ray.functions.joins import _KeyBucket
+
+    bucketed = partials.map_batches(
+        _KeyBucket(key_list, 64), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return (
+            t.drop_columns(["__bucket__"])
+            .group_by(key_list)
+            .aggregate([])
+        )
+
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    quantiles: list[float],
+    *,
+    interpolate: bool = True,
+) -> "ray.data.Dataset":
+    """EXACT per-group quantiles: one hash shuffle on the key, then a
+    vectorized sort + index/interpolate per group.
+
+    ``interpolate=True`` matches DuckDB ``quantile_cont`` exactly
+    (``a + (b - a) * frac`` at rank ``q * (n - 1)`` — that operand order,
+    so the float rounding is bit-identical to the oracle, unlike
+    ``np.quantile``'s ``(1-g)*a + g*b``); ``False`` matches
+    ``quantile_disc`` (the element at ``ceil(q * n) - 1``). Nulls are
+    dropped first (SQL aggregate semantics). Output: one row per key with
+    ``q_<label>`` float64 (cont) / value-typed (disc) columns.
+
+    Exact distributed quantiles need the key's full value set in one
+    place — that is inherently a shuffle; for a shuffle-free approximate
+    answer use :func:`tbl_ray.functions.sketches.approx_quantiles`.
+    The per-group state is one float per row, so groups of 10^8+ rows
+    fit; beyond that, use the sketch.
+    """
+    import numpy as np
+
+    labels = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
+
+    def per_key(t: pa.Table) -> pa.Table:
+        key = t.column(key_col)[0]
+        vals = t.column(value_col).drop_null()
+        v = np.sort(vals.to_numpy(zero_copy_only=False))
+        out: dict = {key_col: pa.array([key], t.schema.field(key_col).type)}
+        for q, label in zip(quantiles, labels):
+            if len(v) == 0:
+                res = None
+            elif interpolate:
+                h = q * (len(v) - 1)
+                lo = int(np.floor(h))
+                hi = min(lo + 1, len(v) - 1)
+                res = float(v[lo] + (v[hi] - v[lo]) * (h - lo))
+            else:
+                res = v[min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)]
+            typ = pa.float64() if interpolate else t.schema.field(value_col).type
+            out[label] = pa.array([res], typ)
+        return pa.table(out)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

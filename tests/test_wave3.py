@@ -1,0 +1,239 @@
+"""Edge cases for the wave-3 operators (window functions, rolling
+range frames, explode, pivot, distinct, exact quantiles, range join).
+
+The happy paths run through the driver-contract parametrization in
+test_entry_contract.py (every entry has a DuckDB oracle); these tests pin
+the semantics the oracle data never exercises: nulls in the value column,
+equal-timestamp RANGE peers, empty/null lists, null categories, both
+sizing plans, and interval overlaps."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tbl_ray.functions.joins import broadcast_range_join  # noqa: E402
+from tbl_ray.functions.winfns import (  # noqa: E402
+    rolling_range_agg,
+    window_functions,
+)
+from tbl_ray.stages.aggregate import (  # noqa: E402
+    distinct_rows,
+    grouped_quantiles,
+)
+from tbl_ray.stages.reshape import explode_list, pivot_counts  # noqa: E402
+
+
+def _ds(table: pa.Table, blocks: int = 3) -> "ray.data.Dataset":
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+def _collect(ds) -> pa.Table:
+    t = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return t.combine_chunks()
+
+
+# -- window_functions ---------------------------------------------------
+
+
+def test_window_fns_null_values_sql_semantics():
+    # SQL: lag propagates nulls; running sum is NULL until the first
+    # non-null value, then skips nulls but carries the total forward
+    t = pa.table(
+        {
+            "k": ["a"] * 4 + ["b"] * 2,
+            "o": [1, 2, 3, 4, 1, 2],
+            "v": pa.array([None, 5, None, 7, None, None], pa.int64()),
+        }
+    )
+    out = _collect(
+        window_functions(_ds(t), key_col="k", order_cols=["o"], value_col="v")
+    ).sort_by([("k", "ascending"), ("o", "ascending")])
+    assert out.column("rn").to_pylist() == [1, 2, 3, 4, 1, 2]
+    assert out.column("lag_v").to_pylist() == [None, None, 5, None, None, None]
+    assert out.column("cum_v").to_pylist() == [None, 5, 5, 12, None, None]
+
+
+def test_window_fns_single_row_groups_and_ties():
+    t = pa.table(
+        {
+            "k": ["x", "y", "y"],
+            "o": [9, 1, 1],  # tie inside y: rank order engine-defined...
+            "id": [1, 2, 3],  # ...so break it with a second order col
+            "v": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = _collect(
+        window_functions(
+            _ds(t, 2), key_col="k", order_cols=["o", "id"], value_col="v"
+        )
+    ).sort_by([("k", "ascending"), ("rn", "ascending")])
+    assert out.column("cum_v").to_pylist() == [10, 20, 50]
+
+
+# -- rolling_range_agg --------------------------------------------------
+
+
+def test_rolling_range_includes_equal_ts_peers():
+    # RANGE frames include ALL peer rows with the current timestamp —
+    # including ones that sort after the current row
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 1],
+            "ts": pa.array(
+                [base, base, base + np.timedelta64(30, "m"),
+                 base + np.timedelta64(200, "m")],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array([1, 2, 4, 8], pa.int64()),
+        }
+    )
+    out = _collect(
+        rolling_range_agg(
+            _ds(t, 2), key_col="k", ts_col="ts", value_col="v", window="1h"
+        )
+    ).sort_by([("ts", "ascending"), ("v", "ascending")])
+    # both t=0 rows see each other (peers): n=2, sum=3
+    assert out.column("n_w").to_pylist() == [2, 2, 3, 1]
+    assert out.column("sum_w").to_pylist() == [3, 3, 7, 8]
+
+
+# -- explode_list -------------------------------------------------------
+
+
+def test_explode_skips_null_and_empty_lists():
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4],
+            "xs": pa.array(
+                [[1.5, 2.5], None, [], [9.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = _collect(explode_list(_ds(t, 2), "xs", id_cols=["id"])).sort_by(
+        [("id", "ascending"), ("pos", "ascending")]
+    )
+    assert out.column("id").to_pylist() == [1, 1, 4]
+    assert out.column("pos").to_pylist() == [1, 2, 1]
+    assert out.column("val").to_pylist() == [1.5, 2.5, 9.0]
+    assert out.schema.field("val").type == pa.float32()
+
+
+# -- pivot_counts -------------------------------------------------------
+
+
+def test_pivot_counts_null_category_counts_zero():
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "c": ["x", None, "y", "x", "z"],  # z unlisted -> ignored
+        }
+    )
+    out = _collect(pivot_counts(_ds(t, 2), "k", "c", ["x", "y"])).sort_by(
+        [("k", "ascending")]
+    )
+    assert out.column("n_x").to_pylist() == [1, 1]
+    assert out.column("n_y").to_pylist() == [0, 1]
+
+
+# -- distinct_rows ------------------------------------------------------
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_distinct_rows_both_plans_null_group(local_bytes, monkeypatch):
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    t = pa.table(
+        {
+            "a": ["p", "p", None, None, "q"],
+            "b": [1, 1, 2, 2, None],
+        }
+    )
+    out = _collect(distinct_rows(_ds(t, 2), ["a", "b"]))
+    rows = sorted(
+        out.to_pylist(), key=lambda r: (str(r["a"]), str(r["b"]))
+    )
+    assert rows == [
+        {"a": None, "b": 2},
+        {"a": "p", "b": 1},
+        {"a": "q", "b": None},
+    ]
+
+
+# -- grouped_quantiles --------------------------------------------------
+
+
+def test_grouped_quantiles_matches_duck_disc_and_nulls(duck):
+    import duckdb  # noqa: F401
+
+    t = pa.table(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "v": pa.array([1.0, 2, 3, 7, None, 10, None, 30], pa.float64()),
+        }
+    )
+    con = __import__("duckdb").connect()
+    con.register("t", t)
+    for interp in (True, False):
+        fn = "quantile_cont" if interp else "quantile_disc"
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                f"SELECT k, {fn}(v, 0.5), {fn}(v, 0.9) FROM t GROUP BY k"
+            ).fetchall()
+        }
+        out = _collect(
+            grouped_quantiles(
+                _ds(t, 2), "k", "v", [0.5, 0.9], interpolate=interp
+            )
+        )
+        got = {
+            r["k"]: (r["q_0_5"], r["q_0_9"]) for r in out.to_pylist()
+        }
+        assert got == want, (interp, got, want)
+
+
+# -- broadcast_range_join -----------------------------------------------
+
+
+def test_range_join_overlaps_and_no_match():
+    big = pa.table(
+        {
+            "id": [1, 2, 3],
+            "g": ["a", "a", "b"],
+            "x": pa.array([5, 50, 5], pa.int64()),
+        }
+    )
+    ranges = pa.table(
+        {
+            "g": ["a", "a", "c"],
+            "lo": pa.array([0, 4, 0], pa.int64()),
+            "hi": pa.array([10, 6, 100], pa.int64()),
+            "tag": ["r1", "r2", "r3"],
+        }
+    )
+    out = _collect(
+        broadcast_range_join(
+            _ds(big, 2), ranges, by="g", on="x", start_col="lo", end_col="hi"
+        )
+    )
+    pairs = sorted((r["id"], r["tag"]) for r in out.to_pylist())
+    # id=1 overlaps both a-ranges; id=2 outside; id=3 has no b-range
+    assert pairs == [(1, "r1"), (1, "r2")]
+
+
+def test_range_join_missing_column_raises():
+    big = _ds(pa.table({"g": ["a"], "x": [1]}), 1)
+    ranges = pa.table({"g": ["a"], "lo": [0]})
+    with pytest.raises(ValueError, match="missing"):
+        broadcast_range_join(
+            big, ranges, by="g", on="x", start_col="lo", end_col="hi"
+        )
