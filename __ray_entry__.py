@@ -1048,11 +1048,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["join_anti"] = join_anti_q
 
     def q3_revenue(sf_dir: str):
-        """TPC-H-Q3-shaped composite: shuffle join lineitem x urgent
-        orders, pre-aggregated revenue per order (exact integer cents),
-        top-10 without a global sort. Exercises join + groupby + topk in
-        one streaming plan."""
-        from tbl_ray.functions.joins import shuffle_join
+        """TPC-H-Q3-shaped composite: revenue per order (exact integer
+        cents), semi-joined to urgent orders, top-10 without a global
+        sort. Plan quality over literal SQL shape: the aggregate runs
+        BELOW the join (valid — the join is a key filter), shrinking
+        lineitem to one row per order before any join work, and
+        join_auto picks broadcast-vs-shuffle from table statistics."""
+        from tbl_ray.functions.joins import join_auto
         from tbl_ray.sources.parquet import read_for_spec
         from tbl_ray.stages.aggregate import group_aggregate
         from tbl_ray.stages.slicing import topk
@@ -1089,6 +1091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
+        # the right side stays UNMAPPED so join_auto's lazy-read size
+        # proof holds and it can pick the broadcast plan
         ords = read_for_spec(
             [os.path.join(sf_dir, "orders.parquet")],
             TransformSpec(
@@ -1096,19 +1100,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 filter=["o_orderpriority=1-URGENT"],
             ),
         )
-
-        def key_only(t: pa.Table) -> pa.Table:
-            return pa.table({"l_orderkey": t.column("o_orderkey")})
-
         li2 = li.map_batches(
             revenue, batch_format="pyarrow", zero_copy_batch=True
         )
-        ords2 = ords.map_batches(
-            key_only, batch_format="pyarrow", zero_copy_batch=True
-        )
-        joined = shuffle_join(li2, ords2, "l_orderkey")
         agg = group_aggregate(
-            joined, "l_orderkey", {"revenue_cents": ["sum"]}
+            li2, "l_orderkey", {"revenue_cents": ["sum"]}
+        )
+        agg = join_auto(
+            agg, ords, "l_orderkey", right_on="o_orderkey", semi=True
         )
         return topk(
             agg,

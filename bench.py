@@ -203,6 +203,12 @@ def bench_queries() -> dict[str, float]:
         "join_shuffle",
         "curate_webtext",
         "encode_roundtrip",
+        "window_fns",
+        "rolling_window",
+        "explode",
+        "q3_revenue",
+        "grouped_quantiles",
+        "range_join",
     ]
     times: dict[str, float] = {}
     for name in picks:

@@ -278,7 +278,26 @@ class _KeyBucket:
         acc = np.zeros(t.num_rows, dtype=np.uint64)
         for kcol in self.keys:
             col = t.column(kcol).combine_chunks()
-            h1, _ = _fingerprint128(pc.fill_null(col.cast(pa.string()), ""))
+            # dispatch on TYPE only (never on null_count): both sides of a
+            # join must bucket a given value identically, and one side may
+            # carry nulls where the other does not. Integer/temporal keys
+            # skip the string cast + fingerprint entirely (measured 5x on
+            # an int64-keyed aggregate); nulls hash as 0 — they never
+            # match anything, so their placement is irrelevant.
+            if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+                k = (
+                    pc.fill_null(pc.cast(col, pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                with np.errstate(over="ignore"):
+                    h1 = (k ^ (k >> np.uint64(33))) * np.uint64(
+                        0xFF51AFD7ED558CCD
+                    )
+            else:
+                h1, _ = _fingerprint128(
+                    pc.fill_null(col.cast(pa.string()), "")
+                )
             with np.errstate(over="ignore"):
                 acc = acc * np.uint64(0x9E3779B97F4A7C15) + h1
         bucket = (acc % np.uint64(self.n_buckets)).astype(np.int64)
@@ -353,3 +372,82 @@ def broadcast_range_join(
         return out
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def join_auto(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    *,
+    join_type: str = "inner",
+    semi: bool = False,
+    anti: bool = False,
+    rsuffix: str = "_r",
+    right_on: str | list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Statistics-driven join: broadcast the right side when it is
+    PROVABLY small (``tbl_ray.sizing`` — exact bytes for materialized
+    inputs, summed file sizes for lazy reads, unknown = huge), else run
+    the explicit co-partitioned shuffle join. The same
+    broadcast-vs-shuffle decision a SQL planner makes from table
+    statistics; results are identical either way (tests drive both via
+    ``TBL_RAY_LOCAL_SKETCH_BYTES``).
+
+    ``right_on`` joins differently-named right key columns (renamed to
+    ``on`` in the output). Pass the right side UNMAPPED when you can: a
+    ``map_batches`` breaks the lazy-read size proof (``input_files`` no
+    longer reaches the source), silently forcing the shuffle plan —
+    ``right_on`` exists so a key rename never costs the broadcast.
+
+    ``semi``/``anti`` return the filter form (left rows kept/dropped by
+    key membership, no right columns). The big-side ``anti`` has no
+    shuffle plan here — an anti join of two huge sides wants the
+    fingerprint/co-bucket design of
+    ``tbl_ray.functions.dedup.exact_dedup_bucketed``; raising beats
+    silently hiding an all-to-all.
+    """
+    from tbl_ray.sizing import collect_local, fits_local
+
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = (
+        keys
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    if len(rkeys) != len(keys):
+        raise ValueError("right_on must name one column per `on` key")
+    rename = dict(zip(rkeys, keys))
+
+    def rename_keys_table(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [rename.get(c, c) for c in t.schema.names]
+        )
+
+    if fits_local(right):
+        t = collect_local(right)
+        if t is None:  # empty right side: synthesize its schema
+            rsch = right.schema()
+            rsch = getattr(rsch, "base_schema", rsch)
+            t = rsch.empty_table()
+        t = rename_keys_table(t)
+        if semi or anti:
+            return broadcast_semi_join(left, t, keys, anti=anti)
+        return broadcast_join(left, t, keys, join_type=join_type)
+    if anti:
+        raise NotImplementedError(
+            "anti join with a large right side: co-bucket both sides by "
+            "key hash (tbl_ray.stages.partition.partition_by_hash) and "
+            "anti-join per bucket — see exact_dedup_bucketed for the shape"
+        )
+    if rkeys != keys:
+        right = right.map_batches(
+            rename_keys_table, batch_format="pyarrow", zero_copy_batch=True
+        )
+    if semi:
+        from tbl_ray.stages.aggregate import distinct_rows
+
+        right = distinct_rows(right.select_columns(keys), keys)
+        return shuffle_join(left, right, keys, join_type="inner")
+    return shuffle_join(
+        left, right, keys, join_type=join_type, rsuffix=rsuffix
+    )

@@ -5,14 +5,20 @@ file-transform CLI); these extend the engine with the per-key ordered
 analytics a training-data pipeline needs (event ordinals, previous-value
 deltas, running totals, sliding time-range rates).
 
-Execution shape: ONE hash shuffle on the partition key
-(``groupby(key).map_groups``), then a fully vectorized per-group pass
-(``np.lexsort`` + ``cumsum`` / ``searchsorted``). No global sort — the
-SQL ``ORDER BY`` inside the window is established independently per key
-group, so the exchange cost is the same as any keyed aggregate.
-Assumption (documented per the custom-operator contract): one key group
-fits in a worker's heap. For Zipf-skewed keys, salt the key first with
-:func:`tbl_ray.stages.partition.partition_by_key`'s hash-bucket route.
+Execution shape: ONE exchange on ``hash(key) % n_buckets`` (so Ray moves
+blocks by a small-int column — never range-sorts the raw key, which it
+cannot even do for null keys), then a fully **segment-vectorized** pass
+per bucket: one lexsort brings each key's rows together in order, and
+row numbers / lags / running sums / frame bounds for EVERY key in the
+bucket come out of numpy prefix-sum and searchsorted identities over the
+segment boundaries. No per-key Python call anywhere — Ray's
+``groupby(key).map_groups`` re-enters Python once per distinct key
+(measured: tens of thousands of calls on a 15k-key table), while this
+shape does a constant number of vector ops per bucket.
+
+Assumption (documented per the custom-operator contract): one bucket
+(~1/n_buckets of the keyed data) fits in a worker's heap — raise
+``n_buckets`` with the cluster so bucket size stays bounded.
 
 Oracles: DuckDB ``row_number()/lag()/sum() OVER (PARTITION BY .. ORDER
 BY .. ROWS ..)`` and ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
@@ -28,19 +34,49 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from tbl_ray.functions.joins import _KeyBucket
 from tbl_ray.functions.windows import _parse_window
 
 
-def _sort_indices(t: pa.Table, order_cols: list[str]) -> np.ndarray:
-    """Stable ascending lexsort indices over ``order_cols`` (first column
-    is the primary sort key). Timestamps sort by their int64 epoch."""
+def _order_arrays(t: pa.Table, order_cols: list[str]) -> list[np.ndarray]:
     arrs = []
-    for c in reversed(order_cols):  # np.lexsort: LAST key is primary
+    for c in order_cols:
         col = t.column(c)
-        if pa.types.is_timestamp(col.type):
+        if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
             col = pc.cast(col, pa.int64())
         arrs.append(col.to_numpy(zero_copy_only=False))
-    return np.lexsort(arrs)
+    return arrs
+
+
+def _key_codes(t: pa.Table, key_col: str) -> np.ndarray:
+    """Group codes for the key column (grouping only — code order is
+    meaningless). Null keys code as -1: one segment of their own, which
+    is exactly SQL's PARTITION BY null behavior."""
+    key = t.column(key_col).combine_chunks()
+    if isinstance(key, pa.ChunkedArray):
+        key = (
+            key.chunk(0) if key.num_chunks else pa.array([], key.type)
+        )
+    d = key.dictionary_encode()
+    return (
+        pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def _segments(codes_sorted: np.ndarray):
+    """(starts, lens, rep) for contiguous equal-code runs; ``rep[i]`` is
+    the segment-start index of row i (the repeat-expanded starts)."""
+    n = len(codes_sorted)
+    flags = np.empty(n, dtype=bool)
+    if n:
+        flags[0] = True
+        np.not_equal(codes_sorted[1:], codes_sorted[:-1], out=flags[1:])
+    starts = np.flatnonzero(flags)
+    lens = np.diff(np.append(starts, n))
+    rep = np.repeat(starts, lens)
+    return starts, lens, rep
 
 
 def window_functions(
@@ -49,6 +85,7 @@ def window_functions(
     key_col: str,
     order_cols: list[str],
     value_col: str,
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions: appends
 
@@ -66,32 +103,57 @@ def window_functions(
     ORDER BY).
     """
 
-    def per_key(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        t = t.take(_sort_indices(t, order_cols))
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket__"]).combine_chunks()
+        codes = _key_codes(t, key_col)
+        order = _order_arrays(t, order_cols)
+        # lexsort: LAST key is primary -> (order cols reversed, codes)
+        idx = np.lexsort(tuple(reversed(order)) + (codes,))
+        t = t.take(idx)
+        codes = codes[idx]
         n = t.num_rows
+        starts, lens, rep = _segments(codes)
+
+        rn = np.arange(n, dtype=np.int64) - rep + 1
+
         vals = t.column(value_col).combine_chunks()
-        if isinstance(vals, pa.ChunkedArray):  # pyarrow version drift
+        if isinstance(vals, pa.ChunkedArray):
             vals = (
                 vals.chunk(0) if vals.num_chunks
                 else pa.array([], vals.type)
             )
-        rn = pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64())
         lag = pa.concat_arrays([pa.nulls(1, vals.type), vals])[:n]
+        if len(starts):
+            first = np.zeros(n, dtype=bool)
+            first[starts] = True
+            lag = pc.if_else(
+                pa.array(first), pa.scalar(None, vals.type), lag
+            )
+
         valid = np.asarray(pc.is_valid(vals))
         v = np.where(valid, vals.to_numpy(zero_copy_only=False), 0)
-        cum = np.cumsum(v)
-        # null until the first non-null value (SQL: sum of an all-null
-        # prefix is NULL, not 0)
-        seen = np.cumsum(valid.astype(np.int64)) > 0
+        c = np.cumsum(v)
+        base = (c - v)[starts]  # exclusive prefix at each segment start
+        cum = c - np.repeat(base, lens)
+        nv = np.cumsum(valid.astype(np.int64))
+        nv_base = (nv - valid)[starts]
+        seen = (nv - np.repeat(nv_base, lens)) > 0
         cum_arr = pa.array(cum, type=vals.type, mask=~seen)
+
         return (
-            t.append_column("rn", rn)
+            t.append_column("rn", pa.array(rn))
             .append_column(f"lag_{value_col}", lag)
             .append_column(f"cum_{value_col}", cum_arr)
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        _KeyBucket([key_col], n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 def rolling_range_agg(
@@ -101,6 +163,7 @@ def rolling_range_agg(
     ts_col: str,
     value_col: str,
     window: str | int = "1h",
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Sliding time-range aggregate per key: for every row, the count and
     sum of ``value_col`` over rows of the same key with
@@ -108,30 +171,71 @@ def rolling_range_agg(
     PRECEDING AND CURRENT ROW`` (peer rows with an equal timestamp are
     all included, per RANGE frame semantics).
 
-    Vectorized two-pointer per group: sort by ts once, then the frame
-    bounds for ALL rows are two ``np.searchsorted`` calls and the sums
-    are exclusive-prefix-sum differences — O(n log n) per group, no
-    per-row Python. ``value_col`` must be integral and non-null so the
-    prefix-sum subtraction is exact (the query layer floors doubles
-    first); appends ``n_w`` (int64) and ``sum_w`` (same integral type).
+    Vectorized two-pointer over the whole bucket: rows sort by
+    (key, ts); each key segment's timestamps are then offset by
+    ``segment_id * stride`` with ``stride > bucket ts-range + window``,
+    which makes the offset axis globally sorted AND guarantees no frame
+    crosses a key boundary — so the frame bounds for every row of every
+    key are two ``np.searchsorted`` calls, and the sums are
+    exclusive-prefix differences. Falls back to a per-segment loop only
+    if the offset would overflow int64 (astronomically wide ts ranges).
+    ``value_col`` must be integral and non-null so the prefix-sum
+    subtraction is exact (the query layer floors doubles first); appends
+    ``n_w`` (int64) and ``sum_w`` (int64).
     """
     size_us = _parse_window(window)
 
-    def per_key(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        ts_sorted = _sort_indices(t, [ts_col])
-        t = t.take(ts_sorted)
-        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
-            zero_copy_only=False
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket__"]).combine_chunks()
+        codes = _key_codes(t, key_col)
+        ts = (
+            pc.cast(t.column(ts_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        v = t.column(value_col).to_numpy(zero_copy_only=False)
-        left = np.searchsorted(ts, ts - size_us, side="left")
-        right = np.searchsorted(ts, ts, side="right")
-        csum = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
+        idx = np.lexsort((ts, codes))
+        t = t.take(idx)
+        codes, ts = codes[idx], ts[idx]
+        n = t.num_rows
+        starts, lens, rep = _segments(codes)
+        seg_id = np.repeat(
+            np.arange(len(starts), dtype=np.int64), lens
+        )
+        v = (
+            t.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        csum = np.concatenate(([0], np.cumsum(v)))
+
+        span = int(ts.max() - ts.min()) if n else 0
+        stride = span + size_us + 1
+        if n and len(starts) * stride < (1 << 62):
+            adj = ts + seg_id * stride
+            left = np.searchsorted(adj, adj - size_us, side="left")
+            right = np.searchsorted(adj, adj, side="right")
+        else:  # overflow guard: per-segment two-pointer
+            left = np.empty(n, dtype=np.int64)
+            right = np.empty(n, dtype=np.int64)
+            for s, ln in zip(starts, lens):
+                seg = ts[s : s + ln]
+                left[s : s + ln] = s + np.searchsorted(
+                    seg, seg - size_us, side="left"
+                )
+                right[s : s + ln] = s + np.searchsorted(
+                    seg, seg, side="right"
+                )
         return t.append_column(
             "n_w", pa.array(right - left, pa.int64())
         ).append_column(
             "sum_w", pa.array(csum[right] - csum[left], pa.int64())
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        _KeyBucket([key_col], n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

@@ -72,8 +72,6 @@ def group_aggregate(
     partials stay mergeable so the shuffle moves one row per (key-tuple)
     per block, never the input rows.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
     if isinstance(keys, str):
         keys = [keys]
     for col, funcs in aggs.items():
@@ -137,11 +135,31 @@ def group_aggregate(
     if mt is not None:
         merged = ray.data.from_arrow(mt)
     else:
-        # big input, or a degenerate empty one — the exchange is correct
-        # (and on empty data, trivially cheap) in both cases
-        ray_aggs = {"sum": Sum, "min": Min, "max": Max}
-        merged = partials.groupby(keys).aggregate(
-            *[ray_aggs[f](src, alias_name=final) for src, f, final in merge_plan]
+        # big input, or a degenerate empty one. The exchange goes through
+        # hash(key tuple) % n coarse buckets + one vectorized Arrow
+        # group_by per bucket, NOT ray's groupby(keys): range-sorting
+        # millions of distinct key values costs ~5x more than sorting a
+        # 64-value bucket column (measured 7.5s -> 1.2s on a 6M-row
+        # int64-keyed sum), and the local group_by handles null keys,
+        # which Ray's sort cannot order
+        from tbl_ray.functions.joins import _KeyBucket
+
+        arrow_aggs = [(src, f) for src, f, _ in merge_plan]
+        finals = [final for _, _, final in merge_plan]
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            mt2 = (
+                t.drop_columns(["__bucket__"])
+                .group_by(keys)
+                .aggregate(arrow_aggs)
+            )
+            return mt2.rename_columns(keys + finals)
+
+        bucketed = partials.map_batches(
+            _KeyBucket(keys, 64), batch_format="pyarrow", zero_copy_batch=True
+        )
+        merged = bucketed.groupby("__bucket__").map_groups(
+            per_bucket, batch_format="pyarrow"
         )
 
     drops: list[str] = []

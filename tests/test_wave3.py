@@ -237,3 +237,69 @@ def test_range_join_missing_column_raises():
         broadcast_range_join(
             big, ranges, by="g", on="x", start_col="lo", end_col="hi"
         )
+
+
+# -- join_auto ----------------------------------------------------------
+
+
+def _right_table() -> pa.Table:
+    return pa.table(
+        {
+            "rk": pa.array([1, 2, 2], pa.int64()),
+            "tag": ["a", "b", "c"],
+        }
+    )
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_join_auto_both_plans_right_on(local_bytes, monkeypatch):
+    from tbl_ray.functions.joins import join_auto
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    left = _ds(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": [10, 20, 30]}),
+        2,
+    )
+    right = ray.data.from_arrow(_right_table()).repartition(2)
+    out = _collect(join_auto(left, right, "k", right_on="rk"))
+    pairs = sorted((r["k"], r["tag"]) for r in out.to_pylist())
+    assert pairs == [(1, "a"), (2, "b"), (2, "c")]
+    assert "rk" not in out.schema.names
+
+    semi = _collect(join_auto(left, right, "k", right_on="rk", semi=True))
+    assert sorted(semi.column("k").to_pylist()) == [1, 2]  # no duplication
+
+
+def test_join_auto_anti_small_and_big():
+    from tbl_ray.functions.joins import join_auto
+
+    left = _ds(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": [10, 20, 30]}),
+        2,
+    )
+    right = ray.data.from_arrow(_right_table())
+    out = _collect(join_auto(left, right, "k", right_on="rk", anti=True))
+    assert out.column("k").to_pylist() == [3]
+    # big right side (forced distributed): anti must refuse loudly
+    os.environ["TBL_RAY_LOCAL_SKETCH_BYTES"] = "0"
+    try:
+        with pytest.raises(NotImplementedError, match="co-bucket"):
+            join_auto(left, right, "k", right_on="rk", anti=True)
+    finally:
+        del os.environ["TBL_RAY_LOCAL_SKETCH_BYTES"]
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_group_aggregate_null_keys_both_plans(local_bytes, monkeypatch):
+    from tbl_ray.stages.aggregate import group_aggregate
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    t = pa.table(
+        {
+            "k": ["a", None, "a", None],
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = _collect(group_aggregate(_ds(t, 2), "k", {"v": ["sum"]}))
+    got = {r["k"]: r["sum_v"] for r in out.to_pylist()}
+    assert got == {"a": 4, None: 6}
