@@ -853,7 +853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_col="price_fl",
         )
         return out.select_columns(
-            ["o_orderkey", "o_custkey", "rn", "lag_price_fl", "cum_price_fl"]
+            [
+                "o_orderkey", "o_custkey", "rn", "lag_price_fl",
+                "cum_price_fl", "lead_price_fl", "first_price_fl", "pr",
+            ]
         )
 
     q["window_fns"] = window_fns
@@ -1117,6 +1120,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     q["q3_revenue"] = q3_revenue
+
+    def split_q(sf_dir: str):
+        """Deterministic 90/5/5 train/val/test assignment — pure function
+        of (seed, id), stable across runs/layouts; exact-integer band
+        edges shared with the SQL oracle."""
+        from tbl_ray.functions.sampling import split_assign
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id"]),
+        )
+        out = split_assign(
+            ds, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id"
+        )
+        return out.select_columns(["doc_id", "split"])
+
+    q["split_assign"] = split_q
+
+    def sample_weighted_q(sf_dir: str):
+        """Data-mixing downsample: per-source keep rates (100% / 50% /
+        25%, unlisted sources dropped), deterministic per (seed, id)."""
+        from tbl_ray.functions.sampling import sample_weighted
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "source"]),
+        )
+        out = sample_weighted(
+            ds,
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            id_col="doc_id",
+        )
+        return out.select_columns(["doc_id", "source"])
+
+    q["sample_weighted"] = sample_weighted_q
 
     return q
 
@@ -1388,7 +1431,10 @@ def oracle_sql() -> dict[str, str]:
             " lag(price_fl) OVER w AS lag_price_fl,"
             " sum(price_fl) OVER (PARTITION BY o_custkey ORDER BY"
             " o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND"
-            " CURRENT ROW) AS cum_price_fl"
+            " CURRENT ROW) AS cum_price_fl,"
+            " lead(price_fl) OVER w AS lead_price_fl,"
+            " first_value(price_fl) OVER w AS first_price_fl,"
+            " percent_rank() OVER w AS pr"
             " FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY"
             " o_orderdate, o_orderkey)"
         ),
@@ -1450,6 +1496,23 @@ def oracle_sql() -> dict[str, str]:
             " (SELECT o_orderkey FROM orders WHERE o_orderpriority='1-URGENT')"
             " GROUP BY l_orderkey"
             " ORDER BY sum_revenue_cents DESC, l_orderkey LIMIT 10"
+        ),
+        "split_assign": (
+            "SELECT doc_id, CASE"
+            " WHEN sk < 3865470566 THEN 'train'"
+            " WHEN sk < 4080218931 THEN 'val'"
+            " ELSE 'test' END AS split"
+            " FROM (SELECT doc_id,"
+            " (doc_id * 2654435761) % 4294967296 AS sk FROM documents)"
+        ),
+        "sample_weighted": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source,"
+            " (doc_id * 2654435761) % 4294967296 AS sk FROM documents)"
+            " WHERE CASE"
+            " WHEN source='src0' THEN sk < 4294967296"
+            " WHEN source='src1' THEN sk < 2147483648"
+            " WHEN source='src2' THEN sk < 1073741824"
+            " ELSE FALSE END"
         ),
         # langid / quality / fingerprint / dedup_minhash / simhash / ann_ivf /
         # encode_roundtrip / webtable_invariant: non-SQL-expressible

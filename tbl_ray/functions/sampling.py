@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from tbl_ray.stages.slicing import topk
@@ -137,3 +138,95 @@ def sample_stratified(
         return t.take(np.sort(order))
 
     return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+
+def split_assign(
+    ds: "ray.data.Dataset",
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: appends ``out_col`` with
+    the label whose cumulative-fraction band the row's sample key falls
+    in. Pure function of (seed, id) — a row keeps its split across runs,
+    cluster sizes, re-partitions, and even re-processing of a subset,
+    which is what makes held-out sets trustworthy at corpus scale.
+
+    ``fractions`` is ordered (insertion order defines the bands); they
+    must sum to ~1 and the last band absorbs float remainder (threshold
+    pinned to 2^32). Band edges are exact integers, so the SQL mirror is
+    a CASE over ``((id + seed) * 2654435761) % 4294967296``.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to ~1 (got {total})")
+    labels = list(fractions)
+    cums, acc = [], 0.0
+    for lbl in labels:
+        acc += fractions[lbl]
+        cums.append(int(acc * (1 << 32)))
+    cums[-1] = 1 << 32  # absorb float remainder: every key gets a label
+    thresholds = np.array(cums, dtype=np.int64)
+    label_arr = pa.array(labels, pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        sk = _sample_key(ids, seed).astype(np.int64)
+        band = np.searchsorted(thresholds, sk, side="right")
+        return t.append_column(
+            out_col, label_arr.take(pa.array(band, pa.int64()))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_weighted(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> "ray.data.Dataset":
+    """Per-category Bernoulli downsampling — the data-mixing primitive
+    (keep 100% of books, 10% of common-crawl, ...). A row is kept iff
+    its sample key < ``rate[category] * 2^32``; like every sampler here
+    the decision is a pure function of (seed, id), so mixtures are
+    reproducible and re-runnable per shard. Unlisted categories keep
+    with ``default_rate`` (0 = drop).
+
+    One vectorized pass per batch: batch-unique categories map to
+    integer thresholds via dictionary encode, then a single compare —
+    no shuffle, no per-row Python. SQL mirror: CASE over the same exact
+    integer thresholds.
+    """
+    thr = {c: int(r * (1 << 32)) for c, r in rates.items()}
+    dflt = int(default_rate * (1 << 32))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        sk = _sample_key(ids, seed).astype(np.int64)
+        cat = t.column(cat_col).combine_chunks()
+        if isinstance(cat, pa.ChunkedArray):
+            cat = (
+                cat.chunk(0) if cat.num_chunks
+                else pa.array([], cat.type)
+            )
+        d = cat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()  # batch-unique categories only
+        lut = np.array([thr.get(u, dflt) for u in uniq], dtype=np.int64)
+        codes = np.asarray(
+            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
+        )
+        # null categories code as -1; lut[codes] still evaluates both
+        # np.where branches, so guard the empty-dictionary batch
+        if len(lut):
+            row_thr = np.where(codes >= 0, lut[codes], dflt)
+        else:
+            row_thr = np.full(len(codes), dflt, dtype=np.int64)
+        return t.filter(pa.array(sk < row_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -96,7 +96,14 @@ def window_functions(
       the first row, and wherever the previous value is null);
     - ``cum_<value_col>`` — running ``sum(value) ROWS UNBOUNDED PRECEDING``.
       Nulls are skipped (SQL semantics: the running sum is null until the
-      first non-null value, then carries over null rows).
+      first non-null value, then carries over null rows);
+    - ``lead_<value_col>`` — next row's value within the key (null for the
+      last row);
+    - ``first_<value_col>`` — ``first_value(value)`` over the default
+      frame (the partition's first row in order, null if that value is);
+    - ``pr`` — ``percent_rank()``: ``(rn - 1) / (rows - 1)``, 0.0 for
+      single-row partitions, float64 with the same IEEE division DuckDB
+      computes.
 
     Rows come back grouped by key and ordered within the key; the global
     inter-key order is engine-defined (same as SQL without an outer
@@ -123,12 +130,19 @@ def window_functions(
                 else pa.array([], vals.type)
             )
         lag = pa.concat_arrays([pa.nulls(1, vals.type), vals])[:n]
+        lead = pa.concat_arrays([vals, pa.nulls(1, vals.type)])[1:]
         if len(starts):
-            first = np.zeros(n, dtype=bool)
-            first[starts] = True
+            first_row = np.zeros(n, dtype=bool)
+            first_row[starts] = True
             lag = pc.if_else(
-                pa.array(first), pa.scalar(None, vals.type), lag
+                pa.array(first_row), pa.scalar(None, vals.type), lag
             )
+            last_row = np.zeros(n, dtype=bool)
+            last_row[starts + lens - 1] = True
+            lead = pc.if_else(
+                pa.array(last_row), pa.scalar(None, vals.type), lead
+            )
+        first_val = vals.take(pa.array(rep, pa.int64()))
 
         valid = np.asarray(pc.is_valid(vals))
         v = np.where(valid, vals.to_numpy(zero_copy_only=False), 0)
@@ -140,10 +154,18 @@ def window_functions(
         seen = (nv - np.repeat(nv_base, lens)) > 0
         cum_arr = pa.array(cum, type=vals.type, mask=~seen)
 
+        seg_len = np.repeat(lens, lens)
+        pr = np.where(
+            seg_len > 1, (rn - 1) / np.maximum(seg_len - 1, 1), 0.0
+        )
+
         return (
             t.append_column("rn", pa.array(rn))
             .append_column(f"lag_{value_col}", lag)
             .append_column(f"cum_{value_col}", cum_arr)
+            .append_column(f"lead_{value_col}", lead)
+            .append_column(f"first_{value_col}", first_val)
+            .append_column("pr", pa.array(pr, pa.float64()))
         )
 
     bucketed = ds.map_batches(

@@ -303,3 +303,66 @@ def test_group_aggregate_null_keys_both_plans(local_bytes, monkeypatch):
     out = _collect(group_aggregate(_ds(t, 2), "k", {"v": ["sum"]}))
     got = {r["k"]: r["sum_v"] for r in out.to_pylist()}
     assert got == {"a": 4, None: 6}
+
+
+# -- split_assign / sample_weighted -------------------------------------
+
+
+def test_split_assign_deterministic_across_layouts():
+    from tbl_ray.functions.sampling import split_assign
+
+    t = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = _collect(split_assign(_ds(t, 1), frac)).sort_by("doc_id")
+    b = _collect(split_assign(_ds(t, 7), frac)).sort_by("doc_id")
+    assert a.column("split").to_pylist() == b.column("split").to_pylist()
+    counts = a.column("split").to_pylist()
+    # rough proportions (hash-uniform over 500 ids)
+    assert 330 <= counts.count("train") <= 470
+    assert counts.count("train") + counts.count("val") + counts.count(
+        "test"
+    ) == 500
+    # different seed -> different assignment
+    c = _collect(split_assign(_ds(t, 3), frac, seed=1)).sort_by("doc_id")
+    assert c.column("split").to_pylist() != a.column("split").to_pylist()
+
+
+def test_split_assign_rejects_bad_fractions():
+    from tbl_ray.functions.sampling import split_assign
+
+    with pytest.raises(ValueError, match="sum to ~1"):
+        split_assign(
+            _ds(pa.table({"doc_id": [1]}), 1), {"a": 0.5, "b": 0.1}
+        )
+
+
+def test_sample_weighted_rates_and_null_category():
+    from tbl_ray.functions.sampling import sample_weighted
+
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "cat": pa.array(
+                ["keep_all", "half", "drop", None] * (n // 4)
+            ),
+        }
+    )
+    out = _collect(
+        sample_weighted(
+            _ds(t, 3), "cat", {"keep_all": 1.0, "half": 0.5}, id_col="doc_id"
+        )
+    )
+    cats = out.column("cat").to_pylist()
+    assert cats.count("keep_all") == n // 4  # rate 1.0 keeps everything
+    assert 150 <= cats.count("half") <= 350  # ~250 of 500
+    assert cats.count("drop") == 0 and cats.count(None) == 0
+    # deterministic: same call -> identical ids
+    out2 = _collect(
+        sample_weighted(
+            _ds(t, 8), "cat", {"keep_all": 1.0, "half": 0.5}, id_col="doc_id"
+        )
+    )
+    assert sorted(out.column("doc_id").to_pylist()) == sorted(
+        out2.column("doc_id").to_pylist()
+    )
