@@ -1161,6 +1161,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sample_weighted"] = sample_weighted_q
 
+    def term_stats_q(sf_dir: str):
+        """TF-IDF integer core: per-(doc, term) frequency + corpus
+        document frequency — tokenize/tf local per batch, df through the
+        bucket exchange, cost-based join back."""
+        from tbl_ray.functions.text import term_stats
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "text"], filter=["doc_id<100"]),
+        )
+        return term_stats(ds)
+
+    q["term_stats"] = term_stats_q
+
+    def tfidf_q(sf_dir: str):
+        """Smoothed TF-IDF scores (float ln — rows-only; the integer
+        components are the oracle-checked term_stats)."""
+        from tbl_ray.functions.text import tfidf_score
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "text"], filter=["doc_id<100"]),
+        )
+        return tfidf_score(ds, 100)
+
+    q["tfidf"] = tfidf_q
+
     return q
 
 
@@ -1513,6 +1544,17 @@ def oracle_sql() -> dict[str, str]:
             " WHEN source='src1' THEN sk < 2147483648"
             " WHEN source='src2' THEN sk < 1073741824"
             " ELSE FALSE END"
+        ),
+        "term_stats": (
+            "WITH words AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '\\S+')) AS term"
+            " FROM documents WHERE doc_id < 100),"
+            " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+            " FROM words GROUP BY doc_id, term),"
+            " df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)"
+            " AS df FROM words GROUP BY term)"
+            " SELECT tf.doc_id, tf.term, tf.tf, df.df"
+            " FROM tf JOIN df USING (term)"
         ),
         # langid / quality / fingerprint / dedup_minhash / simhash / ann_ivf /
         # encode_roundtrip / webtable_invariant: non-SQL-expressible

@@ -342,3 +342,100 @@ def normalize_text(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def term_stats(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-(doc, term) frequency joined with corpus document frequency:
+    (id, term, tf, df) — the exact-integer core of TF-IDF / BM25.
+
+    Scale shape: a document is one row, so its term frequencies are
+    exact within a single batch (one vectorized split + local Arrow
+    group_by — nothing leaves the node to compute tf). Document
+    frequency aggregates the (term, doc) pairs through
+    :func:`tbl_ray.stages.aggregate.group_aggregate`'s bucket exchange
+    — partials per block, one exchange proportional to the vocabulary,
+    never the corpus. The df table then joins back via
+    :func:`tbl_ray.functions.joins.join_auto`: it is materialized (a
+    vocabulary is orders of magnitude smaller than its corpus), so the
+    planner sees its true size — broadcast at survey scale, shuffle
+    when a 100 TB crawl's vocabulary outgrows the heap.
+
+    Tokenization matches ``top_vocab`` (split on ``\\s+``, drop empty) —
+    SQL mirror ``regexp_extract_all(text, '\\S+')``.
+    """
+
+    def doc_terms(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = (
+                col.chunk(0) if col.num_chunks
+                else pa.array([], pa.string())
+            )
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        split = pc.split_pattern_regex(col, r"\s+")
+        words = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split)
+        ids = t.column(id_col).take(parents)
+        keep = pc.not_equal(words, "")
+        pairs = pa.table({id_col: ids, "term": words}).filter(keep)
+        tf = pairs.group_by([id_col, "term"]).aggregate([("term", "count")])
+        return tf.rename_columns([id_col, "term", "tf"])
+
+    tf_ds = ds.map_batches(
+        doc_terms, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    from tbl_ray.functions.joins import join_auto
+    from tbl_ray.sizing import fits_local
+    from tbl_ray.stages.aggregate import group_aggregate
+
+    # tf feeds two full passes (df aggregation + the join back). When the
+    # input is provably small, checkpoint it so tokenization runs once;
+    # at corpus scale, recomputing the vectorized split streams better
+    # than materializing a corpus-sized tf table into the object store.
+    if fits_local(ds):
+        tf_ds = tf_ds.materialize()
+
+    df_ds = group_aggregate(tf_ds, "term", {id_col: ["count"]})
+
+    def rename_df(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["df" if c == f"count_{id_col}" else c for c in t.schema.names]
+        )
+
+    df_ds = df_ds.map_batches(
+        rename_df, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # vocabulary-sized: gives the join planner true bytes
+    return join_auto(tf_ds, df_ds, "term")
+
+
+def tfidf_score(
+    ds: "ray.data.Dataset",
+    n_docs: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(id, term, tf, df, score) with the classic smoothed
+    ``score = tf * ln((1 + n_docs) / (1 + df))``. Float by nature (ln),
+    so it is checked rows-only; the integer components are the
+    oracle-checked :func:`term_stats`."""
+    import numpy as np
+
+    stats = term_stats(ds, id_col=id_col, text_col=text_col)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log((1.0 + n_docs) / (1.0 + df))
+        return t.append_column("score", pa.array(s, pa.float64()))
+
+    return stats.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

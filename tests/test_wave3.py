@@ -366,3 +366,48 @@ def test_sample_weighted_rates_and_null_category():
     assert sorted(out.column("doc_id").to_pylist()) == sorted(
         out2.column("doc_id").to_pylist()
     )
+
+
+# -- term_stats / tfidf -------------------------------------------------
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_term_stats_both_plans_nulls_and_empty(local_bytes, monkeypatch):
+    from tbl_ray.functions.text import term_stats
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a b a", "b  c", None, ""],
+        }
+    )
+    out = _collect(term_stats(_ds(t, 2))).sort_by(
+        [("doc_id", "ascending"), ("term", "ascending")]
+    )
+    rows = [
+        (r["doc_id"], r["term"], r["tf"], r["df"]) for r in out.to_pylist()
+    ]
+    assert rows == [
+        (1, "a", 2, 1),
+        (1, "b", 1, 2),
+        (2, "b", 1, 2),
+        (2, "c", 1, 1),
+    ]
+
+
+def test_tfidf_score_values():
+    from tbl_ray.functions.text import tfidf_score
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": ["x x y", "y"]}
+    )
+    out = _collect(tfidf_score(_ds(t, 1), 2)).sort_by(
+        [("doc_id", "ascending"), ("term", "ascending")]
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["score"] for r in out.to_pylist()
+    }
+    assert got[(1, "x")] == pytest.approx(2 * np.log(3 / 2))
+    assert got[(1, "y")] == pytest.approx(1 * np.log(3 / 3))
+    assert got[(2, "y")] == pytest.approx(0.0)
