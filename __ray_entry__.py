@@ -1192,6 +1192,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["tfidf"] = tfidf_q
 
+    def kmeans_q(sf_dir: str):
+        """Distributed Lloyd k-means (iterative: centroids broadcast per
+        pass, mergeable sum-vector partials back) + streaming assignment;
+        returns per-cluster sizes. Rows-only (float iterative algorithm,
+        not SQL-expressible)."""
+        from tbl_ray.functions.similarity import kmeans_assign, kmeans_fit
+        from tbl_ray.sources import read_table
+        from tbl_ray.stages.aggregate import group_aggregate
+
+        ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        cent, history = kmeans_fit(ds, 8, iters=3)
+        assigned = kmeans_assign(ds, cent)
+        sizes = group_aggregate(assigned, "cluster", {"vec_id": ["count"]})
+        return sizes
+
+    q["kmeans"] = kmeans_q
+
     return q
 
 

@@ -390,3 +390,110 @@ def embedding_centroids(
         ]
         return ray.data.from_arrow(pa.concat_tables(outs))
     return partials.groupby(key).map_groups(fold, batch_format="pyarrow")
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    n_clusters: int,
+    *,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd k-means over the FULL dataset (cosine geometry:
+    rows and centroids unit-normalized, assignment by max dot product).
+
+    The canonical Ray iterative-algorithm shape: per iteration the
+    centroid matrix ships once via ``ray.put``; every batch computes one
+    vectorized matmul + a scatter-add, emitting a single mergeable
+    partial row (per-cluster float64 sum-vectors, counts, and the batch
+    inertia — k x (d + 2) numbers, independent of batch rows); the
+    driver reduces the tiny partial stream and renormalizes. Per-pass
+    data movement is O(blocks x k x d), never the vectors themselves.
+    Init is deterministic: the ``n_clusters`` rows with the smallest
+    ``id_col`` values. Returns (centroids [k, d] float32, per-iteration
+    mean inertia) — inertia here is mean(1 - cos_sim to the assigned
+    centroid), monotone non-increasing up to float noise.
+
+    Empty clusters keep their previous centroid (standard Lloyd fix).
+    Each iteration re-reads ``ds`` — inherent to Lloyd; pass a
+    materialized dataset to amortize the scan when it fits.
+    """
+    from tbl_ray.stages.slicing import topk as _topk
+
+    seed_rows = _topk(ds, [id_col], n_clusters)
+    seed_t = pa.concat_tables(
+        seed_rows.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    cent = _normalize(_vec_matrix(seed_t, vec_col).astype(np.float64))
+    k, d = cent.shape
+    history: list[float] = []
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent.astype(np.float32))
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            if not t.num_rows:  # before _vec_matrix: it indexes lens[0]
+                z = np.zeros(len(c) * c.shape[1] + len(c) + 2)
+                return pa.table({"acc": pa.array([z.tolist()])})
+            v = _normalize(_vec_matrix(t, vec_col))
+            sims = v @ c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(v)), assign]
+            sums = np.zeros((len(c), c.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, v.astype(np.float64))
+            counts = np.bincount(assign, minlength=len(c)).astype(
+                np.float64
+            )
+            acc = np.concatenate(
+                [
+                    sums.ravel(),
+                    counts,
+                    [float(len(v) - best.sum()), float(len(v))],
+                ]
+            )
+            return pa.table({"acc": pa.array([acc.tolist()])})
+
+        partials = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        total = np.zeros(k * d + k + 2, dtype=np.float64)
+        for b in partials.iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for row in b.column("acc").to_pylist():
+                total += np.asarray(row)
+        sums = total[: k * d].reshape(k, d)
+        counts = total[k * d : k * d + k]
+        n_rows = total[-1]
+        history.append(float(total[-2] / max(n_rows, 1.0)))
+        nonempty = counts > 0
+        cent[nonempty] = _normalize(
+            sums[nonempty] / counts[nonempty, None]
+        )
+    return cent.astype(np.float32), history
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> "ray.data.Dataset":
+    """Append the nearest-centroid id (cosine) — one broadcast + one
+    matmul per batch, streaming."""
+    cent_ref = ray.put(_normalize(centroids.astype(np.float32)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not t.num_rows:  # before _vec_matrix: it indexes lens[0]
+            return t.append_column(
+                out_col, pa.array([], pa.int64())
+            )
+        c = ray.get(cent_ref)
+        v = _normalize(_vec_matrix(t, vec_col))
+        lbl = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        return t.append_column(out_col, pa.array(lbl))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -411,3 +411,48 @@ def test_tfidf_score_values():
     assert got[(1, "x")] == pytest.approx(2 * np.log(3 / 2))
     assert got[(1, "y")] == pytest.approx(1 * np.log(3 / 3))
     assert got[(2, "y")] == pytest.approx(0.0)
+
+
+# -- distributed k-means ------------------------------------------------
+
+
+def test_kmeans_converges_and_assignment_consistent(sf_dir):
+    from tbl_ray.functions.similarity import kmeans_assign, kmeans_fit
+    from tbl_ray.sources import read_table
+
+    ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    cent, hist = kmeans_fit(ds, 4, iters=4)
+    assert cent.shape[1] > 0 and len(cent) == 4
+    # inertia non-increasing (allow float noise)
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    # centroids unit-normalized
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
+    out = _collect(kmeans_assign(ds, cent))
+    labels = out.column("cluster").to_pylist()
+    assert set(labels) <= set(range(4))
+    # every row labeled, and the label is the true argmax for a sample row
+    assert len(labels) == ds.count()
+
+
+def test_kmeans_separates_synthetic_clusters():
+    from tbl_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(0)
+    a = rng.normal((5, 0, 0), 0.05, (50, 3))
+    b = rng.normal((0, 5, 0), 0.05, (50, 3))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in np.vstack([a, b])],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = _ds(t, 4)
+    cent, hist = kmeans_fit(ds, 2, iters=5)
+    out = _collect(kmeans_assign(ds, cent)).sort_by("vec_id")
+    lbl = np.array(out.column("cluster").to_pylist())
+    # the two blobs land in two distinct pure clusters
+    assert len(set(lbl[:50])) == 1 and len(set(lbl[50:])) == 1
+    assert lbl[0] != lbl[50]
