@@ -823,8 +823,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         customer ordered by date: one keyed shuffle + vectorized per-group
         pass. Value floored to int64 so the running sum is exact (not
         float-order-dependent)."""
-        import pyarrow.compute as pc
-
         from tbl_ray.functions.winfns import window_functions
         from tbl_ray.sources.parquet import read_for_spec
         from tbl_ray.transforms import TransformSpec

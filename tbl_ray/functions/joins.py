@@ -332,6 +332,12 @@ def broadcast_range_join(
     for c in (by, start_col, end_col):
         if c not in small.schema.names:
             raise ValueError(f"column {c!r} missing from range side")
+    bsch = ds.schema()
+    bsch = getattr(bsch, "base_schema", bsch)
+    if bsch is not None:  # fail at the driver, not inside a worker task
+        for c in (by, on):
+            if c not in bsch.names:
+                raise ValueError(f"column {c!r} missing from big side")
     small_ref = ray.put(small.combine_chunks())
 
     def probe(t: pa.Table) -> pa.Table:
@@ -432,6 +438,20 @@ def join_auto(
         t = rename_keys_table(t)
         if semi or anti:
             return broadcast_semi_join(left, t, keys, anti=anti)
+        # match the shuffle plan's schema: right non-key columns that
+        # collide with left names get rsuffix (Arrow's Table.join would
+        # silently emit duplicate column names otherwise, so the two
+        # plans would diverge)
+        lsch = left.schema()
+        lsch = getattr(lsch, "base_schema", lsch)
+        if lsch is not None:
+            lnames = set(lsch.names)
+            t = t.rename_columns(
+                [
+                    c if c in keys or c not in lnames else c + rsuffix
+                    for c in t.schema.names
+                ]
+            )
         return broadcast_join(left, t, keys, join_type=join_type)
     if anti:
         raise NotImplementedError(

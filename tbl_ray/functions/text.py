@@ -198,6 +198,26 @@ def fingerprint(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
     )
 
 
+
+def tokenize_whitespace(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """THE engine's whitespace tokenization, shared by every term-level
+    operator (top_vocab, top_ngrams, term_stats) so tf/df/vocab counts
+    can never desynchronize: fill nulls with "", split on ``\\s+``,
+    single chunk. Callers must still drop the ``""`` split artifacts
+    after flattening — the SQL mirror is
+    ``regexp_extract_all(text, '\\S+')``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # 0/1-chunk normalization
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    lists = pc.split_pattern_regex(col, r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    return lists
+
+
 def top_vocab(
     ds: "ray.data.Dataset", text_col: str = "text", k: int = 100
 ) -> "ray.data.Dataset":
@@ -213,10 +233,7 @@ def top_vocab(
     from tbl_ray.stages.slicing import topk
 
     def partial(t: pa.Table) -> pa.Table:
-        col = t.column(text_col).combine_chunks()
-        if col.null_count:
-            col = pc.fill_null(col, "")
-        words = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        words = pc.list_flatten(tokenize_whitespace(t.column(text_col)))
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         words = words.filter(pc.not_equal(words, ""))  # split artifacts
@@ -279,12 +296,7 @@ def top_ngrams(
             {"ngram": pa.array([], pa.string()),
              "__n__": pa.array([], pa.int64())}
         )
-        col = t.column(text_col).combine_chunks()
-        if col.null_count:
-            col = pc.fill_null(col, "")
-        lists = pc.split_pattern_regex(col, r"\s+")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
+        lists = tokenize_whitespace(t.column(text_col))
         flat = pc.list_flatten(lists)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
@@ -370,15 +382,7 @@ def term_stats(
     """
 
     def doc_terms(t: pa.Table) -> pa.Table:
-        col = t.column(text_col).combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = (
-                col.chunk(0) if col.num_chunks
-                else pa.array([], pa.string())
-            )
-        if col.null_count:
-            col = pc.fill_null(col, "")
-        split = pc.split_pattern_regex(col, r"\s+")
+        split = tokenize_whitespace(t.column(text_col))
         words = pc.list_flatten(split)
         parents = pc.list_parent_indices(split)
         ids = t.column(id_col).take(parents)

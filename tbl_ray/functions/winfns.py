@@ -145,7 +145,10 @@ def window_functions(
         first_val = vals.take(pa.array(rep, pa.int64()))
 
         valid = np.asarray(pc.is_valid(vals))
-        v = np.where(valid, vals.to_numpy(zero_copy_only=False), 0)
+        # fill nulls ARROW-side so an int64 column stays int64 — a numpy
+        # null-to-NaN conversion would run the cumsum in float64 and
+        # silently round values above 2^53
+        v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)
         c = np.cumsum(v)
         base = (c - v)[starts]  # exclusive prefix at each segment start
         cum = c - np.repeat(base, lens)
@@ -154,9 +157,22 @@ def window_functions(
         seen = (nv - np.repeat(nv_base, lens)) > 0
         cum_arr = pa.array(cum, type=vals.type, mask=~seen)
 
+        # percent_rank uses RANK (peers share a value), not row_number:
+        # SQL ties must get identical pr no matter how the engine breaks
+        # the sort. A peer run starts where the segment starts or any
+        # order column changes.
+        order_sorted = [a[idx] for a in order]
+        peer_flags = np.zeros(n, dtype=bool)
+        if n:
+            peer_flags[starts] = True
+            for a in order_sorted:
+                peer_flags[1:] |= a[1:] != a[:-1]
+        peer_starts = np.flatnonzero(peer_flags)
+        peer_lens = np.diff(np.append(peer_starts, n))
+        rank = np.repeat(peer_starts, peer_lens) - rep + 1
         seg_len = np.repeat(lens, lens)
         pr = np.where(
-            seg_len > 1, (rn - 1) / np.maximum(seg_len - 1, 1), 0.0
+            seg_len > 1, (rank - 1) / np.maximum(seg_len - 1, 1), 0.0
         )
 
         return (
@@ -210,8 +226,16 @@ def rolling_range_agg(
     def per_bucket(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__bucket__"]).combine_chunks()
         codes = _key_codes(t, key_col)
+        ts_col_arr = t.column(ts_col)
+        if ts_col_arr.null_count:
+            # a null ts would become INT64_MIN below and silently corrupt
+            # every frame bound in the bucket — refuse loudly instead
+            raise ValueError(
+                f"rolling_range_agg: {ts_col!r} contains nulls; filter "
+                "them first (a null timestamp has no RANGE frame)"
+            )
         ts = (
-            pc.cast(t.column(ts_col), pa.int64())
+            pc.cast(ts_col_arr, pa.int64())
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )

@@ -15,6 +15,7 @@ of distinct values, not the number of rows.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -248,9 +249,12 @@ def grouped_quantiles(
     (``a + (b - a) * frac`` at rank ``q * (n - 1)`` — that operand order,
     so the float rounding is bit-identical to the oracle, unlike
     ``np.quantile``'s ``(1-g)*a + g*b``); ``False`` matches
-    ``quantile_disc`` (the element at ``ceil(q * n) - 1``). Nulls are
-    dropped first (SQL aggregate semantics). Output: one row per key with
-    ``q_<label>`` float64 (cont) / value-typed (disc) columns.
+    ``quantile_disc`` (the element at ``ceil(q * n) - 1``). Null values
+    are dropped first (SQL aggregate semantics); null KEYS form their own
+    group (SQL GROUP BY), which is why the exchange goes through the
+    hash-bucket route rather than Ray's null-intolerant key sort. Output:
+    one row per key with ``q_<label>`` float64 (cont) / value-typed
+    (disc) columns.
 
     Exact distributed quantiles need the key's full value set in one
     place — that is inherently a shuffle; for a shuffle-free approximate
@@ -260,25 +264,69 @@ def grouped_quantiles(
     """
     import numpy as np
 
+    from tbl_ray.functions.joins import _KeyBucket
+
     labels = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
 
-    def per_key(t: pa.Table) -> pa.Table:
-        key = t.column(key_col)[0]
-        vals = t.column(value_col).drop_null()
-        v = np.sort(vals.to_numpy(zero_copy_only=False))
-        out: dict = {key_col: pa.array([key], t.schema.field(key_col).type)}
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket__"]).combine_chunks()
+        key = t.column(key_col).combine_chunks()
+        if isinstance(key, pa.ChunkedArray):
+            key = key.chunk(0) if key.num_chunks else pa.array([], key.type)
+        d = key.dictionary_encode()
+        codes = (
+            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals = t.column(value_col)
+        valid = np.asarray(pc.is_valid(vals))
+        v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)
+        # sort by (key group, value), null values pushed to the segment
+        # tail via +inf sort keys; the per-segment valid count then
+        # bounds every quantile index to real values only
+        vf = np.where(valid, v.astype(np.float64), np.inf)
+        idx = np.lexsort((vf, codes))
+        codes_s, v_s, valid_s = codes[idx], v[idx], valid[idx]
+        flags = np.empty(len(codes_s), dtype=bool)
+        if len(codes_s):
+            flags[0] = True
+            np.not_equal(codes_s[1:], codes_s[:-1], out=flags[1:])
+        starts = np.flatnonzero(flags)
+        nvalid = (
+            np.add.reduceat(valid_s.astype(np.int64), starts)
+            if len(starts)
+            else np.array([], dtype=np.int64)
+        )
+        last = np.maximum(nvalid - 1, 0)  # index of the largest valid value
+        all_null = nvalid == 0  # SQL: quantile of an all-null group is NULL
+
+        out: dict = {
+            key_col: key.take(pa.array(idx[starts], pa.int64()))
+        }
+        val_type = t.schema.field(value_col).type
         for q, label in zip(quantiles, labels):
-            if len(v) == 0:
-                res = None
-            elif interpolate:
-                h = q * (len(v) - 1)
-                lo = int(np.floor(h))
-                hi = min(lo + 1, len(v) - 1)
-                res = float(v[lo] + (v[hi] - v[lo]) * (h - lo))
+            if interpolate:
+                h = q * last
+                lo = np.floor(h).astype(np.int64)
+                hi = np.minimum(lo + 1, last)
+                a = v_s[starts + lo].astype(np.float64)
+                b = v_s[starts + hi].astype(np.float64)
+                out[label] = pa.array(
+                    a + (b - a) * (h - lo), pa.float64(), mask=all_null
+                )
             else:
-                res = v[min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)]
-            typ = pa.float64() if interpolate else t.schema.field(value_col).type
-            out[label] = pa.array([res], typ)
+                pos = np.clip(
+                    np.ceil(q * nvalid).astype(np.int64) - 1, 0, last
+                )
+                out[label] = pa.array(
+                    v_s[starts + pos], type=val_type, mask=all_null
+                )
         return pa.table(out)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        _KeyBucket([key_col], 64), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

@@ -15,7 +15,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def explode_list(
@@ -109,6 +108,22 @@ def pivot_counts(
     )
     if mt is not None:
         return ray.data.from_arrow(mt)
-    return partials.groupby(key_col).aggregate(
-        *[Sum(n, alias_name=n) for n in names]
+    # distributed merge through the hash-bucket exchange (same reason as
+    # distinct_rows/group_aggregate: Ray's groupby range-sorts the key and
+    # cannot order null keys; the local Arrow group_by can)
+    from tbl_ray.functions.joins import _KeyBucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        mt2 = (
+            t.drop_columns(["__bucket__"])
+            .group_by([key_col])
+            .aggregate([(n, "sum") for n in names])
+        )
+        return mt2.rename_columns([key_col] + names)
+
+    bucketed = partials.map_batches(
+        _KeyBucket([key_col], 64), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
     )

@@ -456,3 +456,129 @@ def test_kmeans_separates_synthetic_clusters():
     # the two blobs land in two distinct pure clusters
     assert len(set(lbl[:50])) == 1 and len(set(lbl[50:])) == 1
     assert lbl[0] != lbl[50]
+
+
+# -- review-pass regressions --------------------------------------------
+
+
+def test_percent_rank_ties_share_value():
+    from tbl_ray.functions.winfns import window_functions
+
+    t = pa.table(
+        {
+            "k": ["a"] * 4,
+            "o": [1, 1, 2, 3],  # tie on the order key
+            "v": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    out = _collect(
+        window_functions(_ds(t, 2), key_col="k", order_cols=["o"], value_col="v")
+    ).sort_by([("rn", "ascending")])
+    # DuckDB: percent_rank for [1,1,2,3] = [0, 0, 2/3, 1]
+    assert out.column("pr").to_pylist() == [0.0, 0.0, 2 / 3, 1.0]
+
+
+def test_window_cumsum_exact_above_2_53_with_nulls():
+    from tbl_ray.functions.winfns import window_functions
+
+    big = 1 << 60
+    t = pa.table(
+        {
+            "k": ["a"] * 3,
+            "o": [1, 2, 3],
+            "v": pa.array([big + 1, None, big + 3], pa.int64()),
+        }
+    )
+    out = _collect(
+        window_functions(_ds(t, 1), key_col="k", order_cols=["o"], value_col="v")
+    ).sort_by([("o", "ascending")])
+    assert out.column("cum_v").to_pylist() == [big + 1, big + 1, 2 * big + 4]
+
+
+def test_rolling_range_null_ts_raises():
+    from tbl_ray.functions.winfns import rolling_range_agg
+
+    t = pa.table(
+        {
+            "k": [1, 1],
+            "ts": pa.array(
+                [np.datetime64("2024-01-01", "us"), None], pa.timestamp("us")
+            ),
+            "v": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        _collect(
+            rolling_range_agg(
+                _ds(t, 1), key_col="k", ts_col="ts", value_col="v", window="1h"
+            )
+        )
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_join_auto_collision_schema_same_both_plans(local_bytes, monkeypatch):
+    from tbl_ray.functions.joins import join_auto
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    left = _ds(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()), "v": ["l1", "l2"]}
+        ),
+        2,
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": ["r1"]})
+    )
+    out = _collect(join_auto(left, right, "k"))
+    assert sorted(out.schema.names) == ["k", "v", "v_r"]
+    assert out.to_pylist() == [{"k": 1, "v": "l1", "v_r": "r1"}]
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_grouped_quantiles_null_keys_both_plans(local_bytes, monkeypatch):
+    from tbl_ray.stages.aggregate import grouped_quantiles
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    t = pa.table(
+        {
+            "k": ["a", "a", None, None, "b"],
+            "v": pa.array([1.0, 3.0, 10.0, 20.0, None], pa.float64()),
+        }
+    )
+    out = _collect(grouped_quantiles(_ds(t, 2), "k", "v", [0.5]))
+    got = {r["k"]: r["q_0_5"] for r in out.to_pylist()}
+    # null key forms its own group; all-null-value group -> NULL quantile
+    assert got == {"a": 2.0, None: 15.0, "b": None}
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_pivot_counts_null_key_both_plans(local_bytes, monkeypatch):
+    from tbl_ray.stages.reshape import pivot_counts
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    t = pa.table(
+        {
+            "k": ["a", None, None],
+            "c": ["x", "x", "y"],
+        }
+    )
+    out = _collect(pivot_counts(_ds(t, 2), "k", "c", ["x", "y"]))
+    got = {r["k"]: (r["n_x"], r["n_y"]) for r in out.to_pylist()}
+    assert got == {"a": (1, 0), None: (1, 1)}
+
+
+def test_range_join_big_side_missing_column_raises():
+    from tbl_ray.functions.joins import broadcast_range_join
+
+    big = _ds(pa.table({"g": ["a"], "x": pa.array([1], pa.int64())}), 1)
+    ranges = pa.table(
+        {
+            "g": ["a"],
+            "lo": pa.array([0], pa.int64()),
+            "hi": pa.array([5], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="big side"):
+        broadcast_range_join(
+            big, ranges, by="g", on="nope", start_col="lo", end_col="hi"
+        )
