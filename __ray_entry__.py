@@ -1207,6 +1207,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kmeans"] = kmeans_q
 
+    def rollup_q(sf_dir: str):
+        """GROUP BY ROLLUP(lang, source) with the SQL GROUPING bitmask —
+        per-prefix pre-aggregated passes, lazily unioned."""
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.aggregate import rollup_aggregate
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "lang", "source"]),
+        )
+        return rollup_aggregate(ds, ["lang", "source"], {"doc_id": ["count"]})
+
+    q["rollup"] = rollup_q
+
     return q
 
 
@@ -1559,6 +1574,12 @@ def oracle_sql() -> dict[str, str]:
             " WHEN source='src1' THEN sk < 2147483648"
             " WHEN source='src2' THEN sk < 1073741824"
             " ELSE FALSE END"
+        ),
+        "rollup": (
+            "SELECT lang, source,"
+            " CAST(count(doc_id) AS BIGINT) AS count_doc_id,"
+            " CAST(grouping(lang, source) AS BIGINT) AS lvl"
+            " FROM documents GROUP BY ROLLUP(lang, source)"
         ),
         "term_stats": (
             "WITH words AS (SELECT doc_id,"

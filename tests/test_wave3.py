@@ -582,3 +582,30 @@ def test_range_join_big_side_missing_column_raises():
         broadcast_range_join(
             big, ranges, by="g", on="nope", start_col="lo", end_col="hi"
         )
+
+
+# -- rollup_aggregate ---------------------------------------------------
+
+
+def test_rollup_levels_and_grouping_bitmask():
+    from tbl_ray.stages.aggregate import rollup_aggregate
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", None],  # real null key vs rollup null
+        }
+    )
+    out = _collect(rollup_aggregate(_ds(t, 2), ["a", "b"], {"id": ["count"]}))
+    rows = {
+        (r["a"], r["b"], r["lvl"]): r["count_id"] for r in out.to_pylist()
+    }
+    # detail level (lvl 0): real null key kept, distinguishable via lvl
+    assert rows[("y", None, 0)] == 1
+    assert rows[("x", "p", 0)] == 1
+    # b rolled away (lvl 1)
+    assert rows[("x", None, 1)] == 2 and rows[("y", None, 1)] == 2
+    # grand total (lvl 3)
+    assert rows[(None, None, 3)] == 4
+    assert len(rows) == 4 + 2 + 1  # 4 detail + 2 subtotal + 1 total
