@@ -849,11 +849,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="o_custkey",
             order_cols=["o_orderdate", "o_orderkey"],
             value_col="price_fl",
+            ntile=4,
         )
         return out.select_columns(
             [
                 "o_orderkey", "o_custkey", "rn", "lag_price_fl",
                 "cum_price_fl", "lead_price_fl", "first_price_fl", "pr",
+                "nt",
             ]
         )
 
@@ -1495,7 +1497,8 @@ def oracle_sql() -> dict[str, str]:
             " CURRENT ROW) AS cum_price_fl,"
             " lead(price_fl) OVER w AS lead_price_fl,"
             " first_value(price_fl) OVER w AS first_price_fl,"
-            " percent_rank() OVER w AS pr"
+            " percent_rank() OVER w AS pr,"
+            " CAST(ntile(4) OVER w AS BIGINT) AS nt"
             " FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY"
             " o_orderdate, o_orderkey)"
         ),

@@ -209,6 +209,11 @@ def bench_queries() -> dict[str, float]:
         "q3_revenue",
         "grouped_quantiles",
         "range_join",
+        "term_stats",
+        "split_assign",
+        "sample_weighted",
+        "kmeans",
+        "rollup",
     ]
     times: dict[str, float] = {}
     for name in picks:

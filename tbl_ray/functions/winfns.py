@@ -86,6 +86,7 @@ def window_functions(
     order_cols: list[str],
     value_col: str,
     n_buckets: int = 64,
+    ntile: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions: appends
 
@@ -101,9 +102,11 @@ def window_functions(
       last row);
     - ``first_<value_col>`` — ``first_value(value)`` over the default
       frame (the partition's first row in order, null if that value is);
-    - ``pr`` — ``percent_rank()``: ``(rn - 1) / (rows - 1)``, 0.0 for
-      single-row partitions, float64 with the same IEEE division DuckDB
-      computes.
+    - ``pr`` — ``percent_rank()``: ``(rank - 1) / (rows - 1)`` (RANK, so
+      peers share the value), 0.0 for single-row partitions, float64
+      with the same IEEE division DuckDB computes;
+    - ``nt`` (only when ``ntile`` is set) — ``ntile(k)``: 1-based tile,
+      first ``rows % k`` tiles one row larger (SQL convention).
 
     Rows come back grouped by key and ordered within the key; the global
     inter-key order is engine-defined (same as SQL without an outer
@@ -175,7 +178,7 @@ def window_functions(
             seg_len > 1, (rank - 1) / np.maximum(seg_len - 1, 1), 0.0
         )
 
-        return (
+        out = (
             t.append_column("rn", pa.array(rn))
             .append_column(f"lag_{value_col}", lag)
             .append_column(f"cum_{value_col}", cum_arr)
@@ -183,6 +186,21 @@ def window_functions(
             .append_column(f"first_{value_col}", first_val)
             .append_column("pr", pa.array(pr, pa.float64()))
         )
+        if ntile is not None:
+            j = rn - 1
+            qq = seg_len // ntile
+            rr = seg_len % ntile
+            cut = rr * (qq + 1)  # rows covered by the larger tiles
+            nt = (
+                np.where(
+                    j < cut,
+                    j // (qq + 1),
+                    rr + (j - cut) // np.maximum(qq, 1),
+                )
+                + 1
+            )
+            out = out.append_column("nt", pa.array(nt, pa.int64()))
+        return out
 
     bucketed = ds.map_batches(
         _KeyBucket([key_col], n_buckets),
