@@ -101,28 +101,72 @@ def session_counts(
     """Per-key session count: events sorted by time within a key belong to
     one session while consecutive gaps stay <= ``gap``.
 
-    Execution: hash shuffle on the key, then a vectorized per-group pass
-    (sort + diff + count) inside ``map_groups`` — the ordering assumption is
-    per-key time order established inside each group, so no global sort."""
+    Execution: one exchange on ``hash(key) % 64`` coarse buckets, then a
+    single lexsort per bucket and one vectorized gap-count over ALL keys
+    at once (``reduceat`` across segment boundaries) — the per-key time
+    order is established inside the bucket, so no global sort and no
+    per-key Python (the old ``map_groups`` shape re-entered Python once
+    per distinct key). Null keys form their own group."""
+    import numpy as np
+
+    from tbl_ray.functions.joins import _KeyBucket
+
     gap_us = _parse_window(gap)
 
-    def per_key(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        key = t.column(key_col)[0].as_py()
-        ts = np.sort(
-            pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket__"]).combine_chunks()
+        kcol = t.column(key_col).combine_chunks()
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = (
+                kcol.chunk(0) if kcol.num_chunks
+                else pa.array([], kcol.type)
+            )
+        d = kcol.dictionary_encode()
+        codes = (
+            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        ts = (
+            pc.cast(t.column(ts_col), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        idx = np.lexsort((ts, codes))
+        codes, ts = codes[idx], ts[idx]
+        m = len(codes)
+        flags = np.empty(m, dtype=bool)
+        if m:
+            flags[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=flags[1:])
+        starts = np.flatnonzero(flags)
+        # row i (i>0) starts a NEW session iff it stays in its segment
+        # and the gap from the previous event exceeds the threshold
+        new_sess = np.zeros(m, dtype=np.int64)
+        if m > 1:
+            new_sess[1:] = (
+                (~flags[1:]) & ((ts[1:] - ts[:-1]) > gap_us)
+            ).astype(np.int64)
+        n_sessions = (
+            np.add.reduceat(new_sess, starts) + 1
+            if len(starts)
+            else np.array([], dtype=np.int64)
+        )
+        lens = np.diff(np.append(starts, m))
         return pa.table(
             {
-                key_col: pa.array([key], t.schema.field(key_col).type),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
+                key_col: kcol.take(pa.array(idx[starts], pa.int64())),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(lens, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        _KeyBucket([key_col], 64), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 def _parse_window(window: str | int) -> int:

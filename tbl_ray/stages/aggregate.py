@@ -17,7 +17,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
 
 class _PartialCounts:
@@ -51,8 +50,24 @@ def value_counts(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
         return ray.data.from_arrow(
             merged.sort_by([("count", "descending")])
         )
-    counts = partials.groupby(column).aggregate(
-        Sum("__partial_count__", alias_name="count")
+    # distributed merge via the hash-bucket exchange (null-safe; Ray's
+    # groupby cannot range-sort null values), then one distributed sort
+    # of the merged counts — proportional to distinct values, not rows
+    from tbl_ray.functions.joins import _KeyBucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        mt = (
+            t.drop_columns(["__bucket__"])
+            .group_by([column])
+            .aggregate([("__partial_count__", "sum")])
+        )
+        return mt.rename_columns([column, "count"])
+
+    bucketed = partials.map_batches(
+        _KeyBucket([column], 64), batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
     )
     return counts.sort("count", descending=True)
 

@@ -117,11 +117,18 @@ def grouped_topn(
     """Top-n rows per ``key`` group by the sort columns (SQL:
     ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n``).
 
-    One hash shuffle on the key; each group keeps its n best with
-    ``select_k_unstable`` (O(rows log n) per group, vectorized). The sort
-    keys should extend to a total order for deterministic output."""
+    One exchange on ``hash(key) % 64`` coarse buckets (null-key groups
+    work; Ray's raw key groupby cannot sort nulls), then a single Arrow
+    sort per bucket — (key, sort cols) — and one vectorized
+    rank-within-segment mask keeps each key's n best. No per-key Python:
+    the old ``map_groups(per_group)`` re-entered Python once per
+    distinct key. The sort keys should extend to a total order for
+    deterministic output."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    from tbl_ray.functions.joins import _KeyBucket
 
     if isinstance(descending, bool):
         descending = [descending] * len(cols)
@@ -130,9 +137,37 @@ def grouped_topn(
         for c, d in zip(cols, descending)
     ]
 
-    def per_group(t: pa.Table) -> pa.Table:
-        if t.num_rows <= n:
-            return t.sort_by(sort_keys)
-        return t.take(pc.select_k_unstable(t, k=n, sort_keys=sort_keys))
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket__"]).combine_chunks()
+        idx = pc.sort_indices(
+            t, sort_keys=[(key, "ascending")] + sort_keys
+        )
+        t = t.take(idx)
+        kcol = t.column(key).combine_chunks()
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = (
+                kcol.chunk(0) if kcol.num_chunks
+                else pa.array([], kcol.type)
+            )
+        d = kcol.dictionary_encode()
+        codes = (
+            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = len(codes)
+        flags = np.empty(m, dtype=bool)
+        if m:
+            flags[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=flags[1:])
+        starts = np.flatnonzero(flags)
+        lens = np.diff(np.append(starts, m))
+        rn = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        return t.filter(pa.array(rn < n))
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        _KeyBucket([key], 64), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

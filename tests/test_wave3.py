@@ -609,3 +609,74 @@ def test_rollup_levels_and_grouping_bitmask():
     # grand total (lvl 3)
     assert rows[(None, None, 3)] == 4
     assert len(rows) == 4 + 2 + 1  # 4 detail + 2 subtotal + 1 total
+
+
+# -- bucket-exchange migrations (null keys everywhere) ------------------
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_value_counts_null_group_both_plans(local_bytes, monkeypatch):
+    from tbl_ray.stages.aggregate import value_counts
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    t = pa.table({"c": ["a", "a", None, "b", None, None]})
+    out = _collect(value_counts(_ds(t, 2), "c"))
+    got = {r["c"]: r["count"] for r in out.to_pylist()}
+    # count counts NON-NULL values (reference semantics): null group = 0
+    assert got == {"a": 2, "b": 1, None: 0}
+
+
+def test_grouped_topn_null_key_group():
+    from tbl_ray.stages.slicing import grouped_topn
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", None, None],
+            "v": pa.array([3, 1, 2, 9, 8], pa.int64()),
+        }
+    )
+    out = _collect(grouped_topn(_ds(t, 2), "k", ["v"], 2, descending=True))
+    got = sorted(
+        [(r["k"], r["v"]) for r in out.to_pylist()],
+        key=lambda x: (str(x[0]), -x[1]),
+    )
+    assert got == [(None, 9), (None, 8), ("a", 3), ("a", 2)]
+
+
+def test_session_counts_null_key_and_gaps():
+    from tbl_ray.functions.windows import session_counts
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m, "m")  # noqa: E731
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, None, None], pa.int64()),
+            "ts": pa.array(
+                [mins(0), mins(10), mins(120), mins(0), mins(300)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = _collect(session_counts(_ds(t, 2), key_col="user_id", gap="30m"))
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in out.to_pylist()
+    }
+    assert got == {1: (2, 3), None: (2, 2)}
+
+
+def test_sample_stratified_null_key_deterministic_layouts():
+    from tbl_ray.functions.sampling import sample_stratified
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "lang": pa.array((["en"] * 3 + [None]) * 10),
+        }
+    )
+    a = _collect(sample_stratified(_ds(t, 1), "lang", 5))
+    b = _collect(sample_stratified(_ds(t, 7), "lang", 5))
+    ids_a = sorted(a.column("doc_id").to_pylist())
+    assert ids_a == sorted(b.column("doc_id").to_pylist())
+    langs = a.column("lang").to_pylist()
+    assert langs.count("en") == 5 and langs.count(None) == 5
