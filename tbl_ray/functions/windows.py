@@ -17,7 +17,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 
 def _window_start(ts: pa.ChunkedArray | pa.Array, size_us: int) -> pa.Array:
@@ -76,19 +75,45 @@ def tumbling_window(
 
     ``window`` is microseconds or a shorthand like ``"15m"``/``"1h"``/``"1d"``.
     """
+    from tbl_ray.functions.joins import _KeyBucket
+
     size_us = _parse_window(window)
     partials = ds.map_batches(
         _PartialWindowAgg(ts_col, key_col, value_col, size_us),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    merged = partials.groupby([key_col, "window_start"]).aggregate(
-        Sum("__n", alias_name="n_events"),
-        Sum("__sum", alias_name="sum_value"),
-        Min("__min", alias_name="min_value"),
-        Max("__max", alias_name="max_value"),
+
+    # merge partials through the hash-bucket exchange: null-safe for the
+    # key and O(sort of a 64-value int column), not a range-sort of every
+    # (key, window) pair — at 100 TB the pair cardinality is |keys| x
+    # |windows| and would dominate the merge
+    def per_bucket(t: pa.Table) -> pa.Table:
+        mt = (
+            t.drop_columns(["__bucket__"])
+            .group_by([key_col, "window_start"])
+            .aggregate(
+                [
+                    ("__n", "sum"),
+                    ("__sum", "sum"),
+                    ("__min", "min"),
+                    ("__max", "max"),
+                ]
+            )
+        )
+        return mt.rename_columns(
+            [key_col, "window_start", "n_events", "sum_value",
+             "min_value", "max_value"]
+        )
+
+    bucketed = partials.map_batches(
+        _KeyBucket([key_col, "window_start"], 64),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    return merged
+    return bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 def session_counts(

@@ -33,7 +33,6 @@ import pyarrow.parquet as pq
 import ray.data
 
 from tbl_ray.stages.encode import _default_pool
-from ray.data.aggregate import Sum
 
 
 class PartitionError(ValueError):
@@ -49,7 +48,24 @@ def _key_counts(ds: "ray.data.Dataset", column: str) -> dict:
         return g.rename_columns([column, "__partial__"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = parts.groupby(column).aggregate(Sum("__partial__", alias_name="rows"))
+    # null-safe bucket merge (Ray's groupby cannot range-sort null keys,
+    # and a null partition value is legal input)
+    from tbl_ray.functions.joins import _KeyBucket
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        mt = (
+            t.drop_columns(["__bucket__"])
+            .group_by([column])
+            .aggregate([("__partial__", "sum")])
+        )
+        return mt.rename_columns([column, "rows"])
+
+    bucketed = parts.map_batches(
+        _KeyBucket([column], 16), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = bucketed.groupby("__bucket__").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
     return {r[column]: r["rows"] for r in agg.take_all()}
 
 
