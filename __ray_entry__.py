@@ -1224,6 +1224,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["rollup"] = rollup_q
 
+    def jsonl_roundtrip(sf_dir: str):
+        """JSONL ingest: write a projection with the engine's JSON sink,
+        read it back with the distributed JSONL source — values must
+        match the parquet original (the oracle reads the parquet)."""
+        import tempfile
+
+        from tbl_ray.sinks.writers import write_json
+        from tbl_ray.sources import read_jsonl
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "lang", "n_chars"]),
+        ).map_batches(
+            lambda t: t.select(["doc_id", "lang", "n_chars"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="tbl_ray_jsonl_"), "docs.jsonl"
+        )
+        write_json(ds, path, lines=True)
+        return read_jsonl(path)
+
+    q["jsonl_roundtrip"] = jsonl_roundtrip
+
+    def csv_roundtrip(sf_dir: str):
+        """CSV ingest: engine CSV sink -> distributed CSV source with a
+        pinned schema; values must match the parquet original."""
+        import tempfile
+
+        from tbl_ray.sinks.writers import write_csv
+        from tbl_ray.sources import read_csv
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "lang", "n_chars"]),
+        ).map_batches(
+            lambda t: t.select(["doc_id", "lang", "n_chars"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="tbl_ray_csv_"), "docs.csv"
+        )
+        write_csv(ds, path)
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        return read_csv(path, schema=schema)
+
+    q["csv_roundtrip"] = csv_roundtrip
+
     return q
 
 
@@ -1578,6 +1638,8 @@ def oracle_sql() -> dict[str, str]:
             " WHEN source='src2' THEN sk < 1073741824"
             " ELSE FALSE END"
         ),
+        "jsonl_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
+        "csv_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
         "rollup": (
             "SELECT lang, source,"
             " CAST(count(doc_id) AS BIGINT) AS count_doc_id,"

@@ -2,6 +2,7 @@
 
 from tbl_ray.sources.inputs import gather_paths
 from tbl_ray.sources.parquet import read_table, check_equal_schemas, file_slice_plan
+from tbl_ray.sources.text_formats import read_csv, read_jsonl
 from tbl_ray.sources.summary import (
     TabularSummary,
     summarize_file,
@@ -13,6 +14,8 @@ from tbl_ray.sources.summary import (
 __all__ = [
     "gather_paths",
     "read_table",
+    "read_jsonl",
+    "read_csv",
     "check_equal_schemas",
     "file_slice_plan",
     "TabularSummary",
