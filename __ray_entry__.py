@@ -1284,6 +1284,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["csv_roundtrip"] = csv_roundtrip
 
+    def union_by_name_q(sf_dir: str):
+        """Schema-evolving shard concat (UNION ALL BY NAME): two
+        projections with different column sets align to the name union,
+        missing columns null-filled."""
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.reshape import union_by_name
+        from tbl_ray.transforms import TransformSpec
+
+        a = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "lang"]),
+        ).map_batches(
+            lambda t: t.select(["doc_id", "lang"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        b = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "n_chars"]),
+        ).map_batches(
+            lambda t: t.select(["doc_id", "n_chars"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return union_by_name([a, b])
+
+    q["union_by_name"] = union_by_name_q
+
     return q
 
 
@@ -1637,6 +1665,12 @@ def oracle_sql() -> dict[str, str]:
             " WHEN source='src1' THEN sk < 2147483648"
             " WHEN source='src2' THEN sk < 1073741824"
             " ELSE FALSE END"
+        ),
+        "union_by_name": (
+            "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars"
+            " FROM documents UNION ALL"
+            " SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars"
+            " FROM documents"
         ),
         "jsonl_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
         "csv_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",

@@ -127,3 +127,57 @@ def pivot_counts(
     return bucketed.groupby("__bucket__").map_groups(
         per_bucket, batch_format="pyarrow"
     )
+
+
+def union_by_name(
+    datasets: list["ray.data.Dataset"],
+) -> "ray.data.Dataset":
+    """Concatenate datasets whose schemas differ by COLUMN SET (SQL
+    ``UNION ALL BY NAME``): the output schema is the name-union in
+    first-seen order; each input's missing columns fill with typed
+    nulls. Same-named columns must agree on dtype — silently casting
+    (int32 -> int64, or worse, string -> int) is how shard corruption
+    hides, so a mismatch raises with both types shown.
+
+    Pure per-batch projection + Ray's lazy union: no shuffle, no
+    materialization — the exact shape for ingesting crawl shards whose
+    writers added or dropped columns over time.
+    """
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    fields: dict[str, pa.DataType] = {}
+    for i, ds in enumerate(datasets):
+        sch = ds.schema()
+        sch = getattr(sch, "base_schema", sch)
+        if sch is None:
+            raise ValueError(
+                f"dataset {i} has no known schema (filter-emptied?); "
+                "construct empty inputs with ray.data.from_arrow"
+            )
+        for f in sch:
+            if f.name in fields and fields[f.name] != f.type:
+                raise ValueError(
+                    f"column {f.name!r} dtype differs across inputs: "
+                    f"{fields[f.name]} vs {f.type} (dataset {i}) — cast "
+                    "explicitly before the union"
+                )
+            fields.setdefault(f.name, f.type)
+    names = list(fields)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names:
+            if name in t.schema.names:
+                cols[name] = t.column(name)
+            else:
+                cols[name] = pa.nulls(t.num_rows, fields[name])
+        return pa.table(cols)
+
+    aligned = [
+        ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+        for ds in datasets
+    ]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

@@ -680,3 +680,21 @@ def test_sample_stratified_null_key_deterministic_layouts():
     assert ids_a == sorted(b.column("doc_id").to_pylist())
     langs = a.column("lang").to_pylist()
     assert langs.count("en") == 5 and langs.count(None) == 5
+
+
+# -- union_by_name ------------------------------------------------------
+
+
+def test_union_by_name_aligns_and_rejects_dtype_drift():
+    from tbl_ray.stages.reshape import union_by_name
+
+    a = _ds(pa.table({"x": pa.array([1, 2], pa.int64()), "s": ["p", "q"]}), 2)
+    b = _ds(pa.table({"x": pa.array([3], pa.int64()), "t": [1.5]}), 1)
+    out = _collect(union_by_name([a, b])).sort_by("x")
+    assert out.schema.names == ["x", "s", "t"]
+    assert out.column("s").to_pylist() == ["p", "q", None]
+    assert out.column("t").to_pylist() == [None, None, 1.5]
+
+    c = _ds(pa.table({"x": pa.array([1], pa.int32())}), 1)
+    with pytest.raises(ValueError, match="dtype differs"):
+        union_by_name([a, c])
