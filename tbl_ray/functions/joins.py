@@ -20,7 +20,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from tbl_ray.functions.dedup import _fingerprint128
+from tbl_ray.functions.dedup import _fingerprint128  # noqa: F401 - re-export
+from tbl_ray.stages.exchange import KeyBucket as _KeyBucket
 
 _JOIN_TYPES = {"inner", "left outer"}
 
@@ -261,47 +262,8 @@ def shuffle_join(
     return out
 
 
-class _KeyBucket:
-    """Append a deterministic ``__bucket__`` = hash(key tuple) % n column
-    (the co-partitioning key for :func:`shuffle_join`). Any dtype hashes
-    via its canonical string form — cross-batch and cross-side stable;
-    null keys land in bucket 0 (only left-outer null rows reach here and
-    they match nothing regardless of placement)."""
-
-    def __init__(self, keys: list[str], n_buckets: int):
-        self.keys = keys
-        self.n_buckets = n_buckets
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        acc = np.zeros(t.num_rows, dtype=np.uint64)
-        for kcol in self.keys:
-            col = t.column(kcol).combine_chunks()
-            # dispatch on TYPE only (never on null_count): both sides of a
-            # join must bucket a given value identically, and one side may
-            # carry nulls where the other does not. Integer/temporal keys
-            # skip the string cast + fingerprint entirely (measured 5x on
-            # an int64-keyed aggregate); nulls hash as 0 — they never
-            # match anything, so their placement is irrelevant.
-            if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
-                k = (
-                    pc.fill_null(pc.cast(col, pa.int64()), 0)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)
-                )
-                with np.errstate(over="ignore"):
-                    h1 = (k ^ (k >> np.uint64(33))) * np.uint64(
-                        0xFF51AFD7ED558CCD
-                    )
-            else:
-                h1, _ = _fingerprint128(
-                    pc.fill_null(col.cast(pa.string()), "")
-                )
-            with np.errstate(over="ignore"):
-                acc = acc * np.uint64(0x9E3779B97F4A7C15) + h1
-        bucket = (acc % np.uint64(self.n_buckets)).astype(np.int64)
-        return t.append_column("__bucket__", pa.array(bucket))
+# _KeyBucket moved to tbl_ray.stages.exchange (shared by every keyed
+# exchange in the engine); alias kept for existing imports/tests.
 
 
 def broadcast_range_join(

@@ -134,44 +134,19 @@ def sample_stratified(
     group; Ray's raw key groupby cannot sort nulls), one lexsort per
     bucket over (key group, sample key, id), one vectorized
     rank-within-segment mask — no per-key Python."""
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange, key_codes, segments
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.drop_columns(["__bucket__"]).combine_chunks()
-        kcol = t.column(key).combine_chunks()
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = (
-                kcol.chunk(0) if kcol.num_chunks
-                else pa.array([], kcol.type)
-            )
-        d = kcol.dictionary_encode()
-        codes = (
-            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        t = t.combine_chunks()
+        codes = key_codes(t, key)
         ids = np.asarray(t.column(id_col), dtype=np.int64)
         sk = _sample_key(ids, seed)
         idx = np.lexsort((ids, sk, codes))
-        codes_s = codes[idx]
-        m = len(codes_s)
-        flags = np.empty(m, dtype=bool)
-        if m:
-            flags[0] = True
-            np.not_equal(codes_s[1:], codes_s[:-1], out=flags[1:])
-        starts = np.flatnonzero(flags)
-        lens = np.diff(np.append(starts, m))
-        rn = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        starts, lens, rep = segments(codes[idx])
+        rn = np.arange(len(codes), dtype=np.int64) - rep
         return t.take(pa.array(idx[rn < n_per_key], pa.int64()))
 
-    bucketed = ds.map_batches(
-        _KeyBucket([key], 64), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(ds, [key], per_bucket)
 
 
 def split_assign(

@@ -75,7 +75,7 @@ def tumbling_window(
 
     ``window`` is microseconds or a shorthand like ``"15m"``/``"1h"``/``"1d"``.
     """
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange
 
     size_us = _parse_window(window)
     partials = ds.map_batches(
@@ -89,31 +89,20 @@ def tumbling_window(
     # (key, window) pair — at 100 TB the pair cardinality is |keys| x
     # |windows| and would dominate the merge
     def per_bucket(t: pa.Table) -> pa.Table:
-        mt = (
-            t.drop_columns(["__bucket__"])
-            .group_by([key_col, "window_start"])
-            .aggregate(
-                [
-                    ("__n", "sum"),
-                    ("__sum", "sum"),
-                    ("__min", "min"),
-                    ("__max", "max"),
-                ]
-            )
+        mt = t.group_by([key_col, "window_start"]).aggregate(
+            [
+                ("__n", "sum"),
+                ("__sum", "sum"),
+                ("__min", "min"),
+                ("__max", "max"),
+            ]
         )
         return mt.rename_columns(
             [key_col, "window_start", "n_events", "sum_value",
              "min_value", "max_value"]
         )
 
-    bucketed = partials.map_batches(
-        _KeyBucket([key_col, "window_start"], 64),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(partials, [key_col, "window_start"], per_bucket)
 
 
 def session_counts(
@@ -134,37 +123,33 @@ def session_counts(
     per distinct key). Null keys form their own group."""
     import numpy as np
 
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange, key_codes, segments, single_array
 
     gap_us = _parse_window(gap)
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket__"]).combine_chunks()
-        kcol = t.column(key_col).combine_chunks()
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = (
-                kcol.chunk(0) if kcol.num_chunks
-                else pa.array([], kcol.type)
+        t = t.combine_chunks()
+        codes = key_codes(t, key_col)
+        ts_arr = t.column(ts_col)
+        if ts_arr.null_count:
+            # a null ts would become INT64_MIN below (NaN round-trip) and
+            # fabricate a phantom session gap — refuse loudly
+            raise ValueError(
+                f"session_counts: {ts_col!r} contains nulls; filter them "
+                "first (a null timestamp belongs to no session)"
             )
-        d = kcol.dictionary_encode()
-        codes = (
-            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
         ts = (
-            pc.cast(t.column(ts_col), pa.int64())
+            pc.cast(ts_arr, pa.int64())
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
         idx = np.lexsort((ts, codes))
         codes, ts = codes[idx], ts[idx]
         m = len(codes)
-        flags = np.empty(m, dtype=bool)
+        starts, lens, rep = segments(codes)
+        flags = np.zeros(m, dtype=bool)
         if m:
-            flags[0] = True
-            np.not_equal(codes[1:], codes[:-1], out=flags[1:])
-        starts = np.flatnonzero(flags)
+            flags[starts] = True
         # row i (i>0) starts a NEW session iff it stays in its segment
         # and the gap from the previous event exceeds the threshold
         new_sess = np.zeros(m, dtype=np.int64)
@@ -177,7 +162,7 @@ def session_counts(
             if len(starts)
             else np.array([], dtype=np.int64)
         )
-        lens = np.diff(np.append(starts, m))
+        kcol = single_array(t.column(key_col))
         return pa.table(
             {
                 key_col: kcol.take(pa.array(idx[starts], pa.int64())),
@@ -186,12 +171,7 @@ def session_counts(
             }
         )
 
-    bucketed = ds.map_batches(
-        _KeyBucket([key_col], 64), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(ds, [key_col], per_bucket)
 
 
 def _parse_window(window: str | int) -> int:

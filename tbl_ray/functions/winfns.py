@@ -5,26 +5,27 @@ file-transform CLI); these extend the engine with the per-key ordered
 analytics a training-data pipeline needs (event ordinals, previous-value
 deltas, running totals, sliding time-range rates).
 
-Execution shape: ONE exchange on ``hash(key) % n_buckets`` (so Ray moves
-blocks by a small-int column — never range-sorts the raw key, which it
-cannot even do for null keys), then a fully **segment-vectorized** pass
-per bucket: one lexsort brings each key's rows together in order, and
-row numbers / lags / running sums / frame bounds for EVERY key in the
-bucket come out of numpy prefix-sum and searchsorted identities over the
-segment boundaries. No per-key Python call anywhere — Ray's
-``groupby(key).map_groups`` re-enters Python once per distinct key
-(measured: tens of thousands of calls on a 15k-key table), while this
-shape does a constant number of vector ops per bucket.
+Execution shape: ONE :func:`tbl_ray.stages.exchange.bucket_exchange`
+(hash-bucket co-partitioning — see that module for why Ray's raw-key
+groupby is both slower and null-intolerant), then a fully
+**segment-vectorized** pass per bucket: one lexsort brings each key's
+rows together in order, and row numbers / lags / running sums / frame
+bounds for EVERY key in the bucket come out of numpy prefix-sum and
+searchsorted identities over the segment boundaries. No per-key Python
+call anywhere.
 
 Assumption (documented per the custom-operator contract): one bucket
 (~1/n_buckets of the keyed data) fits in a worker's heap — raise
 ``n_buckets`` with the cluster so bucket size stays bounded.
 
-Oracles: DuckDB ``row_number()/lag()/sum() OVER (PARTITION BY .. ORDER
-BY .. ROWS ..)`` and ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
-ROW`` — value-exact when the value column is integral (the query layer
-floors doubles to int64 first so the running sums are exact, not
-float-order-dependent).
+Oracles: DuckDB ``row_number()/lag()/lead()/first_value()/
+percent_rank()/ntile()/sum() OVER (PARTITION BY .. ORDER BY .. ROWS ..)``
+and ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW`` —
+value-exact when the value column is integral (the query layer floors
+doubles to int64 first so the running sums are exact, not
+float-order-dependent). Known divergence: two *valid* float NaN order
+values rank as distinct peers here (NaN != NaN), where SQL treats them
+as equal — null order values are handled exactly.
 """
 
 from __future__ import annotations
@@ -34,49 +35,51 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from tbl_ray.functions.joins import _KeyBucket
 from tbl_ray.functions.windows import _parse_window
+from tbl_ray.stages.exchange import (
+    bucket_exchange,
+    key_codes,
+    segments,
+    single_array,
+    sortable_column,
+)
 
 
-def _order_arrays(t: pa.Table, order_cols: list[str]) -> list[np.ndarray]:
-    arrs = []
-    for c in order_cols:
-        col = t.column(c)
-        if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
-            col = pc.cast(col, pa.int64())
-        arrs.append(col.to_numpy(zero_copy_only=False))
-    return arrs
+def _order_pairs(
+    t: pa.Table, order_cols: list[str]
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """(values, isnull) per order column — exact dtypes, SQL NULLS LAST."""
+    return [sortable_column(t, c) for c in order_cols]
 
 
-def _key_codes(t: pa.Table, key_col: str) -> np.ndarray:
-    """Group codes for the key column (grouping only — code order is
-    meaningless). Null keys code as -1: one segment of their own, which
-    is exactly SQL's PARTITION BY null behavior."""
-    key = t.column(key_col).combine_chunks()
-    if isinstance(key, pa.ChunkedArray):
-        key = (
-            key.chunk(0) if key.num_chunks else pa.array([], key.type)
-        )
-    d = key.dictionary_encode()
-    return (
-        pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
+def _order_sort_keys(pairs) -> tuple:
+    """np.lexsort key tuple for (order cols, NULLS LAST) — least
+    significant first; callers append the (most significant) group codes
+    after this."""
+    keys: list[np.ndarray] = []
+    for vals, isnull in reversed(pairs):
+        keys.append(vals)
+        keys.append(isnull)  # more significant than the value: nulls last
+    return tuple(keys)
 
 
-def _segments(codes_sorted: np.ndarray):
-    """(starts, lens, rep) for contiguous equal-code runs; ``rep[i]`` is
-    the segment-start index of row i (the repeat-expanded starts)."""
-    n = len(codes_sorted)
-    flags = np.empty(n, dtype=bool)
-    if n:
-        flags[0] = True
-        np.not_equal(codes_sorted[1:], codes_sorted[:-1], out=flags[1:])
-    starts = np.flatnonzero(flags)
-    lens = np.diff(np.append(starts, n))
-    rep = np.repeat(starts, lens)
-    return starts, lens, rep
+def _peer_flags(
+    pairs, idx: np.ndarray, seg_flags: np.ndarray
+) -> np.ndarray:
+    """True where a new peer run starts: at segment starts, and wherever
+    any order column changes. Two nulls are EQUAL peers (SQL); a float
+    NaN-vs-NaN comparison would split them, so nullity is compared
+    separately from values."""
+    n = len(idx)
+    flags = seg_flags.copy()
+    for vals, isnull in pairs:
+        v, nu = vals[idx], isnull[idx]
+        if n > 1:
+            both_valid = ~nu[1:] & ~nu[:-1]
+            flags[1:] |= (nu[1:] != nu[:-1]) | (
+                both_valid & (v[1:] != v[:-1])
+            )
+    return flags
 
 
 def window_functions(
@@ -93,18 +96,17 @@ def window_functions(
     - ``rn`` — ``row_number() OVER (PARTITION BY key ORDER BY order_cols)``
       (int64, 1-based; make ``order_cols`` a total order per key or the
       tie ranks are engine-defined, exactly as in SQL);
-    - ``lag_<value_col>`` — previous row's value within the key (null for
-      the first row, and wherever the previous value is null);
+    - ``lag_<value_col>`` / ``lead_<value_col>`` — previous / next row's
+      value within the key (null past the partition edge);
+    - ``first_<value_col>`` — ``first_value(value)`` over the default
+      frame (the partition's first row in order, null if that value is);
     - ``cum_<value_col>`` — running ``sum(value) ROWS UNBOUNDED PRECEDING``.
       Nulls are skipped (SQL semantics: the running sum is null until the
       first non-null value, then carries over null rows);
-    - ``lead_<value_col>`` — next row's value within the key (null for the
-      last row);
-    - ``first_<value_col>`` — ``first_value(value)`` over the default
-      frame (the partition's first row in order, null if that value is);
     - ``pr`` — ``percent_rank()``: ``(rank - 1) / (rows - 1)`` (RANK, so
-      peers share the value), 0.0 for single-row partitions, float64
-      with the same IEEE division DuckDB computes;
+      peers — including tied nulls — share the value), 0.0 for
+      single-row partitions, float64 with the same IEEE division DuckDB
+      computes;
     - ``nt`` (only when ``ntile`` is set) — ``ntile(k)``: 1-based tile,
       first ``rows % k`` tiles one row larger (SQL convention).
 
@@ -112,26 +114,23 @@ def window_functions(
     inter-key order is engine-defined (same as SQL without an outer
     ORDER BY).
     """
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"ntile must be >= 1 (got {ntile})")
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket__"]).combine_chunks()
-        codes = _key_codes(t, key_col)
-        order = _order_arrays(t, order_cols)
-        # lexsort: LAST key is primary -> (order cols reversed, codes)
-        idx = np.lexsort(tuple(reversed(order)) + (codes,))
-        t = t.take(idx)
-        codes = codes[idx]
-        n = t.num_rows
-        starts, lens, rep = _segments(codes)
+        t = t.combine_chunks()
+        codes = key_codes(t, key_col)
+        pairs = _order_pairs(t, order_cols)
+        # lexsort: LAST key is primary -> (order keys, codes)
+        idx = np.lexsort(_order_sort_keys(pairs) + (codes,))
+        t_sorted = t.take(idx)
+        codes_s = codes[idx]
+        n = t_sorted.num_rows
+        starts, lens, rep = segments(codes_s)
 
         rn = np.arange(n, dtype=np.int64) - rep + 1
 
-        vals = t.column(value_col).combine_chunks()
-        if isinstance(vals, pa.ChunkedArray):
-            vals = (
-                vals.chunk(0) if vals.num_chunks
-                else pa.array([], vals.type)
-            )
+        vals = single_array(t_sorted.column(value_col))
         lag = pa.concat_arrays([pa.nulls(1, vals.type), vals])[:n]
         lead = pa.concat_arrays([vals, pa.nulls(1, vals.type)])[1:]
         if len(starts):
@@ -160,17 +159,12 @@ def window_functions(
         seen = (nv - np.repeat(nv_base, lens)) > 0
         cum_arr = pa.array(cum, type=vals.type, mask=~seen)
 
-        # percent_rank uses RANK (peers share a value), not row_number:
-        # SQL ties must get identical pr no matter how the engine breaks
-        # the sort. A peer run starts where the segment starts or any
-        # order column changes.
-        order_sorted = [a[idx] for a in order]
-        peer_flags = np.zeros(n, dtype=bool)
+        # percent_rank uses RANK (peers share a value), not row_number
+        seg_flags = np.zeros(n, dtype=bool)
         if n:
-            peer_flags[starts] = True
-            for a in order_sorted:
-                peer_flags[1:] |= a[1:] != a[:-1]
-        peer_starts = np.flatnonzero(peer_flags)
+            seg_flags[starts] = True
+        peers = _peer_flags(pairs, idx, seg_flags)
+        peer_starts = np.flatnonzero(peers)
         peer_lens = np.diff(np.append(peer_starts, n))
         rank = np.repeat(peer_starts, peer_lens) - rep + 1
         seg_len = np.repeat(lens, lens)
@@ -179,7 +173,7 @@ def window_functions(
         )
 
         out = (
-            t.append_column("rn", pa.array(rn))
+            t_sorted.append_column("rn", pa.array(rn))
             .append_column(f"lag_{value_col}", lag)
             .append_column(f"cum_{value_col}", cum_arr)
             .append_column(f"lead_{value_col}", lead)
@@ -202,14 +196,7 @@ def window_functions(
             out = out.append_column("nt", pa.array(nt, pa.int64()))
         return out
 
-    bucketed = ds.map_batches(
-        _KeyBucket([key_col], n_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(ds, [key_col], per_bucket, n_buckets=n_buckets)
 
 
 def rolling_range_agg(
@@ -236,18 +223,18 @@ def rolling_range_agg(
     exclusive-prefix differences. Falls back to a per-segment loop only
     if the offset would overflow int64 (astronomically wide ts ranges).
     ``value_col`` must be integral and non-null so the prefix-sum
-    subtraction is exact (the query layer floors doubles first); appends
-    ``n_w`` (int64) and ``sum_w`` (int64).
+    subtraction is exact (the query layer floors doubles first);
+    ``ts_col`` must be non-null (a null timestamp has no RANGE frame —
+    refused loudly, a NaN round-trip would silently corrupt every frame
+    bound in the bucket). Appends ``n_w`` and ``sum_w`` (int64).
     """
     size_us = _parse_window(window)
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket__"]).combine_chunks()
-        codes = _key_codes(t, key_col)
+        t = t.combine_chunks()
+        codes = key_codes(t, key_col)
         ts_col_arr = t.column(ts_col)
         if ts_col_arr.null_count:
-            # a null ts would become INT64_MIN below and silently corrupt
-            # every frame bound in the bucket — refuse loudly instead
             raise ValueError(
                 f"rolling_range_agg: {ts_col!r} contains nulls; filter "
                 "them first (a null timestamp has no RANGE frame)"
@@ -261,7 +248,7 @@ def rolling_range_agg(
         t = t.take(idx)
         codes, ts = codes[idx], ts[idx]
         n = t.num_rows
-        starts, lens, rep = _segments(codes)
+        starts, lens, rep = segments(codes)
         seg_id = np.repeat(
             np.arange(len(starts), dtype=np.int64), lens
         )
@@ -295,11 +282,4 @@ def rolling_range_agg(
             "sum_w", pa.array(csum[right] - csum[left], pa.int64())
         )
 
-    bucketed = ds.map_batches(
-        _KeyBucket([key_col], n_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(ds, [key_col], per_bucket, n_buckets=n_buckets)

@@ -94,19 +94,33 @@ def hex_encode_binary_columns(table: pa.Table) -> pa.Table:
 
 
 def write_csv(ds: "ray.data.Dataset", path: str) -> None:
-    """Single-file CSV with hex-encoded binary columns (output.rs:151-153)."""
-    tmp, commit = _atomic(path)
-    import csv
+    """Single-file CSV with hex-encoded binary columns (output.rs:151-153).
 
-    with open(tmp, "w", newline="") as fh:
-        w = None
+    Arrow's writer with ``quoting_style="all_valid"``: every valid value
+    is quoted and nulls are unquoted-empty, so NULL and ``""`` stay
+    distinguishable — the exact convention
+    :func:`tbl_ray.sources.text_formats.read_csv` reads back
+    (``strings_can_be_null`` + ``quoted_strings_can_be_null=False``).
+    Vectorized (no per-row Python), streaming batch by batch."""
+    import pyarrow.csv as pacsv
+
+    tmp, commit = _atomic(path)
+    opts = pacsv.WriteOptions(quoting_style="all_valid")
+    writer = None
+    try:
         for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
             t = hex_encode_binary_columns(batch)
-            if w is None:
-                w = csv.writer(fh)
-                w.writerow(t.schema.names)
-            for row in zip(*(c.to_pylist() for c in t.columns)):
-                w.writerow(row)
+            if writer is None:
+                writer = pacsv.CSVWriter(tmp, t.schema, write_options=opts)
+            writer.write_table(t)
+        if writer is None:  # empty dataset: header-only file needs a schema
+            sch = ds.schema()
+            sch = getattr(sch, "base_schema", sch)
+            if sch is not None:
+                writer = pacsv.CSVWriter(tmp, sch, write_options=opts)
+    finally:
+        if writer is not None:
+            writer.close()
     commit()
 
 
@@ -139,7 +153,11 @@ def merge_files(paths: list[str], out_path: str, *, compression: str = "snappy")
     """N parquet files -> 1, schema equality enforced (parquet_merge.rs:12-72),
     streaming batches (never whole files) through the writer."""
     from tbl_ray.sources.parquet import check_equal_schemas, read_table
+    from tbl_ray.stages.slicing import _ensure_ordered
 
     check_equal_schemas(paths)
+    # file-concatenation order is part of the merge contract; without
+    # preserve_order Ray may emit read blocks in completion order
+    _ensure_ordered()
     ds = read_table(sorted(paths))
     write_parquet_atomic(ds, out_path, compression=compression)

@@ -49,9 +49,16 @@ def read_csv(
     ``schema`` pins column types; unspecified -> pyarrow inference."""
     if isinstance(paths, str):
         paths = [paths]
-    kwargs = {}
+    # strings_can_be_null: the engine's write_csv emits NULL as an empty
+    # UNQUOTED field and "" as a quoted one; reading unquoted empties as
+    # null (and quoted ones as "") round-trips both exactly
+    convert = pacsv.ConvertOptions(
+        strings_can_be_null=True, quoted_strings_can_be_null=False
+    )
     if schema is not None:
-        kwargs["convert_options"] = pacsv.ConvertOptions(
-            column_types={f.name: f.type for f in schema}
+        convert = pacsv.ConvertOptions(
+            column_types={f.name: f.type for f in schema},
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False,
         )
-    return ray.data.read_csv(paths, **kwargs)
+    return ray.data.read_csv(paths, convert_options=convert)

@@ -53,22 +53,13 @@ def value_counts(ds: "ray.data.Dataset", column: str) -> "ray.data.Dataset":
     # distributed merge via the hash-bucket exchange (null-safe; Ray's
     # groupby cannot range-sort null values), then one distributed sort
     # of the merged counts — proportional to distinct values, not rows
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        mt = (
-            t.drop_columns(["__bucket__"])
-            .group_by([column])
-            .aggregate([("__partial_count__", "sum")])
-        )
+        mt = t.group_by([column]).aggregate([("__partial_count__", "sum")])
         return mt.rename_columns([column, "count"])
 
-    bucketed = partials.map_batches(
-        _KeyBucket([column], 64), batch_format="pyarrow", zero_copy_batch=True
-    )
-    counts = bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    counts = bucket_exchange(partials, [column], per_bucket)
     return counts.sort("count", descending=True)
 
 
@@ -158,25 +149,16 @@ def group_aggregate(
         # 64-value bucket column (measured 7.5s -> 1.2s on a 6M-row
         # int64-keyed sum), and the local group_by handles null keys,
         # which Ray's sort cannot order
-        from tbl_ray.functions.joins import _KeyBucket
+        from tbl_ray.stages.exchange import bucket_exchange
 
         arrow_aggs = [(src, f) for src, f, _ in merge_plan]
         finals = [final for _, _, final in merge_plan]
 
         def per_bucket(t: pa.Table) -> pa.Table:
-            mt2 = (
-                t.drop_columns(["__bucket__"])
-                .group_by(keys)
-                .aggregate(arrow_aggs)
-            )
+            mt2 = t.group_by(keys).aggregate(arrow_aggs)
             return mt2.rename_columns(keys + finals)
 
-        bucketed = partials.map_batches(
-            _KeyBucket(keys, 64), batch_format="pyarrow", zero_copy_batch=True
-        )
-        merged = bucketed.groupby("__bucket__").map_groups(
-            per_bucket, batch_format="pyarrow"
-        )
+        merged = bucket_exchange(partials, keys, per_bucket)
 
     drops: list[str] = []
     means = [(col, funcs) for col, funcs in aggs.items() if "mean" in funcs]
@@ -227,26 +209,15 @@ def distinct_rows(
     mt = fold_partials_local(ds, partials, key_list, [], [])
     if mt is not None:
         return ray.data.from_arrow(mt)
-    # distributed: one exchange on hash(key tuple) % n coarse buckets —
-    # Ray's native groupby range-sorts the key and cannot order null
-    # keys; the bucket column is a non-null int64, and a local Arrow
+    # distributed: one hash-bucket exchange — Ray's native groupby
+    # range-sorts the key and cannot order null keys; the local Arrow
     # distinct per bucket handles nulls fine
-    from tbl_ray.functions.joins import _KeyBucket
-
-    bucketed = partials.map_batches(
-        _KeyBucket(key_list, 64), batch_format="pyarrow", zero_copy_batch=True
-    )
+    from tbl_ray.stages.exchange import bucket_exchange
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        return (
-            t.drop_columns(["__bucket__"])
-            .group_by(key_list)
-            .aggregate([])
-        )
+        return t.group_by(key_list).aggregate([])
 
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(partials, key_list, per_bucket)
 
 
 def grouped_quantiles(
@@ -279,29 +250,24 @@ def grouped_quantiles(
     """
     import numpy as np
 
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange, key_codes
 
     labels = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket__"]).combine_chunks()
-        key = t.column(key_col).combine_chunks()
-        if isinstance(key, pa.ChunkedArray):
-            key = key.chunk(0) if key.num_chunks else pa.array([], key.type)
-        d = key.dictionary_encode()
-        codes = (
-            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        t = t.combine_chunks()
+        codes = key_codes(t, key_col)
         vals = t.column(value_col)
         valid = np.asarray(pc.is_valid(vals))
         v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)
-        # sort by (key group, value), null values pushed to the segment
-        # tail via +inf sort keys; the per-segment valid count then
-        # bounds every quantile index to real values only
-        vf = np.where(valid, v.astype(np.float64), np.inf)
-        idx = np.lexsort((vf, codes))
+        # sort by (key group, nullity, value) with the value in its
+        # ORIGINAL dtype: a float64 sort key would (a) collapse distinct
+        # int64 values above 2^53 into ties and (b) order valid NaN
+        # values after the null sentinel, indexing a fabricated 0 into
+        # the quantile range. Nullity as its own (more significant) key
+        # puts nulls last exactly; valid NaN sorts greatest among real
+        # values, matching DuckDB, so a NaN-containing group yields NaN.
+        idx = np.lexsort((v, ~valid, codes))  # ~valid: nulls sort last
         codes_s, v_s, valid_s = codes[idx], v[idx], valid[idx]
         flags = np.empty(len(codes_s), dtype=bool)
         if len(codes_s):
@@ -317,7 +283,9 @@ def grouped_quantiles(
         all_null = nvalid == 0  # SQL: quantile of an all-null group is NULL
 
         out: dict = {
-            key_col: key.take(pa.array(idx[starts], pa.int64()))
+            key_col: t.column(key_col).take(
+                pa.array(idx[starts], pa.int64())
+            )
         }
         val_type = t.schema.field(value_col).type
         for q, label in zip(quantiles, labels):
@@ -339,12 +307,7 @@ def grouped_quantiles(
                 )
         return pa.table(out)
 
-    bucketed = ds.map_batches(
-        _KeyBucket([key_col], 64), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(ds, [key_col], per_bucket)
 
 
 def rollup_aggregate(
@@ -364,6 +327,14 @@ def rollup_aggregate(
     custom combiner; the reference has nothing comparable and the extra
     passes reuse the audited aggregate path.)
     """
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    if sch is None:
+        raise ValueError(
+            "rollup_aggregate needs a known input schema (filter-emptied "
+            "input?); construct empty inputs with ray.data.from_arrow"
+        )
+    key_types = {k: sch.field(k).type for k in keys}
     levels = []
     for n_keep in range(len(keys), -1, -1):
         keep = keys[:n_keep]
@@ -392,11 +363,6 @@ def rollup_aggregate(
                 [tag],
                 aggs,
             )
-
-        key_types = {k: ds.schema().base_schema.field(k).type
-                     if hasattr(ds.schema(), "base_schema")
-                     else ds.schema().field(k).type
-                     for k in keys}
 
         def finalize(
             t: pa.Table,

@@ -1,0 +1,158 @@
+"""The engine's ONE keyed exchange: hash-bucket co-partitioning.
+
+Every keyed operator (aggregates, distinct, quantiles, window functions,
+sessions, top-n, stratified sampling, shuffle join) moves data through
+the same route: append ``__bucket__ = hash(key tuple) % n``, let Ray
+group by that small-int column, and run ONE vectorized function per
+bucket. Rationale, measured on this engine:
+
+- Ray's ``groupby(keys)`` range-sorts the raw key values — ~5x the cost
+  of sorting a 64-value int column at millions of distinct keys, and it
+  *crashes* on null keys (``'<' not supported`` between None and str).
+  The bucket column is never null, and the per-bucket Arrow/numpy code
+  handles null keys as their own group, matching SQL.
+- ``groupby(key).map_groups(fn)`` re-enters Python once per distinct
+  key; a bucket function runs once per bucket with segment-vectorized
+  numpy over all of its keys.
+
+Helpers :func:`key_codes` / :func:`segments` are the shared
+segment-vectorization primitives: stable integer group codes (null key
+-> -1) and contiguous-run boundaries after a sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from tbl_ray.functions.dedup import _fingerprint128
+
+DEFAULT_BUCKETS = 64
+
+
+class KeyBucket:
+    """Append a deterministic ``__bucket__`` = hash(key tuple) % n column.
+
+    Dispatch on TYPE only (never on null_count): both sides of a join
+    must bucket a given value identically, and one side may carry nulls
+    where the other does not. Integer/temporal keys hash via a
+    vectorized multiply-mix (measured 5x vs the string-cast fingerprint
+    path); everything else via the canonical string form. Null keys
+    hash as 0/"" — they only ever need co-location with other nulls,
+    which this gives them."""
+
+    def __init__(self, keys: list[str], n_buckets: int = DEFAULT_BUCKETS):
+        self.keys = keys
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        for kcol in self.keys:
+            col = t.column(kcol).combine_chunks()
+            if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+                k = (
+                    pc.fill_null(pc.cast(col, pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                with np.errstate(over="ignore"):
+                    h1 = (k ^ (k >> np.uint64(33))) * np.uint64(
+                        0xFF51AFD7ED558CCD
+                    )
+            else:
+                h1, _ = _fingerprint128(
+                    pc.fill_null(col.cast(pa.string()), "")
+                )
+            with np.errstate(over="ignore"):
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + h1
+        bucket = (acc % np.uint64(self.n_buckets)).astype(np.int64)
+        return t.append_column("__bucket__", pa.array(bucket))
+
+
+def bucket_exchange(
+    ds: "ray.data.Dataset",
+    keys: list[str] | str,
+    per_bucket: Callable[[pa.Table], pa.Table],
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """One hash-bucket exchange + one ``per_bucket`` call per bucket.
+
+    ``per_bucket`` receives the bucket's rows WITHOUT the ``__bucket__``
+    column (already dropped) and must be pure (it may run anywhere).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def run(t: pa.Table) -> pa.Table:
+        return per_bucket(t.drop_columns(["__bucket__"]))
+
+    bucketed = ds.map_batches(
+        KeyBucket(key_list, n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        run, batch_format="pyarrow"
+    )
+
+
+def single_array(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Normalize a (possibly chunked) column to one Array."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # pyarrow version drift
+        col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    return col
+
+
+def key_codes(t: pa.Table, key_col: str) -> np.ndarray:
+    """Stable integer group codes for a key column (grouping only — code
+    order is meaningless). Null keys code as -1: one segment of their
+    own, exactly SQL's GROUP BY / PARTITION BY null behavior."""
+    key = single_array(t.column(key_col))
+    d = key.dictionary_encode()
+    return (
+        pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def segments(codes_sorted: np.ndarray):
+    """(starts, lens, rep) for contiguous equal-code runs; ``rep[i]`` is
+    the segment-start index of row i (the repeat-expanded starts)."""
+    n = len(codes_sorted)
+    flags = np.empty(n, dtype=bool)
+    if n:
+        flags[0] = True
+        np.not_equal(codes_sorted[1:], codes_sorted[:-1], out=flags[1:])
+    starts = np.flatnonzero(flags)
+    lens = np.diff(np.append(starts, n))
+    rep = np.repeat(starts, lens)
+    return starts, lens, rep
+
+
+def sortable_column(
+    t: pa.Table, col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(values, isnull) numpy pair for exact sorting and peer detection.
+
+    Values keep their ORIGINAL dtype (an int64 column with nulls must
+    NOT round-trip through float64 — values above 2^53 would collapse);
+    nulls are filled with 0 and carried in the separate ``isnull`` flag,
+    which the caller sorts as the more significant key (SQL NULLS LAST)
+    and uses to treat two nulls as equal peers (NaN != NaN would split
+    them)."""
+    c = t.column(col)
+    if pa.types.is_timestamp(c.type) or pa.types.is_date(c.type):
+        c = pc.cast(c, pa.int64())
+    isnull = np.asarray(pc.is_null(c))
+    fill = "" if (
+        pa.types.is_string(c.type) or pa.types.is_large_string(c.type)
+    ) else 0
+    vals = pc.fill_null(c, fill).to_numpy(zero_copy_only=False)
+    return vals, isnull

@@ -50,22 +50,13 @@ def _key_counts(ds: "ray.data.Dataset", column: str) -> dict:
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # null-safe bucket merge (Ray's groupby cannot range-sort null keys,
     # and a null partition value is legal input)
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        mt = (
-            t.drop_columns(["__bucket__"])
-            .group_by([column])
-            .aggregate([("__partial__", "sum")])
-        )
+        mt = t.group_by([column]).aggregate([("__partial__", "sum")])
         return mt.rename_columns([column, "rows"])
 
-    bucketed = parts.map_batches(
-        _KeyBucket([column], 16), batch_format="pyarrow", zero_copy_batch=True
-    )
-    agg = bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    agg = bucket_exchange(parts, [column], per_bucket, n_buckets=16)
     return {r[column]: r["rows"] for r in agg.take_all()}
 
 

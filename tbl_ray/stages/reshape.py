@@ -111,22 +111,13 @@ def pivot_counts(
     # distributed merge through the hash-bucket exchange (same reason as
     # distinct_rows/group_aggregate: Ray's groupby range-sorts the key and
     # cannot order null keys; the local Arrow group_by can)
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        mt2 = (
-            t.drop_columns(["__bucket__"])
-            .group_by([key_col])
-            .aggregate([(n, "sum") for n in names])
-        )
+        mt2 = t.group_by([key_col]).aggregate([(n, "sum") for n in names])
         return mt2.rename_columns([key_col] + names)
 
-    bucketed = partials.map_batches(
-        _KeyBucket([key_col], 64), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(partials, [key_col], per_bucket)
 
 
 def union_by_name(

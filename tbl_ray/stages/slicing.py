@@ -128,7 +128,7 @@ def grouped_topn(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from tbl_ray.functions.joins import _KeyBucket
+    from tbl_ray.stages.exchange import bucket_exchange, key_codes, segments
 
     if isinstance(descending, bool):
         descending = [descending] * len(cols)
@@ -138,36 +138,14 @@ def grouped_topn(
     ]
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket__"]).combine_chunks()
+        t = t.combine_chunks()
         idx = pc.sort_indices(
             t, sort_keys=[(key, "ascending")] + sort_keys
         )
         t = t.take(idx)
-        kcol = t.column(key).combine_chunks()
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = (
-                kcol.chunk(0) if kcol.num_chunks
-                else pa.array([], kcol.type)
-            )
-        d = kcol.dictionary_encode()
-        codes = (
-            pc.fill_null(pc.cast(d.indices, pa.int64()), -1)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        m = len(codes)
-        flags = np.empty(m, dtype=bool)
-        if m:
-            flags[0] = True
-            np.not_equal(codes[1:], codes[:-1], out=flags[1:])
-        starts = np.flatnonzero(flags)
-        lens = np.diff(np.append(starts, m))
-        rn = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        codes = key_codes(t, key)  # sorted by key -> runs are contiguous
+        starts, lens, rep = segments(codes)
+        rn = np.arange(len(codes), dtype=np.int64) - rep
         return t.filter(pa.array(rn < n))
 
-    bucketed = ds.map_batches(
-        _KeyBucket([key], 64), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return bucketed.groupby("__bucket__").map_groups(
-        per_bucket, batch_format="pyarrow"
-    )
+    return bucket_exchange(ds, [key], per_bucket)

@@ -698,3 +698,102 @@ def test_union_by_name_aligns_and_rejects_dtype_drift():
     c = _ds(pa.table({"x": pa.array([1], pa.int32())}), 1)
     with pytest.raises(ValueError, match="dtype differs"):
         union_by_name([a, c])
+
+
+# -- review round-2 regressions -----------------------------------------
+
+
+def test_grouped_quantiles_nan_plus_null_matches_duck():
+    from tbl_ray.stages.aggregate import grouped_quantiles
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a"],
+            "v": pa.array([1.0, float("nan"), None], pa.float64()),
+        }
+    )
+    for interp in (True, False):
+        out = _collect(
+            grouped_quantiles(_ds(t, 1), "k", "v", [1.0], interpolate=interp)
+        )
+        val = out.column("q_1_0").to_pylist()[0]
+        assert val != val, (interp, val)  # NaN, like DuckDB — never 0.0
+
+
+def test_grouped_quantiles_disc_exact_above_2_53():
+    from tbl_ray.stages.aggregate import grouped_quantiles
+
+    big = 1 << 60
+    t = pa.table(
+        {
+            "k": ["a"] * 3,
+            "v": pa.array([big + 3, big + 1, big + 2], pa.int64()),
+        }
+    )
+    out = _collect(
+        grouped_quantiles(_ds(t, 1), "k", "v", [0.5], interpolate=False)
+    )
+    assert out.column("q_0_5").to_pylist() == [big + 2]
+
+
+def test_percent_rank_null_order_ties_share_value():
+    from tbl_ray.functions.winfns import window_functions
+
+    t = pa.table(
+        {
+            "k": ["a"] * 3,
+            "o": pa.array([1, None, None], pa.int64()),
+            "v": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = _collect(
+        window_functions(_ds(t, 1), key_col="k", order_cols=["o"], value_col="v")
+    ).sort_by([("rn", "ascending")])
+    # DuckDB: nulls sort last as EQUAL peers -> pr [0, 0.5, 0.5]
+    assert out.column("pr").to_pylist() == [0.0, 0.5, 0.5]
+
+
+def test_session_counts_null_ts_raises():
+    from tbl_ray.functions.windows import session_counts
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01", "us"), None], pa.timestamp("us")
+            ),
+        }
+    )
+    with pytest.raises(Exception, match="nulls"):
+        _collect(session_counts(_ds(t, 1), key_col="user_id"))
+
+
+def test_ntile_zero_raises():
+    from tbl_ray.functions.winfns import window_functions
+
+    with pytest.raises(ValueError, match="ntile"):
+        window_functions(
+            _ds(pa.table({"k": ["a"], "o": [1], "v": [1]}), 1),
+            key_col="k", order_cols=["o"], value_col="v", ntile=0,
+        )
+
+
+def test_csv_roundtrip_null_vs_empty_string(tmp_path):
+    from tbl_ray.sinks.writers import write_csv
+    from tbl_ray.sources import read_csv
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "s": pa.array(["x", None, ""], pa.string()),
+        }
+    )
+    path = str(tmp_path / "t.csv")
+    write_csv(_ds(t, 1), path)
+    back = _collect(
+        read_csv(
+            path,
+            schema=pa.schema([("id", pa.int64()), ("s", pa.string())]),
+        )
+    ).sort_by("id")
+    assert back.column("s").to_pylist() == ["x", None, ""]
