@@ -419,7 +419,37 @@ def kmeans_fit(
     Each iteration re-reads ``ds`` — inherent to Lloyd; pass a
     materialized dataset to amortize the scan when it fits.
     """
+    from tbl_ray.sizing import collect_local, fits_local
     from tbl_ray.stages.slicing import topk as _topk
+
+    # cost-based local resolve (tbl_ray.sizing): Lloyd is iters+1 full
+    # passes, each paying the distributed pipeline's fixed cost — when
+    # the input is PROVABLY small, collect once and run the identical
+    # math in-process (same init, same argmax/mean updates). The
+    # distributed path below remains the scale plan; both are exercised
+    # by the tests via TBL_RAY_LOCAL_SKETCH_BYTES.
+    if fits_local(ds):
+        t = collect_local(ds)
+        if t is None:
+            raise ValueError("kmeans_fit: empty input")
+        order = np.argsort(
+            np.asarray(t.column(id_col), dtype=np.int64), kind="stable"
+        )[:n_clusters]
+        v_all = _normalize(_vec_matrix(t, vec_col)).astype(np.float64)
+        cent = _normalize(_vec_matrix(t.take(pa.array(np.sort(order))), vec_col)
+                          .astype(np.float64))
+        history: list[float] = []
+        for _ in range(iters):
+            sims = v_all @ cent.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(v_all)), assign]
+            history.append(float((len(v_all) - best.sum()) / max(len(v_all), 1)))
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, v_all)
+            counts = np.bincount(assign, minlength=len(cent)).astype(np.float64)
+            nonempty = counts > 0
+            cent[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+        return cent.astype(np.float32), history
 
     seed_rows = _topk(ds, [id_col], n_clusters)
     seed_t = pa.concat_tables(

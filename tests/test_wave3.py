@@ -797,3 +797,16 @@ def test_csv_roundtrip_null_vs_empty_string(tmp_path):
         )
     ).sort_by("id")
     assert back.column("s").to_pylist() == ["x", None, ""]
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_kmeans_both_plans_equivalent(local_bytes, monkeypatch, sf_dir):
+    from tbl_ray.functions.similarity import kmeans_fit
+    from tbl_ray.sources import read_table
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    cent, hist = kmeans_fit(ds, 4, iters=3)
+    assert cent.shape[0] == 4
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
