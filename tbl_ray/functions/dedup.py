@@ -834,6 +834,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
     threshold: int = 1,
+    bloom_bits_per_ngram: int | None = None,
 ) -> "ray.data.Dataset":
     """Drop training docs sharing >= ``threshold`` word ``n``-grams with the
     eval set (the standard benchmark-contamination filter).
@@ -842,7 +843,15 @@ def decontaminate(
     hashes collect driver-side into one sorted unique array, broadcast
     via ``ray.put``; each train batch counts overlaps with a vectorized
     ``searchsorted`` + per-row ``add.reduceat``. The train table streams
-    once; nothing shuffles."""
+    once; nothing shuffles.
+
+    ``bloom_bits_per_ngram`` (16 -> ~0.24% FP, 32 -> ~0.02%, 4 probes) swaps
+    the exact broadcast for a Bloom filter: memory drops from 8 bytes to
+    ~2 bytes per eval n-gram (a 10^9-shingle eval suite broadcasts 2 GB
+    instead of 8 GB), at the cost of rare false-positive *extra drops* —
+    the conservative direction for decontamination. False negatives are
+    impossible, so nothing contaminated ever survives that the exact
+    filter would have caught."""
 
     def eval_hashes(t: pa.Table) -> pa.Table:
         h, _ = _word_ngram_hashes(t.column(text_col).combine_chunks(), n)
@@ -854,6 +863,26 @@ def decontaminate(
     banned = np.unique(np.fromiter((r["h"] for r in parts), dtype=np.uint64))
     if banned.size == 0:
         return train_ds
+
+    if bloom_bits_per_ngram is not None:
+        m_bits = int(max(banned.size * bloom_bits_per_ngram, 64))
+        bloom = _bloom_build(banned, m_bits)
+        bloom_ref = ray.put((bloom, np.uint64(m_bits)))
+
+        def keep_bloom(t: pa.Table) -> pa.Table:
+            blm, mb = ray.get(bloom_ref)
+            col = t.column(text_col).combine_chunks()
+            h, win_offsets = _word_ngram_hashes(col, n)
+            if len(h) == 0:
+                return t
+            hit = _bloom_query(blm, mb, h).astype(np.int64)
+            per_row = segment_reduceat(np.add, hit, win_offsets, np.int64(0))
+            return t.filter(pa.array(per_row < threshold))
+
+        return train_ds.map_batches(
+            keep_bloom, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     banned_ref = ray.put(banned)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -869,6 +898,46 @@ def decontaminate(
         return t.filter(pa.array(per_row < threshold))
 
     return train_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BLOOM_PROBES = 4
+
+
+def _bloom_probes(h: np.ndarray, m_bits: np.uint64):
+    """Probe positions per hash (Kirsch-Mitzenmacher double hashing over
+    the already-mixed 64-bit shingle hash): pos_i = h + i*h2 mod m. At 16
+    bits/element with 4 probes the FP rate is ~0.24%; 32 bits -> ~0.02%."""
+    with np.errstate(over="ignore"):
+        h2 = (h ^ (h >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
+        return [
+            (h + np.uint64(i) * h2) % m_bits for i in range(_BLOOM_PROBES)
+        ]
+
+
+def _bloom_build(hashes: np.ndarray, m_bits: int) -> np.ndarray:
+    """Bit array (uint8-packed), ``_BLOOM_PROBES`` probes per element."""
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    for pos in _bloom_probes(hashes.astype(np.uint64), np.uint64(m_bits)):
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            ),
+        )
+    return bits
+
+
+def _bloom_query(
+    bits: np.ndarray, m_bits: np.uint64, h: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership test (True may be a false positive)."""
+    out = np.ones(len(h), dtype=bool)
+    for pos in _bloom_probes(h.astype(np.uint64), m_bits):
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        out &= (
+            byte >> (pos & np.uint64(7)).astype(np.uint8) & np.uint8(1)
+        ).astype(bool)
+    return out
 
 
 def _coalesce_pairs(

@@ -810,3 +810,48 @@ def test_kmeans_both_plans_equivalent(local_bytes, monkeypatch, sf_dir):
     assert cent.shape[0] == 4
     assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
     assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
+
+
+# -- Bloom decontaminate ------------------------------------------------
+
+
+def test_decontaminate_bloom_supersets_exact_drops():
+    from tbl_ray.functions.dedup import (
+        _bloom_build,
+        _bloom_query,
+        decontaminate,
+    )
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(10))  # noqa: E731
+    train = pa.table(
+        {
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": pa.array(
+                [words(i) for i in range(40)]
+                + [words(1000 + i) for i in range(10)]
+            ),
+        }
+    )
+    # eval set shares the first 5 docs' text
+    ev = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()),
+         "text": pa.array([words(i) for i in range(5)])}
+    )
+    exact = _collect(
+        decontaminate(_ds(train, 3), _ds(ev, 1), n=4)
+    ).column("doc_id").to_pylist()
+    bloom = _collect(
+        decontaminate(_ds(train, 3), _ds(ev, 1), n=4, bloom_bits_per_ngram=32)
+    ).column("doc_id").to_pylist()
+    # bloom never keeps anything exact would drop (no false negatives)
+    assert set(bloom) <= set(exact)
+    # at 32 bits/ngram on this tiny set there should be no FPs (deterministic)
+    assert set(bloom) == set(exact)
+    assert set(range(5)).isdisjoint(exact)
+
+    # unit: every inserted hash queries positive
+    h = np.array([3, 9, 2**63 + 5, 12345], dtype=np.uint64)
+    bits = _bloom_build(h, 1024)
+    assert _bloom_query(bits, np.uint64(1024), h).all()
+    miss = np.array([777, 888], dtype=np.uint64)
+    assert not _bloom_query(bits, np.uint64(1024), miss).all()
