@@ -19,15 +19,19 @@ from tbl_ray.functions.dedup import (
 from tbl_ray.functions.joins import (
     broadcast_asof_join,
     broadcast_join,
+    broadcast_range_join,
     broadcast_semi_join,
+    join_auto,
     shuffle_join,
 )
 from tbl_ray.functions.chunking import chunk_fixed, pack_sequences
 from tbl_ray.functions.sampling import (
     sample_stratified,
     sample_uniform,
+    sample_weighted,
     shuffle_deterministic,
     shuffle_head,
+    split_assign,
 )
 from tbl_ray.functions.scrub import (
     frequent_units,
@@ -39,6 +43,8 @@ from tbl_ray.functions.scrub import (
 from tbl_ray.functions.similarity import (
     build_ivf_index,
     embedding_centroids,
+    kmeans_assign,
+    kmeans_fit,
     knn_brute,
     knn_ivf,
     knn_ivf_index,
@@ -54,7 +60,9 @@ from tbl_ray.functions.text import (
     fingerprint,
     normalize_text,
     langid,
+    term_stats,
     text_stats,
+    tfidf_score,
     token_count,
     token_count_bpe,
     top_ngrams,
@@ -62,6 +70,7 @@ from tbl_ray.functions.text import (
 )
 from tbl_ray.functions.urls import url_parts
 from tbl_ray.functions.windows import session_counts, tumbling_window
+from tbl_ray.functions.winfns import rolling_range_agg, window_functions
 
 __all__ = [
     "approx_distinct",
@@ -69,7 +78,17 @@ __all__ = [
     "approx_quantiles",
     "broadcast_asof_join",
     "broadcast_join",
+    "broadcast_range_join",
     "broadcast_semi_join",
+    "join_auto",
+    "kmeans_assign",
+    "kmeans_fit",
+    "rolling_range_agg",
+    "sample_weighted",
+    "split_assign",
+    "term_stats",
+    "tfidf_score",
+    "window_functions",
     "count_distinct_by",
     "chunk_fixed",
     "build_ivf_index",

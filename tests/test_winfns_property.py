@@ -126,3 +126,48 @@ def test_rolling_range_matches_duckdb(rows):
     ).fetch_arrow_table()
     assert out.column("n_w").to_pylist() == want.column("n_w").to_pylist()
     assert out.column("sum_w").to_pylist() == want.column("sum_w").to_pylist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.sampled_from(["a", "b", "c"]), st.none()),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_grouped_topn_matches_duckdb(rows, n):
+    from tbl_ray.stages.slicing import grouped_topn
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "id": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(min(3, len(rows)))
+    out = (
+        pa.concat_tables(
+            grouped_topn(
+                ds, "k", ["v", "id"], n, descending=[True, False]
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        .combine_chunks()
+        .sort_by([("id", "ascending")])
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        f"""
+        SELECT k, v, id FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY k ORDER BY v DESC, id) AS rn FROM t
+        ) WHERE rn <= {n} ORDER BY id
+        """
+    ).fetch_arrow_table()
+    assert out.column("id").to_pylist() == want.column("id").to_pylist()
