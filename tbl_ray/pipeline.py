@@ -188,6 +188,27 @@ def _register_builtins() -> None:
 
     register_op("embedding_centroids", kind="dataset")(embedding_centroids)
 
+    from tbl_ray.functions.sampling import sample_weighted, split_assign
+    from tbl_ray.functions.winfns import rolling_range_agg, window_functions
+    from tbl_ray.stages.aggregate import (
+        distinct_rows,
+        group_aggregate,
+        grouped_quantiles,
+        rollup_aggregate,
+    )
+    from tbl_ray.stages.reshape import explode_list, pivot_counts
+
+    register_op("window_fns", kind="dataset")(window_functions)
+    register_op("rolling_window", kind="dataset")(rolling_range_agg)
+    register_op("split_assign", kind="dataset")(split_assign)
+    register_op("sample_weighted", kind="dataset")(sample_weighted)
+    register_op("distinct", kind="dataset")(distinct_rows)
+    register_op("group_aggregate", kind="dataset")(group_aggregate)
+    register_op("grouped_quantiles", kind="dataset")(grouped_quantiles)
+    register_op("rollup", kind="dataset")(rollup_aggregate)
+    register_op("explode", kind="dataset")(explode_list)
+    register_op("pivot_counts", kind="dataset")(pivot_counts)
+
     @register_op("limit", kind="dataset")
     def limit(ds: "ray.data.Dataset", n: int) -> "ray.data.Dataset":
         return ds.limit(n)

@@ -855,3 +855,22 @@ def test_decontaminate_bloom_supersets_exact_drops():
     assert _bloom_query(bits, np.uint64(1024), h).all()
     miss = np.array([777, 888], dtype=np.uint64)
     assert not _bloom_query(bits, np.uint64(1024), miss).all()
+
+
+def test_pipeline_exposes_wave3_ops():
+    from tbl_ray.pipeline import Pipeline
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "k": pa.array(["a", "b"] * 10),
+            "v": pa.array(range(20), pa.int64()),
+        }
+    )
+    out = _collect(
+        Pipeline()
+        .step("split_assign", fractions={"train": 0.8, "test": 0.2})
+        .step("distinct", cols=["k", "split"])(_ds(t, 2))
+    )
+    assert set(out.schema.names) == {"k", "split"}
+    assert 2 <= out.num_rows <= 4
