@@ -49,7 +49,17 @@ def init_ray(num_cpus: int) -> None:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based sort shuffle: measured faster on the big exchanges
+    # (join_shuffle 4.4 -> 3.3 s warm at sf0.1/32cpu), equal elsewhere,
+    # and it is the strategy built for multi-node scale; set only in
+    # engine-owned sessions (never on library import — the user's
+    # context is theirs)
+    try:
+        ctx.shuffle_strategy = "sort_shuffle_push_based"
+    except Exception:
+        pass  # older Ray: keep the default
 
 
 def ensure_webtable() -> list[str]:
