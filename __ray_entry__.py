@@ -1312,6 +1312,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["union_by_name"] = union_by_name_q
 
+    def string_agg_q(sf_dir: str):
+        """Ordered per-key string concatenation — one bucket exchange,
+        per-bucket lexsort + single vectorized binary_join over
+        segment-rebuilt lists."""
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.stages.aggregate import string_agg
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "orders.parquet")],
+            TransformSpec(
+                select=["o_orderkey", "o_orderpriority", "o_orderstatus"]
+            ),
+        )
+        return string_agg(
+            ds, "o_orderpriority", "o_orderstatus", ["o_orderkey"]
+        )
+
+    q["string_agg"] = string_agg_q
+
     return q
 
 
@@ -1665,6 +1685,11 @@ def oracle_sql() -> dict[str, str]:
             " WHEN source='src1' THEN sk < 2147483648"
             " WHEN source='src2' THEN sk < 1073741824"
             " ELSE FALSE END"
+        ),
+        "string_agg": (
+            "SELECT o_orderpriority,"
+            " string_agg(o_orderstatus, ',' ORDER BY o_orderkey)"
+            " AS agg_o_orderstatus FROM orders GROUP BY o_orderpriority"
         ),
         "union_by_name": (
             "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars"

@@ -394,3 +394,77 @@ def rollup_aggregate(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def string_agg(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    *,
+    sep: str = ",",
+) -> "ray.data.Dataset":
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key: one
+    hash-bucket exchange, one lexsort per bucket, then the per-key
+    concatenations come from a single vectorized ``binary_join`` over a
+    ListArray rebuilt from the segment offsets — no per-key Python, no
+    string copies beyond the final join.
+
+    Null values are skipped (SQL string_agg), and a key whose values are
+    all null yields a null result. Make ``order_cols`` a total order per
+    key for deterministic output (same as SQL).
+    """
+    import numpy as np
+
+    from tbl_ray.stages.exchange import (
+        bucket_exchange,
+        key_codes,
+        segments,
+        single_array,
+        sortable_column,
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        codes = key_codes(t, key_col)
+        order_keys: list[np.ndarray] = []
+        for c in reversed(order_cols):
+            vals, isnull = sortable_column(t, c)
+            order_keys.append(vals)
+            order_keys.append(isnull)
+        idx = np.lexsort(tuple(order_keys) + (codes,))
+        t = t.take(idx)
+        codes = codes[idx]
+        vals = single_array(t.column(value_col))
+        valid = np.asarray(pc.is_valid(vals))
+        starts, lens, rep = segments(codes)
+
+        # drop null values but keep segment attribution: recompute the
+        # per-segment kept-counts, then rebuild list offsets over the
+        # filtered flat values
+        kept_per_seg = (
+            np.add.reduceat(valid.astype(np.int64), starts)
+            if len(starts)
+            else np.array([], dtype=np.int64)
+        )
+        flat = vals.filter(pa.array(valid))
+        offsets = np.concatenate(
+            ([0], np.cumsum(kept_per_seg))
+        ).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat
+        )
+        joined = pc.binary_join(lists, sep)
+        # all-null segment -> NULL (SQL), not ""
+        joined = pc.if_else(
+            pa.array(kept_per_seg > 0), joined, pa.scalar(None, pa.string())
+        )
+        kcol = single_array(t.column(key_col))
+        return pa.table(
+            {
+                key_col: kcol.take(pa.array(starts, pa.int64())),
+                f"agg_{value_col}": joined,
+            }
+        )
+
+    return bucket_exchange(ds, [key_col], per_bucket)

@@ -874,3 +874,24 @@ def test_pipeline_exposes_wave3_ops():
     )
     assert set(out.schema.names) == {"k", "split"}
     assert 2 <= out.num_rows <= 4
+
+
+# -- string_agg ---------------------------------------------------------
+
+
+def test_string_agg_nulls_and_ordering():
+    from tbl_ray.stages.aggregate import string_agg
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", None],
+            "o": pa.array([3, 1, 2, 1, 1], pa.int64()),
+            "v": ["z", "x", None, None, "n"],
+        }
+    )
+    out = _collect(
+        string_agg(_ds(t, 2), "k", "v", ["o"], sep="|")
+    )
+    got = {r["k"]: r["agg_v"] for r in out.to_pylist()}
+    # ordered by o, null values skipped; all-null group -> NULL
+    assert got == {"a": "x|z", "b": None, None: "n"}
