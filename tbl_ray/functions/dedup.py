@@ -865,6 +865,13 @@ def decontaminate(
         return train_ds
 
     if bloom_bits_per_ngram is not None:
+        if bloom_bits_per_ngram < 8:
+            # below ~8 bits/element the 4-probe FP rate explodes (at 0 the
+            # filter saturates and silently drops the whole corpus)
+            raise ValueError(
+                "bloom_bits_per_ngram must be >= 8 "
+                f"(got {bloom_bits_per_ngram}); 16 -> ~0.24% FP, 32 -> ~0.02%"
+            )
         m_bits = int(max(banned.size * bloom_bits_per_ngram, 64))
         bloom = _bloom_build(banned, m_bits)
         bloom_ref = ray.put((bloom, np.uint64(m_bits)))

@@ -436,7 +436,10 @@ def kmeans_fit(
             np.asarray(t.column(id_col), dtype=np.int64), kind="stable"
         )[:n_clusters]
         v_all = _normalize(_vec_matrix(t, vec_col)).astype(np.float64)
-        cent = _normalize(_vec_matrix(t.take(pa.array(np.sort(order))), vec_col)
+        # order (an argsort by id) already lists rows in ascending-id
+        # order — taking np.sort(order) would seed in ROW order instead
+        # and permute the clusters vs the distributed plan
+        cent = _normalize(_vec_matrix(t.take(pa.array(order)), vec_col)
                           .astype(np.float64))
         history: list[float] = []
         for _ in range(iters):

@@ -39,28 +39,11 @@ from tbl_ray.functions.windows import _parse_window
 from tbl_ray.stages.exchange import (
     bucket_exchange,
     key_codes,
+    order_pairs as _order_pairs,
+    order_sort_keys as _order_sort_keys,
     segments,
     single_array,
-    sortable_column,
 )
-
-
-def _order_pairs(
-    t: pa.Table, order_cols: list[str]
-) -> list[tuple[np.ndarray, np.ndarray]]:
-    """(values, isnull) per order column — exact dtypes, SQL NULLS LAST."""
-    return [sortable_column(t, c) for c in order_cols]
-
-
-def _order_sort_keys(pairs) -> tuple:
-    """np.lexsort key tuple for (order cols, NULLS LAST) — least
-    significant first; callers append the (most significant) group codes
-    after this."""
-    keys: list[np.ndarray] = []
-    for vals, isnull in reversed(pairs):
-        keys.append(vals)
-        keys.append(isnull)  # more significant than the value: nulls last
-    return tuple(keys)
 
 
 def _peer_flags(

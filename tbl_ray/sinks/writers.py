@@ -104,6 +104,8 @@ def write_csv(ds: "ray.data.Dataset", path: str) -> None:
     Vectorized (no per-row Python), streaming batch by batch."""
     import pyarrow.csv as pacsv
 
+    from tbl_ray.stages.exchange import known_schema
+
     tmp, commit = _atomic(path)
     opts = pacsv.WriteOptions(quoting_style="all_valid")
     writer = None
@@ -114,14 +116,20 @@ def write_csv(ds: "ray.data.Dataset", path: str) -> None:
                 writer = pacsv.CSVWriter(tmp, t.schema, write_options=opts)
             writer.write_table(t)
         if writer is None:  # empty dataset: header-only file needs a schema
-            sch = ds.schema()
-            sch = getattr(sch, "base_schema", sch)
-            if sch is not None:
-                writer = pacsv.CSVWriter(tmp, sch, write_options=opts)
+            sch = known_schema(ds)
+            if sch is None:
+                raise ValueError(
+                    "cannot write empty dataset with unknown schema"
+                )
+            writer = pacsv.CSVWriter(tmp, sch, write_options=opts)
+        writer.close()
+        writer = None
+        commit()
     finally:
-        if writer is not None:
+        if writer is not None:  # failed mid-write: close + drop the tmp
             writer.close()
-    commit()
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None:

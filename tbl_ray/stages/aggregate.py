@@ -327,8 +327,9 @@ def rollup_aggregate(
     custom combiner; the reference has nothing comparable and the extra
     passes reuse the audited aggregate path.)
     """
-    sch = ds.schema()
-    sch = getattr(sch, "base_schema", sch)
+    from tbl_ray.stages.exchange import known_schema
+
+    sch = known_schema(ds)
     if sch is None:
         raise ValueError(
             "rollup_aggregate needs a known input schema (filter-emptied "
@@ -419,20 +420,16 @@ def string_agg(
     from tbl_ray.stages.exchange import (
         bucket_exchange,
         key_codes,
+        order_pairs,
+        order_sort_keys,
         segments,
         single_array,
-        sortable_column,
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         codes = key_codes(t, key_col)
-        order_keys: list[np.ndarray] = []
-        for c in reversed(order_cols):
-            vals, isnull = sortable_column(t, c)
-            order_keys.append(vals)
-            order_keys.append(isnull)
-        idx = np.lexsort(tuple(order_keys) + (codes,))
+        idx = np.lexsort(order_sort_keys(order_pairs(t, order_cols)) + (codes,))
         t = t.take(idx)
         codes = codes[idx]
         vals = single_array(t.column(value_col))

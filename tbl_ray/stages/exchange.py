@@ -156,3 +156,30 @@ def sortable_column(
     ) else 0
     vals = pc.fill_null(c, fill).to_numpy(zero_copy_only=False)
     return vals, isnull
+
+
+def known_schema(ds) -> "pa.Schema | None":
+    """``ds.schema()`` normalized to a plain pyarrow Schema (Ray may hand
+    back a wrapper with ``base_schema``), or None when the plan cannot
+    know it (e.g. a row-filtered empty dataset)."""
+    sch = ds.schema()
+    return getattr(sch, "base_schema", sch)
+
+
+def order_pairs(
+    t: pa.Table, order_cols: list[str]
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """(values, isnull) per order column — exact dtypes, for sorting and
+    peer detection (see :func:`sortable_column`)."""
+    return [sortable_column(t, c) for c in order_cols]
+
+
+def order_sort_keys(pairs) -> tuple:
+    """np.lexsort key tuple for (order cols, SQL NULLS LAST) — least
+    significant first; callers append the (most significant) group codes
+    after this. THE one home of the nulls-last significance convention."""
+    keys: list[np.ndarray] = []
+    for vals, isnull in reversed(pairs):
+        keys.append(vals)
+        keys.append(isnull)  # more significant than the value: nulls last
+    return tuple(keys)

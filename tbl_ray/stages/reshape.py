@@ -136,10 +136,11 @@ def union_by_name(
     """
     if not datasets:
         raise ValueError("union_by_name needs at least one dataset")
+    from tbl_ray.stages.exchange import known_schema
+
     fields: dict[str, pa.DataType] = {}
     for i, ds in enumerate(datasets):
-        sch = ds.schema()
-        sch = getattr(sch, "base_schema", sch)
+        sch = known_schema(ds)
         if sch is None:
             raise ValueError(
                 f"dataset {i} has no known schema (filter-emptied?); "

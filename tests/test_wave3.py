@@ -895,3 +895,47 @@ def test_string_agg_nulls_and_ordering():
     got = {r["k"]: r["agg_v"] for r in out.to_pylist()}
     # ordered by o, null values skipped; all-null group -> NULL
     assert got == {"a": "x|z", "b": None, None: "n"}
+
+
+# -- review round-3 regressions -----------------------------------------
+
+
+@pytest.mark.parametrize("local_bytes", ["0", str(128 << 20)])
+def test_kmeans_seed_identical_on_unsorted_ids(local_bytes, monkeypatch):
+    from tbl_ray.functions.similarity import kmeans_fit
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", local_bytes)
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 1, (40, 4)).astype(np.float32)
+    t = pa.table(
+        {
+            # ids REVERSED vs row order: seeding must still be id order
+            "vec_id": pa.array(list(range(39, -1, -1)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    cent, _ = kmeans_fit(_ds(t, 2), 3, iters=0)
+    # iters=0: centroids == normalized vectors of ids 0,1,2 in id order
+    want = vecs[[39, 38, 37]]  # rows holding vec_id 0,1,2
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    assert np.allclose(cent, want, atol=1e-6), (cent, want)
+
+
+def test_write_csv_empty_unknown_schema_raises(tmp_path):
+    from tbl_ray.sinks.writers import write_csv
+
+    ds = ray.data.from_items([{"x": 1}]).filter(lambda r: False)
+    path = str(tmp_path / "e.csv")
+    with pytest.raises(ValueError, match="unknown schema"):
+        write_csv(ds, path)
+    assert not os.path.exists(path + "_tmp")  # no stale tmp left behind
+
+
+def test_bloom_bits_validated():
+    from tbl_ray.functions.dedup import decontaminate
+
+    t = _ds(pa.table({"doc_id": [1], "text": ["a b c d e"]}), 1)
+    with pytest.raises(ValueError, match="bloom_bits_per_ngram"):
+        decontaminate(t, t, n=2, bloom_bits_per_ngram=0)
