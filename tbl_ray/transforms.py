@@ -281,6 +281,12 @@ def apply_transforms(
         ds = _value_counts(ds, spec.value_counts)
 
     if spec.sort:
+        from tbl_ray.stages.slicing import _ensure_ordered
+
+        # the sorted order must survive to the sink: without
+        # preserve_order the streaming executor may emit the sorted
+        # blocks in completion order (same hazard merge_files hit)
+        _ensure_ordered()
         cols, desc = spec.parsed_sort()
         ds = ds.sort(cols, descending=desc)
 
