@@ -1332,6 +1332,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["string_agg"] = string_agg_q
 
+    def regex_extract_q(sf_dir: str):
+        """Generic group-1 regex extraction (RE2 parity with DuckDB
+        regexp_extract: no match '', null null)."""
+        from tbl_ray.functions.text import regex_extract
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        ds = read_for_spec(
+            [os.path.join(sf_dir, "documents.parquet")],
+            TransformSpec(select=["doc_id", "text"]),
+        )
+        out = regex_extract(ds, "text", r"([0-9]+)", "first_num")
+        return out.select_columns(["doc_id", "first_num"])
+
+    q["regex_extract"] = regex_extract_q
+
     return q
 
 
@@ -1685,6 +1701,10 @@ def oracle_sql() -> dict[str, str]:
             " WHEN source='src1' THEN sk < 2147483648"
             " WHEN source='src2' THEN sk < 1073741824"
             " ELSE FALSE END"
+        ),
+        "regex_extract": (
+            "SELECT doc_id, regexp_extract(text, '([0-9]+)', 1)"
+            " AS first_num FROM documents"
         ),
         "string_agg": (
             "SELECT o_orderpriority,"

@@ -443,3 +443,29 @@ def tfidf_score(
     return stats.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def regex_extract(
+    ds: "ray.data.Dataset",
+    col: str,
+    pattern: str,
+    out_col: str,
+) -> "ray.data.Dataset":
+    """Append the first capture of an RE2 ``pattern`` over ``col`` —
+    DuckDB ``regexp_extract(col, pattern, 1)`` parity by construction
+    (both engines are RE2): no match -> ``''``, null input -> null.
+    ``pattern`` must contain exactly one capture group. Vectorized
+    (one Arrow ``extract_regex`` kernel per batch)."""
+    from tbl_ray.functions.urls import _extract
+
+    i = pattern.find("(")
+    if i < 0 or pattern[i : i + 2] == "(?":
+        raise ValueError(
+            "pattern needs a plain capture group '(...)' as its first "
+            "'(' — the group-1 rewrite cannot skip '(?:'-style groups"
+        )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, _extract(t.column(col), pattern))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -939,3 +939,17 @@ def test_bloom_bits_validated():
     t = _ds(pa.table({"doc_id": [1], "text": ["a b c d e"]}), 1)
     with pytest.raises(ValueError, match="bloom_bits_per_ngram"):
         decontaminate(t, t, n=2, bloom_bits_per_ngram=0)
+
+
+def test_regex_extract_semantics_and_validation():
+    from tbl_ray.functions.text import regex_extract
+
+    t = pa.table(
+        {"id": [1, 2, 3], "s": ["abc123x", "nope", None]}
+    )
+    out = _collect(
+        regex_extract(_ds(t, 2), "s", r"([0-9]+)", "num")
+    ).sort_by("id")
+    assert out.column("num").to_pylist() == ["123", "", None]
+    with pytest.raises(ValueError, match="capture group"):
+        regex_extract(_ds(t, 1), "s", r"(?:x)[0-9]+", "num")
