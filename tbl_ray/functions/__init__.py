@@ -60,6 +60,7 @@ from tbl_ray.functions.text import (
     fingerprint,
     normalize_text,
     langid,
+    regex_extract,
     term_stats,
     text_stats,
     tfidf_score,
@@ -83,6 +84,7 @@ __all__ = [
     "join_auto",
     "kmeans_assign",
     "kmeans_fit",
+    "regex_extract",
     "rolling_range_agg",
     "sample_weighted",
     "split_assign",
