@@ -953,3 +953,31 @@ def test_regex_extract_semantics_and_validation():
     assert out.column("num").to_pylist() == ["123", "", None]
     with pytest.raises(ValueError, match="capture group"):
         regex_extract(_ds(t, 1), "s", r"(?:x)[0-9]+", "num")
+
+
+def test_read_jsonl_schema_pinned(tmp_path):
+    from tbl_ray.sinks.writers import write_json
+    from tbl_ray.sources import read_jsonl
+
+    t = pa.table(
+        {"id": pa.array([1, 2], pa.int64()), "x": pa.array([1.5, None])}
+    )
+    path = str(tmp_path / "t.jsonl")
+    write_json(_ds(t, 1), path, lines=True)
+    schema = pa.schema([("id", pa.int64()), ("x", pa.float64())])
+    back = _collect(read_jsonl(path, schema=schema)).sort_by("id")
+    assert back.schema.field("x").type == pa.float64()
+    assert back.column("x").to_pylist() == [1.5, None]
+
+
+def test_union_by_name_three_way():
+    from tbl_ray.stages.reshape import union_by_name
+
+    a = _ds(pa.table({"x": pa.array([1], pa.int64())}), 1)
+    b = _ds(pa.table({"y": ["p"]}), 1)
+    c = _ds(pa.table({"x": pa.array([2], pa.int64()), "z": [0.5]}), 1)
+    out = _collect(union_by_name([a, b, c])).sort_by(
+        [("x", "ascending")]
+    )
+    assert out.schema.names == ["x", "y", "z"]
+    assert out.num_rows == 3
