@@ -32,12 +32,16 @@ def broadcast_join(
     on: str | list[str],
     *,
     join_type: str = "inner",
+    rsuffix: str = "_r",
 ) -> "ray.data.Dataset":
     """Join a streaming Dataset against a small in-memory table.
 
     ``join_type``: ``inner`` or ``left outer`` (the big side is always the
     left/probe side). Key columns must exist on both sides; the small
-    side's non-key columns append to the output."""
+    side's non-key columns append to the output. Small-side non-key names
+    colliding with big-side names get ``rsuffix`` (same contract as
+    ``join_auto``/``shuffle_join`` — Arrow ``Table.join`` would otherwise
+    emit silent duplicate column names)."""
     if join_type not in _JOIN_TYPES:
         raise ValueError(f"join_type must be one of {sorted(_JOIN_TYPES)}")
     keys = [on] if isinstance(on, str) else list(on)
@@ -48,6 +52,16 @@ def broadcast_join(
 
     def probe(t: pa.Table) -> pa.Table:
         s = ray.get(small_ref)
+        left_names = set(t.schema.names)
+        collide = {
+            c: c + rsuffix
+            for c in s.schema.names
+            if c not in keys and c in left_names
+        }
+        if collide:
+            s = s.rename_columns(
+                [collide.get(c, c) for c in s.schema.names]
+            )
         return t.join(s, keys=keys, join_type=join_type)
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
@@ -96,6 +110,7 @@ def broadcast_asof_join(
     vcols = value_cols or [
         c for c in small.schema.names if c != on and c not in by_keys
     ]
+    small = small.filter(pc.is_valid(small.column(on)))  # null on never matches
     s = small.sort_by([*[(k, "ascending") for k in by_keys], (on, "ascending")])
     if by:
         rkeys = s.column(by).to_pylist()  # small side: bounded
@@ -134,6 +149,12 @@ def broadcast_asof_join(
             ridx = np.searchsorted(on_arr[lo:hi], left_on, side="right") - 1
             ok = ridx >= 0
             take_idx[ok] = lo + ridx[ok]
+        # Null left `on` values must NOT match (DuckDB ASOF semantics):
+        # np.asarray turns them into NaN/NaT and searchsorted(..., "right")-1
+        # would pin them to the LAST right row. Force those rows to -1.
+        on_col = t.column(on)
+        if on_col.null_count:
+            take_idx[np.asarray(pc.is_null(on_col).combine_chunks())] = -1
         null_mask = take_idx < 0
         out = t
         for c in vcols:

@@ -21,6 +21,7 @@ from tbl_ray.codecs.base import (
     is_fixed_primitive,
     primitive_to_numpy,
 )
+from tbl_ray.stages.exchange import safe_group_by
 from tbl_ray.webtable import _mix
 
 _P = 12  # 4096 registers, ~1.6% relative error
@@ -348,17 +349,15 @@ def count_distinct_by(
     the HLL sibling instead."""
 
     def pairs(t: pa.Table) -> pa.Table:
-        return t.select([key, column]).group_by([key, column]).aggregate([])
+        return safe_group_by(t.select([key, column]), [key, column])
 
     p = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-
-    from ray.data.aggregate import Sum
 
     from tbl_ray.sizing import collect_local, fits_local
 
     t = collect_local(p) if fits_local(ds) else None
     if t is not None:
-        d = t.group_by([key, column]).aggregate([])
+        d = safe_group_by(t, [key, column])
         out = (
             d.group_by(key)
             .aggregate([(column, "count")])
@@ -366,18 +365,17 @@ def count_distinct_by(
         )
         return ray.data.from_arrow(out)
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # one null-key-safe bucket exchange on `key`; each bucket holds every
+    # pair for its keys, so dedup + per-key count are local Arrow kernels
+    # (no per-group Python re-entry, no raw-key range sort)
+    from tbl_ray.stages.exchange import bucket_exchange
 
-    distinct_pairs = p.groupby([key, column]).map_groups(
-        first, batch_format="pyarrow"
-    )
+    def per_bucket(t2: pa.Table) -> pa.Table:
+        d = safe_group_by(t2, [key, column])
+        return (
+            d.group_by(key)
+            .aggregate([(column, "count")])
+            .rename_columns([key, "n_distinct"])
+        )
 
-    def partial_counts(t2: pa.Table) -> pa.Table:
-        c = t2.group_by(key).aggregate([(column, "count")])
-        return c.rename_columns([key, "__n__"])
-
-    partials = distinct_pairs.map_batches(
-        partial_counts, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return partials.groupby(key).aggregate(Sum("__n__", alias_name="n_distinct"))
+    return bucket_exchange(p, [key], per_bucket)

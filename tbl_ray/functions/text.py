@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from tbl_ray.codecs.base import binary_parts, segment_reduceat
+from tbl_ray.stages.exchange import safe_group_by
 from tbl_ray.webtable import _mix
 
 # small built-in marker vocabularies for the n-gram/stopword langid heuristic
@@ -388,7 +389,7 @@ def term_stats(
         ids = t.column(id_col).take(parents)
         keep = pc.not_equal(words, "")
         pairs = pa.table({id_col: ids, "term": words}).filter(keep)
-        tf = pairs.group_by([id_col, "term"]).aggregate([("term", "count")])
+        tf = safe_group_by(pairs, [id_col, "term"], [("term", "count")])
         return tf.rename_columns([id_col, "term", "tf"])
 
     tf_ds = ds.map_batches(
@@ -456,14 +457,9 @@ def regex_extract(
     (both engines are RE2): no match -> ``''``, null input -> null.
     ``pattern`` must contain exactly one capture group. Vectorized
     (one Arrow ``extract_regex`` kernel per batch)."""
-    from tbl_ray.functions.urls import _extract
+    from tbl_ray.functions.urls import _extract, _group1_to_named
 
-    i = pattern.find("(")
-    if i < 0 or pattern[i : i + 2] == "(?":
-        raise ValueError(
-            "pattern needs a plain capture group '(...)' as its first "
-            "'(' — the group-1 rewrite cannot skip '(?:'-style groups"
-        )
+    _group1_to_named(pattern)  # driver-side: raise a clear error early
 
     def fn(t: pa.Table) -> pa.Table:
         return t.append_column(out_col, _extract(t.column(col), pattern))

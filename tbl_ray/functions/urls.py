@@ -22,12 +22,31 @@ PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)"
 DOMAIN_RE = r"([^.]+\.[^.]+)$"  # registrable-domain approximation
 
 
+def _group1_to_named(pattern: str) -> str:
+    """Rewrite the first CAPTURING '(' to '(?P<g>' — Arrow wants named
+    groups, DuckDB numbered ones. Skips escaped literals ('\\(' — count
+    the preceding backslash run) and non-capturing/lookaround '(?'."""
+    i = 0
+    n = len(pattern)
+    while i < n:
+        if pattern[i] == "(":
+            bs = 0
+            j = i - 1
+            while j >= 0 and pattern[j] == "\\":
+                bs += 1
+                j -= 1
+            if bs % 2 == 0 and not pattern.startswith("(?", i):
+                return pattern[:i] + "(?P<g>" + pattern[i + 1 :]
+        i += 1
+    raise ValueError(
+        f"pattern has no capture group (group 1 required): {pattern!r}"
+    )
+
+
 def _extract(col, pattern: str):
     """Group-1 extraction with DuckDB ``regexp_extract`` semantics:
     no-match -> '', null input -> null."""
-    # Arrow wants named groups, DuckDB numbered ones: the first '(' in
-    # every pattern above IS group 1, so one textual rewrite maps them
-    named = pattern.replace("(", "(?P<g>", 1)
+    named = _group1_to_named(pattern)
     got = pc.struct_field(pc.extract_regex(col, named), "g")
     return pc.if_else(pc.is_null(col), col, pc.fill_null(got, ""))
 

@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from tbl_ray.stages.exchange import safe_group_by
+
 
 def _window_start(ts: pa.ChunkedArray | pa.Array, size_us: int) -> pa.Array:
     """Tumbling-window start (µs since epoch, floored to the window).
@@ -49,7 +51,9 @@ class _PartialWindowAgg:
                 self.value_col: t.column(self.value_col),
             }
         )
-        part = small.group_by([self.key_col, "window_start"]).aggregate(
+        part = safe_group_by(
+            small,
+            [self.key_col, "window_start"],
             [
                 (self.value_col, "count"),
                 (self.value_col, "sum"),
@@ -89,7 +93,9 @@ def tumbling_window(
     # (key, window) pair — at 100 TB the pair cardinality is |keys| x
     # |windows| and would dominate the merge
     def per_bucket(t: pa.Table) -> pa.Table:
-        mt = t.group_by([key_col, "window_start"]).aggregate(
+        mt = safe_group_by(
+            t,
+            [key_col, "window_start"],
             [
                 ("__n", "sum"),
                 ("__sum", "sum"),

@@ -235,11 +235,15 @@ def rolling_range_agg(
         seg_id = np.repeat(
             np.arange(len(starts), dtype=np.int64), lens
         )
-        v = (
-            t.column(value_col)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        val_arr = t.column(value_col)
+        if val_arr.null_count:
+            # a null would round-trip float64-NaN -> astype -> INT64_MIN
+            # and silently poison every prefix-sum window in the bucket
+            raise ValueError(
+                f"rolling_range_agg: {value_col!r} contains nulls; "
+                "fill or filter them first (integral non-null required)"
+            )
+        v = val_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(v)))
 
         span = int(ts.max() - ts.min()) if n else 0

@@ -98,7 +98,9 @@ def fold_partials_local(
     t = collect_local(partials) if fits_local(ds, amplification) else None
     if t is None:
         return None
-    mt = t.group_by(key_list).aggregate(list(aggs))
+    from tbl_ray.stages.exchange import safe_group_by
+
+    mt = safe_group_by(t, key_list, list(aggs))
     return mt.rename_columns(key_list + list(out_names))
 
 

@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from tbl_ray.stages.exchange import safe_group_by
+
 
 class _PartialCounts:
     def __init__(self, column: str):
@@ -95,9 +97,9 @@ def group_aggregate(
                 need |= {"sum", "count"}
             for f in sorted(need - {"mean"}):
                 plan.append((col, f))
-        part = t.select(
-            keys + sorted({c for c, _ in plan})
-        ).group_by(keys).aggregate(plan)
+        part = safe_group_by(
+            t.select(keys + sorted({c for c, _ in plan})), keys, plan
+        )
         # arrow names results "<col>_<func>"; normalize to "__<func>__<col>"
         names = list(part.schema.names)
         renamed = []
@@ -155,7 +157,7 @@ def group_aggregate(
         finals = [final for _, _, final in merge_plan]
 
         def per_bucket(t: pa.Table) -> pa.Table:
-            mt2 = t.group_by(keys).aggregate(arrow_aggs)
+            mt2 = safe_group_by(t, keys, arrow_aggs)
             return mt2.rename_columns(keys + finals)
 
         merged = bucket_exchange(partials, keys, per_bucket)
@@ -201,7 +203,7 @@ def distinct_rows(
     key_list = [cols] if isinstance(cols, str) else list(cols)
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.select(key_list).group_by(key_list).aggregate([])
+        return safe_group_by(t.select(key_list), key_list)
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
@@ -215,7 +217,7 @@ def distinct_rows(
     from tbl_ray.stages.exchange import bucket_exchange
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        return t.group_by(key_list).aggregate([])
+        return safe_group_by(t, key_list)
 
     return bucket_exchange(partials, key_list, per_bucket)
 

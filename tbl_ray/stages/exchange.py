@@ -100,6 +100,61 @@ def bucket_exchange(
     )
 
 
+def _grouper_bug_prone(t: pa.Table, key_list: list[str]) -> bool:
+    """pyarrow 16.x multi-key grouper bug detector: when the key set mixes
+    a NULL-containing 32-bit-offset var-length column (string/binary) with
+    any fixed-width column, the row encoder fails to merge equal groups
+    across its 32-row mini-batches — e.g. 64 rows of (null, i%3) group to
+    9 "distinct" keys instead of 3. Verified empirically on pyarrow 16.1.0
+    (widening to large_string/large_binary encodes correctly)."""
+    if len(key_list) < 2:
+        return False
+    narrow_null = False
+    has_fixed = False
+    for k in key_list:
+        col = t.column(k)
+        typ = col.type
+        if pa.types.is_string(typ) or pa.types.is_binary(typ):
+            if col.null_count:
+                narrow_null = True
+        elif not (
+            pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)
+        ):
+            has_fixed = True
+    return narrow_null and has_fixed
+
+
+def safe_group_by(
+    t: pa.Table,
+    keys: "list[str] | str",
+    aggs: "list[tuple] | tuple" = (),
+) -> pa.Table:
+    """``t.group_by(keys).aggregate(aggs)`` with the pyarrow multi-key
+    grouper bug (see :func:`_grouper_bug_prone`) neutralized: affected
+    string/binary key columns are widened to their large_* types for the
+    grouping and cast back in the output, so callers see the original
+    schema. ALL local multi-key Arrow group_bys in the engine must route
+    through here — a null URL next to an int64 bucket key is exactly the
+    shape web-table pipelines hit."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    casts: dict[str, tuple[pa.DataType, pa.DataType]] = {}
+    if _grouper_bug_prone(t, key_list):
+        for k in key_list:
+            typ = t.column(k).type
+            if pa.types.is_string(typ):
+                casts[k] = (typ, pa.large_string())
+            elif pa.types.is_binary(typ):
+                casts[k] = (typ, pa.large_binary())
+        for k, (_orig, wide) in casts.items():
+            i = t.schema.get_field_index(k)
+            t = t.set_column(i, k, pc.cast(t.column(k), wide))
+    out = t.group_by(key_list).aggregate(list(aggs))
+    for k, (orig, _wide) in casts.items():
+        i = out.schema.get_field_index(k)
+        out = out.set_column(i, k, pc.cast(out.column(k), orig))
+    return out
+
+
 def single_array(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
     """Normalize a (possibly chunked) column to one Array."""
     if isinstance(col, pa.ChunkedArray):

@@ -1072,3 +1072,175 @@ def test_shuffle_join_multikey_empty_side_single_bucket():
     bad = ray.data.from_arrow(pa.table({"k1": [9]})).filter(lambda row: False)
     with pytest.raises(ValueError, match="known schema"):
         shuffle_join(l, bad, ["k1"])
+
+
+# ---- round-3 ADVICE regressions ------------------------------------------
+
+
+def test_asof_join_null_left_on_gets_nulls(ray_session, duck):
+    """A null left `on` must join to NOTHING (DuckDB ASOF semantics), not
+    silently pin to the last right row (round-3 ADVICE, medium)."""
+    from tbl_ray.functions.joins import broadcast_asof_join
+
+    left = pa.table({"t": pa.array([1, None, 9, None, 100], pa.int64())})
+    right = pa.table({"t": [2, 6], "v": ["x", "y"]})
+    rows = broadcast_asof_join(
+        ray.data.from_arrow(left).repartition(2), right, on="t"
+    ).take_all()
+    got = sorted(
+        ((r["t"] if r["t"] is not None else -1), r["v"]) for r in rows
+    )
+    assert got == [(-1, None), (-1, None), (1, None), (9, "y"), (100, "y")]
+    # with `by`: null on inside a matching group also stays null
+    l2 = pa.table(
+        {"s": ["a", "a", "a"], "t": pa.array([50, None, 900], pa.int64())}
+    )
+    r2 = pa.table({"s": ["a"], "t": [10], "px": [1.5]})
+    rows2 = broadcast_asof_join(
+        ray.data.from_arrow(l2), r2, on="t", by="s"
+    ).take_all()
+    px = {r["t"]: r["px"] for r in rows2}
+    assert px == {50: 1.5, None: None, 900: 1.5}
+
+
+def test_asof_join_null_right_on_dropped(ray_session):
+    from tbl_ray.functions.joins import broadcast_asof_join
+
+    left = pa.table({"t": [5]})
+    right = pa.table(
+        {"t": pa.array([None, 3], pa.int64()), "v": ["bad", "ok"]}
+    )
+    rows = broadcast_asof_join(ray.data.from_arrow(left), right, on="t").take_all()
+    assert rows[0]["v"] == "ok"
+
+
+def test_regex_extract_escaped_paren(ray_session, duck):
+    """r'\\((\\d+)\\)' — escaped literal parens before the capture group
+    (round-3 ADVICE: the rewrite used to mangle the first '\\(')."""
+    from tbl_ray.functions.text import regex_extract
+
+    tbl = pa.table({"s": ["a(12)b", "(7)", "none", None, "x(?)"]})
+    got = (
+        pa.Table.from_pylist(
+            regex_extract(
+                ray.data.from_arrow(tbl), "s", r"\((\d+)\)", "g"
+            ).take_all()
+        )
+        .sort_by([("s", "ascending")])
+        .column("g")
+        .to_pylist()
+    )
+    duck.register("rex_esc", tbl)
+    want = (
+        duck.execute(
+            r"SELECT regexp_extract(s, '\((\d+)\)', 1) AS g FROM rex_esc"
+            " ORDER BY s"
+        )
+        .fetch_arrow_table()
+        .column("g")
+        .to_pylist()
+    )
+    assert got == want
+
+
+def test_regex_extract_noncapturing_prefix(ray_session):
+    """First '(' is '(?:' — the rewrite must skip to the capturing group."""
+    from tbl_ray.functions.text import regex_extract
+
+    tbl = pa.table({"s": ["foobar1", "bazqux2"]})
+    got = sorted(
+        r["g"]
+        for r in regex_extract(
+            ray.data.from_arrow(tbl), "s", r"(?:foo|baz)\w+?(\d)", "g"
+        ).take_all()
+    )
+    assert got == ["1", "2"]
+    with pytest.raises(ValueError, match="capture group"):
+        regex_extract(ray.data.from_arrow(tbl), "s", r"\(\d+\)", "g")
+
+
+def test_broadcast_join_collision_rsuffix(ray_session):
+    """Direct broadcast_join with colliding non-key names must rsuffix,
+    not emit duplicate column names (round-3 ADVICE)."""
+    from tbl_ray.functions.joins import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+    small = pa.table({"k": [1, 2], "v": [7, 8]})
+    out = pa.Table.from_pylist(broadcast_join(big, small, "k").take_all())
+    assert sorted(out.schema.names) == ["k", "v", "v_r"]
+    m = {r["k"]: (r["v"], r["v_r"]) for r in out.to_pylist()}
+    assert m == {1: (10, 7), 2: (20, 8)}
+
+
+def test_rolling_range_agg_null_value_raises(ray_session):
+    from tbl_ray.functions.winfns import rolling_range_agg
+
+    t = pa.table(
+        {
+            "k": ["a", "a"],
+            "ts": pa.array([1000000, 2000000], pa.timestamp("us")),
+            "v": pa.array([1, None], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="contains nulls"):
+        rolling_range_agg(
+            ds, key_col="k", ts_col="ts", value_col="v", window="2s"
+        ).take_all()
+
+
+def test_count_distinct_by_distributed_bucket_path(ray_session, duck, monkeypatch):
+    """Force the distributed plan (no local fold) and check null-key and
+    null-value semantics against DuckDB."""
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", "1")
+    from tbl_ray.functions.sketches import count_distinct_by
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["a", "b", None, "d"], 500).tolist()
+    vals = rng.choice([1, 2, 3, None, 5, 6], 500).tolist()
+    t = pa.table(
+        {"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())}
+    )
+    rows = count_distinct_by(
+        ray.data.from_arrow(t).repartition(5), "k", "v"
+    ).take_all()
+    got = sorted(
+        ((r["k"], r["n_distinct"]) for r in rows),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    duck.register("cdb_t", t)
+    want = sorted(
+        duck.execute(
+            "SELECT k, count(DISTINCT v) AS n FROM cdb_t GROUP BY k"
+        ).fetchall(),
+        key=lambda x: (x[0] is None, x[0]),
+    )
+    assert got == [(k, n) for k, n in want]
+
+
+def test_safe_group_by_null_string_plus_int_keys():
+    """pyarrow 16.x grouper bug: null-containing string key + fixed-width
+    key mis-merges groups across 32-row encoder mini-batches. safe_group_by
+    must neutralize it and preserve the original schema."""
+    from tbl_ray.stages.exchange import safe_group_by
+
+    n = 200
+    ks = pa.array(
+        [None if i % 2 else f"s{i % 4}" for i in range(n)], pa.string()
+    )
+    vs = pa.array([i % 3 for i in range(n)], pa.int64())
+    t = pa.table({"k": ks, "v": vs, "x": [1] * n})
+    expect = len(set(zip(ks.to_pylist(), vs.to_pylist())))
+    assert t.group_by(["k", "v"]).aggregate([]).num_rows != expect  # bug live
+    out = safe_group_by(t, ["k", "v"], [("x", "sum")])
+    assert out.num_rows == expect
+    assert out.schema.field("k").type == pa.string()
+    # sums must partition n rows exactly
+    assert sum(out.column("x_sum").to_pylist()) == n
+    # binary flavor
+    tb = pa.table({"k": pc.cast(ks, pa.binary()), "v": vs})
+    out2 = safe_group_by(tb, ["k", "v"])
+    assert out2.num_rows == expect
+    assert out2.schema.field("k").type == pa.binary()
+    # single-key and no-null paths stay untouched (no cast)
+    assert safe_group_by(t, "v", [("x", "count")]).num_rows == 3
