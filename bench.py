@@ -1,7 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness (driver-run per round; BENCH_r{N}.json).
 
-Prints exactly ONE JSON line on stdout:
+CRASH-RESILIENT DESIGN (round-3): the parent process never initializes
+Ray. Every phase — headline encode, each query group — runs in a FRESH
+subprocess with its own Ray session and timeout, so one raylet death on
+this time-shared box loses only that phase, never the artifact. The
+headline JSON line is printed the moment the headline numbers exist
+(fallback if the sweep is cut short); the final line repeats it with the
+full per-query timings merged in. Children stream per-query timings as
+individual stdout lines, so even a crash mid-group keeps the queries
+that already finished. Parse the LAST JSON line with a "metric" key.
+
+Line schema:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "encode_gb_s": ..., "encode_ratio": ..., "decode_gb_s": ...}
@@ -180,61 +190,36 @@ def bench_headline() -> dict:
     }
 
 
-def bench_queries() -> dict[str, float]:
-    """Representative pipelines over $GRAFT_SF_DIR, each timed to full
-    consumption."""
+QUERY_GROUPS: list[list[str]] = [
+    # grouped so each subprocess stays a few minutes even contended;
+    # one group dying loses only the queries that had not yet printed
+    ["chain", "filter_eq", "value_counts", "sort_topk", "dedup_exact",
+     "dedup_minhash", "token_count", "langid", "fingerprint"],
+    ["ann_topk", "ann_ivf_index", "image_decode", "group_agg", "top_vocab",
+     "sample_uniform", "join_broadcast", "dedup_lines", "chunk_fixed"],
+    ["pack_sequences", "shuffle_head", "top_ngrams", "url_parts",
+     "histogram", "join_shuffle", "curate_webtext", "encode_roundtrip"],
+    ["window_fns", "rolling_window", "explode", "q3_revenue",
+     "grouped_quantiles", "range_join", "term_stats", "split_assign",
+     "sample_weighted", "kmeans", "rollup"],
+]
+
+
+def bench_query_group(names: list[str]) -> None:
+    """Child-process body: run the named queries, stream one JSON line per
+    completed query to stdout (a crash loses only unfinished queries)."""
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()
-    picks = [
-        "chain",
-        "filter_eq",
-        "value_counts",
-        "sort_topk",
-        "dedup_exact",
-        "dedup_minhash",
-        "token_count",
-        "langid",
-        "fingerprint",
-        "ann_topk",
-        "ann_ivf_index",
-        "image_decode",
-        "group_agg",
-        "top_vocab",
-        "sample_uniform",
-        "join_broadcast",
-        "dedup_lines",
-        "chunk_fixed",
-        "pack_sequences",
-        "shuffle_head",
-        "top_ngrams",
-        "url_parts",
-        "histogram",
-        "join_shuffle",
-        "curate_webtext",
-        "encode_roundtrip",
-        "window_fns",
-        "rolling_window",
-        "explode",
-        "q3_revenue",
-        "grouped_quantiles",
-        "range_join",
-        "term_stats",
-        "split_assign",
-        "sample_weighted",
-        "kmeans",
-        "rollup",
-    ]
-    times: dict[str, float] = {}
-    for name in picks:
+    for name in names:
         t0 = time.monotonic()
         res = q[name](SF_DIR)
         if hasattr(res, "materialize"):
             res = res.materialize()
             _ = res.count()
-        times[name] = round(time.monotonic() - t0, 3)
-        log(f"  query {name}: {times[name]}s")
-    return times
+        dt = round(time.monotonic() - t0, 3)
+        print(json.dumps({"q": name, "s": dt}), flush=True)
+        log(f"  query {name}: {dt}s")
 
 
 def run_single(headline_only: bool) -> dict:
@@ -242,14 +227,11 @@ def run_single(headline_only: bool) -> dict:
     log(f"bench: sf_dir={SF_DIR} num_cpus={NUM_CPUS} web_rows={WEB_ROWS}")
     head = bench_headline()
     log(f"  headline: {head}")
-    queries: dict[str, float] = {}
-    if not headline_only:
-        queries = bench_queries()
     result = {
         "metric": "webtable_encode_e2e",
         "value": head["encode_s"],
         "unit": "sec",
-        "queries": queries,
+        "queries": {},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         **head,
@@ -258,6 +240,97 @@ def run_single(headline_only: bool) -> dict:
 
     ray.shutdown()
     return result
+
+
+def _spawn(
+    phase_args: list[str], timeout_s: int
+) -> "subprocess.CompletedProcess | None":
+    """Run one phase in a fresh subprocess; None on crash/timeout."""
+    cmd = [sys.executable, os.path.abspath(__file__), *phase_args]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        log(f"PHASE TIMEOUT ({timeout_s}s): {phase_args}")
+        return None
+    if out.returncode != 0:
+        log(f"PHASE FAILED rc={out.returncode}: {phase_args}")
+        log((out.stderr or "")[-3000:])
+        return None
+    return out
+
+
+def _last_json(stdout: str, require_key: str) -> "dict | None":
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            cand = json.loads(line)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(cand, dict) and require_key in cand:
+            return cand
+    return None
+
+
+def orchestrate(headline_only: bool) -> int:
+    """Parent body: no Ray in this process. Headline subprocess (retry
+    once), print the headline JSON line immediately, then query-group
+    subprocesses (retry once each), then the final merged JSON line."""
+    head_result = None
+    for attempt in range(2):
+        out = _spawn(["--phase", "headline"], timeout_s=2400)
+        if out is not None:
+            head_result = _last_json(out.stdout, "metric")
+        if head_result is not None:
+            break
+        log(f"headline attempt {attempt} produced no result; retrying")
+    if head_result is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "webtable_encode_e2e",
+                    "error": "headline phase failed twice",
+                }
+            ),
+            flush=True,
+        )
+        return 1
+
+    # fallback line: if the query sweep is cut short, the driver still
+    # parses this (scan for the LAST JSON line — this one is complete)
+    print(json.dumps(head_result), flush=True)
+    if headline_only:
+        return 0
+
+    queries: dict[str, float] = {}
+    failed_groups = []
+    for gi, names in enumerate(QUERY_GROUPS):
+        got: dict[str, float] = {}
+        for attempt in range(2):
+            out = _spawn(["--phase", f"queries{gi}"], timeout_s=2400)
+            if out is not None:
+                for line in out.stdout.strip().splitlines():
+                    try:
+                        cand = json.loads(line)
+                    except (ValueError, TypeError):
+                        continue
+                    if isinstance(cand, dict) and "q" in cand and "s" in cand:
+                        got[cand["q"]] = cand["s"]
+            if len(got) == len(names):
+                break
+            log(f"group {gi}: {len(got)}/{len(names)} after attempt {attempt}")
+        queries.update(got)
+        missing = [n for n in names if n not in got]
+        if missing:
+            failed_groups.append({"group": gi, "missing": missing})
+            log(f"group {gi} incomplete, missing: {missing}")
+
+    final = dict(head_result)
+    final["queries"] = queries
+    if failed_groups:
+        final["incomplete_query_groups"] = failed_groups
+    print(json.dumps(final), flush=True)
+    return 0
 
 
 def run_scaling() -> dict:
@@ -273,12 +346,11 @@ def run_scaling() -> dict:
     pair = tuple(
         int(x) for x in os.environ.get("TBL_RAY_SCALE_PAIR", "2,8").split(",")
     )
-    # pre-generate cache so neither timed run generates
-    init_ray(NUM_CPUS)
-    ensure_webtable()
-    import ray
-
-    ray.shutdown()
+    # pre-generate cache so neither timed run generates (child process:
+    # the parent never owns a Ray session)
+    gen = _spawn(["--phase", "gen"], timeout_s=1800)
+    if gen is None:
+        raise RuntimeError("webtable generation phase failed")
 
     # 5 reps: the encode job is now fast enough (~2-3s at the upper leg)
     # that host time-sharing noise swings single runs by ~20%; best-of-5
@@ -290,7 +362,7 @@ def run_scaling() -> dict:
         for rep in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                [sys.executable, os.path.abspath(__file__), "--phase", "headline"],
                 env=env,
                 capture_output=True,
                 text=True,
@@ -299,7 +371,9 @@ def run_scaling() -> dict:
             if out.returncode != 0:
                 log(out.stderr[-2000:])
                 raise RuntimeError(f"scaling run at {cpus} cpus failed")
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r = _last_json(out.stdout, "encode_s")
+            if r is None:
+                raise RuntimeError(f"no result line at {cpus} cpus")
             log(f"  {cpus} cpus rep {rep}: encode {r['encode_s']}s")
             # best-of-N: the host is time-shared, min wall is the robust stat
             if best is None or r["encode_s"] < best["encode_s"]:
@@ -328,12 +402,37 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument(
+        "--phase",
+        default=None,
+        help="internal: child phase (headline | gen | queriesN)",
+    )
     args = ap.parse_args()
+    if args.phase == "headline":
+        result = run_single(headline_only=True)
+        print(json.dumps(result), flush=True)
+        return
+    if args.phase == "gen":
+        init_ray(min(NUM_CPUS, 8))
+        ensure_webtable()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps({"ok": True}), flush=True)
+        return
+    if args.phase and args.phase.startswith("queries"):
+        gi = int(args.phase[len("queries"):])
+        init_ray(NUM_CPUS)
+        bench_query_group(QUERY_GROUPS[gi])
+        import ray
+
+        ray.shutdown()
+        return
     if args.scaling:
         result = run_scaling()
-    else:
-        result = run_single(args.headline_only)
-    print(json.dumps(result), flush=True)
+        print(json.dumps(result), flush=True)
+        return
+    sys.exit(orchestrate(args.headline_only))
 
 
 if __name__ == "__main__":
