@@ -1348,7 +1348,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["regex_extract"] = regex_extract_q
 
-    return q
+    return _rotate_window(q)
+
+
+# The driver's correctness harness checks the FIRST 50 queries in
+# insertion order. Round 2 verified the first 50 registrations (all
+# green, CORRECTNESS_r02.json); round 3 rotates the never-driver-checked
+# wave-2/3 operators into the window, keeping a handful of
+# previously-green high-traffic anchors for regression coverage. The
+# registration code above stays in build order (closures read top to
+# bottom); only dict insertion order changes.
+_WINDOW_FIRST = [
+    # wave-2/3 operators with oracles, never driver-checked (r02 gate only)
+    "window_fns", "q3_revenue", "join_shuffle", "rollup",
+    "grouped_quantiles", "string_agg", "regex_extract", "sessions",
+    "encode_roundtrip", "webtable_invariant", "jsonl_roundtrip",
+    "csv_roundtrip", "union_by_name", "rolling_window", "explode",
+    "pivot_counts", "distinct", "range_join", "join_semi", "join_anti",
+    "split_assign", "sample_weighted", "term_stats", "tfidf",
+    "window_agg", "cast_date", "url_parts", "histogram",
+    "embedding_centroids", "count_distinct_by", "redact", "dedup_lines",
+    "token_count_bpe", "chunk_fixed", "shuffle_head", "top_ngrams",
+    "decontaminate",
+    # rows-only wave-2/3 (driver records the weaker rows check)
+    "pack_sequences", "curate_webtext", "kmeans", "image_decode",
+    "audio_decode", "frame_sample", "approx_distinct_by",
+    # previously-green anchors (regression coverage inside the window)
+    "chain", "sort_topk", "dedup_exact", "group_agg", "join_broadcast",
+    "join_asof",
+]
+
+
+def _rotate_window(q: dict) -> dict:
+    missing = [n for n in _WINDOW_FIRST if n not in q]
+    assert not missing, f"window rotation names unknown queries: {missing}"
+    rest = {k: v for k, v in q.items() if k not in set(_WINDOW_FIRST)}
+    return {**{k: q[k] for k in _WINDOW_FIRST}, **rest}
 
 
 def _spec_query_events_counts():
@@ -1735,6 +1770,44 @@ def oracle_sql() -> dict[str, str]:
             " AS df FROM words GROUP BY term)"
             " SELECT tf.doc_id, tf.term, tf.tf, df.df"
             " FROM tf JOIN df USING (term)"
+        ),
+        # same integer core as term_stats plus the smoothed idf product;
+        # ln arguments are built identically ((1.0+N)/(1.0+df), float64)
+        # so both engines evaluate the same double expression
+        "tfidf": (
+            "WITH words AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '\\S+')) AS term"
+            " FROM documents WHERE doc_id < 100),"
+            " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+            " FROM words GROUP BY doc_id, term),"
+            " df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)"
+            " AS df FROM words GROUP BY term)"
+            " SELECT tf.doc_id, tf.term, tf.tf, df.df,"
+            " CAST(tf.tf AS DOUBLE)"
+            " * ln((1.0 + 100) / (1.0 + CAST(df.df AS DOUBLE))) AS score"
+            " FROM tf JOIN df USING (term)"
+        ),
+        # word 8-grams via lead() — lead past the row group end is NULL and
+        # NULL-concat nulls the gram, so only full windows count (matching
+        # the Ray side's n_windows = max(words - n + 1, 0)); docs with no
+        # grams can never be contaminated. threshold=1 -> any shared gram
+        # with the eval set (doc_id < 10) drops the doc.
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text, '\\S+')) AS term,"
+            " generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS pos"
+            " FROM documents),"
+            " grams AS (SELECT doc_id, term"
+            " || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w"
+            " || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w"
+            " || ' ' || lead(term, 5) OVER w || ' ' || lead(term, 6) OVER w"
+            " || ' ' || lead(term, 7) OVER w AS g"
+            " FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+            " contaminated AS (SELECT DISTINCT grams.doc_id FROM grams"
+            " JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 10"
+            " AND g IS NOT NULL) evalg ON grams.g = evalg.g)"
+            " SELECT * FROM documents"
+            " WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"
         ),
         # langid / quality / fingerprint / dedup_minhash / simhash / ann_ivf /
         # encode_roundtrip / webtable_invariant: non-SQL-expressible
