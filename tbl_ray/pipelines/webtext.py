@@ -14,10 +14,16 @@ report carries per-stage row counts so a 100 TB run's funnel is auditable.
 
 from __future__ import annotations
 
+import base64
+import dataclasses
+import glob
+import json
 import os
+import shutil
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data
 
 from tbl_ray.functions.dedup import decontaminate, exact_dedup, minhash_dedup
@@ -66,6 +72,74 @@ def _prep_batch(t: pa.Table, cfg: WebtextConfig) -> pa.Table:
     return t.filter(mask)
 
 
+def _cfg_key(cfg: WebtextConfig) -> str:
+    """Deterministic identity of a funnel configuration — a checkpoint is
+    only reusable by a rerun with the SAME cfg (a changed threshold must
+    recompute). Input identity is the caller's contract: point different
+    inputs at different ``checkpoint_dir``s."""
+    return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+
+
+def _stage_files(stage_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(stage_dir, "*.parquet")))
+
+
+def _stage_boundary(compute, stage: str, ckpt_dir: str | None, cfg_key: str):
+    """A funnel stage boundary with bounded memory.
+
+    Without ``ckpt_dir``: materialize into the object store (spills under
+    pressure) — correct, but at 100 TB the checkpointed form below is the
+    resumable, bounded-memory choice. With ``ckpt_dir``: write the stage
+    output to ``<ckpt_dir>/<stage>/`` atomically (tmp dir -> ``_DONE``
+    marker -> rename, the same publish discipline as
+    ``pipelines.encode_job``) and return a STREAMING parquet read of it;
+    a rerun whose cfg matches the marker skips the stage's compute —
+    including the eager driver-side sketch passes inside the dedups —
+    entirely. ``compute`` is a thunk so a skipped stage never even builds
+    its plan."""
+    if ckpt_dir is None:
+        return compute().materialize(), None
+    stage_dir = os.path.join(ckpt_dir, stage)
+    marker = os.path.join(stage_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("cfg") == cfg_key:
+            return _read_stage(stage_dir, meta), meta
+        shutil.rmtree(stage_dir)  # cfg changed: stale checkpoint
+    elif os.path.isdir(stage_dir):
+        shutil.rmtree(stage_dir)  # torn rename with no marker: recompute
+
+    tmp = stage_dir + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    out = compute()
+    out.write_parquet(tmp)
+    rows = sum(pq.read_metadata(f).num_rows for f in _stage_files(tmp))
+    schema = getattr(out.schema(), "base_schema", out.schema())
+    meta = {
+        "cfg": cfg_key,
+        "rows": rows,
+        "schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode()
+        if schema is not None
+        else None,
+    }
+    with open(os.path.join(tmp, "_DONE.json"), "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, stage_dir)  # atomic publish: dir exists <=> marker inside
+    return _read_stage(stage_dir, meta), meta
+
+
+def _read_stage(stage_dir: str, meta: dict) -> "ray.data.Dataset":
+    files = _stage_files(stage_dir)
+    if not files:  # 0-row stage output: rebuild the typed empty dataset
+        schema = pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(meta["schema_b64"]))
+        )
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.read_parquet(files)
+
+
 def curate_webtext(
     ds: "ray.data.Dataset",
     *,
@@ -73,36 +147,65 @@ def curate_webtext(
     eval_ds: "ray.data.Dataset | None" = None,
     out_path: str | None = None,
     audit_counts: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> tuple["ray.data.Dataset", dict]:
     """Run the curation funnel; returns (curated dataset, stage report).
 
     ``out_path`` (optional) additionally writes the curated table
     atomically. ``audit_counts=True`` records per-stage row counts —
     each count consumes the stream once, so keep it for small-scale
-    audits and rely on the dedup/sample internals at production scale."""
+    audits and rely on the dedup/sample internals at production scale.
+
+    ``checkpoint_dir`` (optional) swaps the object-store stage
+    checkpoints for atomic parquet checkpoints under that directory: a
+    killed run rerun with the same cfg resumes AFTER the last completed
+    stage, and peak object-store usage stays bounded by one stage's
+    working set instead of the whole filtered corpus — the production
+    form at 100 TB. A changed cfg invalidates (recomputes) every stage;
+    a changed *input* needs a fresh directory (documented contract).
+    The returned dataset STREAMS from the checkpoint files — consume it
+    before rerunning with a different cfg on the same directory."""
     cfg = cfg or WebtextConfig()
+    ckey = _cfg_key(cfg)
     report: dict = {}
+    if checkpoint_dir:
+        report["checkpoint_dir"] = checkpoint_dir
     if audit_counts:
         report["input_rows"] = ds.count()
 
-    kept = ds.map_batches(
-        lambda t: _prep_batch(t, cfg), batch_format="pyarrow", zero_copy_batch=True
+    # checkpoint rationale: each dedup consumes its input TWICE (sketch
+    # pass + filter pass); without a stage boundary the lazy upstream
+    # re-executes per consumption and the prep stage would run ~4x.
+    kept, _ = _stage_boundary(
+        lambda: ds.map_batches(
+            lambda t: _prep_batch(t, cfg),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "00_filter",
+        checkpoint_dir,
+        ckey,
     )
-    # checkpoint: each dedup consumes its input TWICE (sketch pass +
-    # filter pass); without materializing, the lazy upstream re-executes
-    # per consumption and the prep stage would run ~4x. The object store
-    # holds (and spills) the filtered table instead.
-    kept = kept.materialize()
     if audit_counts:
         report["after_filter"] = kept.count()
 
-    kept = exact_dedup(kept, cfg.text_col, cfg.id_col).materialize()
+    kept, _ = _stage_boundary(
+        lambda: exact_dedup(kept, cfg.text_col, cfg.id_col),
+        "01_exact_dedup",
+        checkpoint_dir,
+        ckey,
+    )
     if audit_counts:
         report["after_exact_dedup"] = kept.count()
 
-    kept = minhash_dedup(
-        kept, cfg.text_col, cfg.id_col, threshold=cfg.minhash_threshold
-    ).materialize()
+    kept, _ = _stage_boundary(
+        lambda: minhash_dedup(
+            kept, cfg.text_col, cfg.id_col, threshold=cfg.minhash_threshold
+        ),
+        "02_minhash_dedup",
+        checkpoint_dir,
+        ckey,
+    )
     if audit_counts:
         report["after_minhash_dedup"] = kept.count()
 
@@ -121,7 +224,11 @@ def curate_webtext(
         # two-pass operator: checkpoint first unless the stream is already
         # materialized (decontaminate above leaves it lazy and would
         # otherwise re-run its full n-gram probe once per pass)
-        if not isinstance(kept, MaterializedDataset):
+        if checkpoint_dir and eval_ds is not None:
+            kept, _ = _stage_boundary(
+                lambda: kept, "03_decontaminate", checkpoint_dir, ckey
+            )
+        elif not isinstance(kept, MaterializedDataset) and not checkpoint_dir:
             kept = kept.materialize()
         kept = line_dedup(
             kept, cfg.text_col, sep=cfg.line_dedup_sep,

@@ -90,3 +90,97 @@ def test_curate_webtext_full_funnel(sf_dir):
     assert rows and set(rows[0]) >= {"seq_id", "text", "n_docs", "n_tokens"}
     assert sum(r["n_docs"] for r in rows) == report["after_sample"]
     assert report["after_pack"] == len(rows)
+
+
+def _funnel_cfg():
+    from tbl_ray.pipelines.webtext import WebtextConfig
+
+    return WebtextConfig(languages=[], min_quality=0.0, minhash_threshold=0.9)
+
+
+def _docs_ds(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _canon_rows(kept):
+    rows = sorted(kept.take_all(), key=lambda r: r["doc_id"])
+    return [(r["doc_id"], r["text"]) for r in rows]
+
+
+def test_funnel_checkpoint_equals_clean_run(sf_dir, tmp_path):
+    from tbl_ray.pipelines.webtext import curate_webtext
+
+    clean, _ = curate_webtext(_docs_ds(sf_dir), cfg=_funnel_cfg())
+    ck = str(tmp_path / "ckpt")
+    ckpt, report = curate_webtext(
+        _docs_ds(sf_dir), cfg=_funnel_cfg(), checkpoint_dir=ck
+    )
+    assert _canon_rows(clean) == _canon_rows(ckpt)
+    import os
+
+    for stage in ("00_filter", "01_exact_dedup", "02_minhash_dedup"):
+        assert os.path.exists(os.path.join(ck, stage, "_DONE.json")), stage
+
+
+def test_funnel_checkpoint_kill_resume(sf_dir, tmp_path, monkeypatch):
+    """A run killed mid-funnel (minhash stage dies) resumed with the same
+    cfg equals a clean run — and the completed stages are NOT recomputed."""
+    import os
+
+    import pytest
+
+    import tbl_ray.pipelines.webtext as wt
+
+    clean, _ = wt.curate_webtext(_docs_ds(sf_dir), cfg=_funnel_cfg())
+    ck = str(tmp_path / "ckpt")
+
+    real_minhash = wt.minhash_dedup
+
+    def dying_minhash(*a, **k):
+        raise RuntimeError("simulated mid-funnel death")
+
+    monkeypatch.setattr(wt, "minhash_dedup", dying_minhash)
+    with pytest.raises(RuntimeError, match="simulated"):
+        wt.curate_webtext(_docs_ds(sf_dir), cfg=_funnel_cfg(), checkpoint_dir=ck)
+    assert os.path.exists(os.path.join(ck, "01_exact_dedup", "_DONE.json"))
+    assert not os.path.exists(os.path.join(ck, "02_minhash_dedup"))
+
+    # resume: completed stages must be READ, not recomputed
+    calls = {"exact": 0}
+    real_exact = wt.exact_dedup
+
+    def counting_exact(*a, **k):
+        calls["exact"] += 1
+        return real_exact(*a, **k)
+
+    monkeypatch.setattr(wt, "exact_dedup", counting_exact)
+    monkeypatch.setattr(wt, "minhash_dedup", real_minhash)
+    resumed, _ = wt.curate_webtext(
+        _docs_ds(sf_dir), cfg=_funnel_cfg(), checkpoint_dir=ck
+    )
+    assert calls["exact"] == 0
+    assert _canon_rows(clean) == _canon_rows(resumed)
+
+
+def test_funnel_checkpoint_cfg_change_invalidates(sf_dir, tmp_path):
+    """A different cfg must not reuse stale stage outputs."""
+    from tbl_ray.pipelines.webtext import WebtextConfig, curate_webtext
+
+    ck = str(tmp_path / "ckpt")
+    loose, _ = curate_webtext(
+        _docs_ds(sf_dir),
+        cfg=WebtextConfig(languages=[], min_quality=0.0),
+        checkpoint_dir=ck,
+    )
+    # the returned dataset STREAMS from the checkpoint files — consume it
+    # before a different-cfg rerun invalidates them (documented contract)
+    loose_rows = _canon_rows(loose)
+    strict_cfg = WebtextConfig(languages=[], min_quality=0.99)
+    strict_ck, _ = curate_webtext(
+        _docs_ds(sf_dir), cfg=strict_cfg, checkpoint_dir=ck
+    )
+    strict_clean, _ = curate_webtext(_docs_ds(sf_dir), cfg=strict_cfg)
+    assert _canon_rows(strict_ck) == _canon_rows(strict_clean)
+    assert len(_canon_rows(strict_ck)) < len(loose_rows)
