@@ -133,8 +133,27 @@ def write_csv(ds: "ray.data.Dataset", path: str) -> None:
 
 
 def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None:
-    """JSON-lines (or array) output with hex-encoded binaries (output.rs:154-156)."""
-    import json
+    """JSON-lines (or array) output with hex-encoded binaries (output.rs:154-156).
+
+    Vectorized: each batch converts to pandas with ``ArrowDtype`` (so
+    nullable ints stay exact ints, never 2.0, and int64 above 2^53 never
+    rounds) and serializes with one ``to_json`` call — the same path the
+    CLI's streaming stdout modes use — instead of per-row ``json.dumps``
+    (~10x cheaper inner loop). Conventions: dates as ``YYYY-MM-DD``
+    (vectorized strftime), timestamps as ISO-8601, nulls as ``null``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def to_df(t: pa.Table) -> "pd.DataFrame":
+        t = hex_encode_binary_columns(t)
+        for i, fld in enumerate(t.schema):
+            if pa.types.is_date(fld.type):
+                t = t.set_column(
+                    i,
+                    pa.field(fld.name, pa.string()),
+                    pc.strftime(t.column(i), "%Y-%m-%d"),
+                )
+        return t.to_pandas(types_mapper=pd.ArrowDtype)
 
     tmp, commit = _atomic(path)
     with open(tmp, "w") as fh:
@@ -142,15 +161,26 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
         if not lines:
             fh.write("[")
         for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            t = hex_encode_binary_columns(batch)
-            for row in t.to_pylist():
-                row = {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in row.items()}
-                if lines:
-                    fh.write(json.dumps(row, default=str) + "\n")
-                else:
+            if batch.num_rows == 0:
+                continue
+            df = to_df(batch)
+            if lines:
+                s = df.to_json(
+                    orient="records", lines=True, date_format="iso",
+                    default_handler=str,
+                )
+                if s:
+                    fh.write(s)
+                    if not s.endswith("\n"):
+                        fh.write("\n")
+            else:
+                inner = df.to_json(
+                    orient="records", date_format="iso", default_handler=str
+                )[1:-1]
+                if inner:
                     if not first:
                         fh.write(",")
-                    fh.write(json.dumps(row, default=str))
+                    fh.write(inner)
                     first = False
         if not lines:
             fh.write("]")
