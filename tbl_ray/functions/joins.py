@@ -180,6 +180,8 @@ def shuffle_join(
     join_type: str = "inner",
     rsuffix: str = "_r",
     n_buckets: int | None = None,
+    skew_keys: list | None = None,
+    skew_salt: int = 8,
 ) -> "ray.data.Dataset":
     """EXPLICIT co-partitioned hash join for two LARGE sides.
 
@@ -196,9 +198,37 @@ def shuffle_join(
     bytes (floor 64 — see ``stages.exchange.auto_buckets``) so a bucket
     never outgrows a worker heap at corpus scale.
 
-    Skew caveat: one bucket's matches materialize in one task — salt hot
-    keys first (``tbl_ray.stages.partition``) if |left_key| x |right_key|
-    can explode."""
+    Skew: a hot key's rows all land in ONE bucket/task by construction.
+    ``skew_keys`` (an explicit hot-key list — from corpus stats, e.g. the
+    top domains of a web table) fans each hot LEFT row out to one of
+    ``skew_salt`` sub-buckets round-robin and REPLICATES the matching
+    right rows into all ``skew_salt`` of them (the standard skew join):
+    the hot key's work spreads over ``skew_salt`` tasks, every pair still
+    meets exactly once, and non-hot keys pay nothing. Single-key joins
+    only (raise otherwise)."""
+    u, bucket_join = _shuffle_join_plan(
+        left, right, on,
+        join_type=join_type, rsuffix=rsuffix, n_buckets=n_buckets,
+        skew_keys=skew_keys, skew_salt=skew_salt,
+    )
+    return u.groupby("__bucket__").map_groups(
+        bucket_join, batch_format="pyarrow"
+    )
+
+
+def _shuffle_join_plan(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    *,
+    join_type: str,
+    rsuffix: str,
+    n_buckets: int | None,
+    skew_keys: list | None,
+    skew_salt: int,
+):
+    """Build the widened/salted/bucketed union and the per-bucket join fn
+    (separated so tests can assert bucket-size balance directly)."""
     import numpy as np
 
     if join_type not in _JOIN_TYPES:
@@ -207,6 +237,10 @@ def shuffle_join(
         # the larger side bounds bucket size (within 2x of the sum)
         n_buckets = max(_auto_buckets(left), _auto_buckets(right))
     keys = [on] if isinstance(on, str) else list(on)
+    if skew_keys is not None and len(keys) != 1:
+        raise ValueError("skew_keys requires a single join key")
+    if skew_keys is not None and skew_salt < 2:
+        raise ValueError(f"skew_salt must be >= 2 (got {skew_salt})")
     lsch = left.schema()
     rsch = right.schema()
     lsch = getattr(lsch, "base_schema", lsch)
@@ -238,6 +272,10 @@ def shuffle_join(
 
     r_orig = {rename[c]: c for c in rcols_in}  # out name -> right source
 
+    skew_vals = None
+    if skew_keys is not None:
+        skew_vals = pa.array(skew_keys, type=lsch.field(keys[0]).type)
+
     def widen(side: int):
         def fn(t: pa.Table) -> pa.Table:
             if side == 1:
@@ -262,7 +300,34 @@ def shuffle_join(
                 else:
                     cols[name] = pa.nulls(n, typ)
             cols["__side__"] = pa.nulls(n, pa.int8()).fill_null(side)
-            return pa.table(cols)
+            out = pa.table(cols)
+            if skew_vals is None:
+                return out
+            hot = pc.fill_null(
+                pc.is_in(out.column(keys[0]), value_set=skew_vals), False
+            )
+            hot_np = np.asarray(hot.combine_chunks())
+            salt = np.zeros(n, dtype=np.int64)
+            if side == 0:
+                # round-robin the hot probe rows over the salt range
+                hot_idx = np.flatnonzero(hot_np)
+                salt[hot_idx] = np.arange(len(hot_idx)) % skew_salt
+                return out.append_column("__salt__", pa.array(salt))
+            # build side: every hot row must meet every salt sub-bucket
+            cold = out.filter(pc.invert(hot)).append_column(
+                "__salt__", pa.array(np.zeros(int((~hot_np).sum()), np.int64))
+            )
+            hot_idx = np.flatnonzero(hot_np)
+            if len(hot_idx) == 0:
+                return cold
+            rep = out.take(
+                pa.array(np.repeat(hot_idx, skew_salt), pa.int64())
+            ).append_column(
+                "__salt__",
+                pa.array(np.tile(np.arange(skew_salt, dtype=np.int64),
+                                 len(hot_idx))),
+            )
+            return pa.concat_tables([cold, rep])
 
         return fn
 
@@ -285,8 +350,22 @@ def shuffle_join(
     u = u.map_batches(
         _KeyBucket(keys, n_buckets), batch_format="pyarrow", zero_copy_batch=True
     )
-    out = u.groupby("__bucket__").map_groups(bucket_join, batch_format="pyarrow")
-    return out
+    if skew_vals is not None:
+        s = skew_salt
+
+        def fold_salt(t: pa.Table) -> pa.Table:
+            b = t.column("__bucket__").to_numpy(zero_copy_only=False)
+            salt = t.column("__salt__").to_numpy(zero_copy_only=False)
+            i = t.schema.get_field_index("__bucket__")
+            t = t.set_column(
+                i, "__bucket__", pa.array((b * s + salt).astype(np.int64))
+            )
+            return t.drop_columns(["__salt__"])
+
+        u = u.map_batches(
+            fold_salt, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return u, bucket_join
 
 
 # _KeyBucket moved to tbl_ray.stages.exchange (shared by every keyed

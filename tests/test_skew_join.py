@@ -1,0 +1,93 @@
+"""Skew-salted shuffle join: a hot key's rows spread over skew_salt
+sub-buckets (instead of all landing one task) while the join result is
+unchanged — the standard replicate-the-build-side skew join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from tbl_ray.functions.joins import _shuffle_join_plan, shuffle_join
+
+
+def _tables(n_left=10_000, hot_frac=0.9, seed=7):
+    rng = np.random.default_rng(seed)
+    hot = rng.random(n_left) < hot_frac
+    keys = np.where(hot, "hot.example.com",
+                    rng.choice([f"site{i}.net" for i in range(40)], n_left))
+    left = pa.table({
+        "domain": pa.array(keys.tolist()),
+        "doc": pa.array(np.arange(n_left, dtype=np.int64)),
+    })
+    right = pa.table({
+        "domain": pa.array(["hot.example.com"] + [f"site{i}.net" for i in range(40)]),
+        "rank": pa.array(np.arange(41, dtype=np.int64)),
+    })
+    return left, right
+
+
+def _join_df(left, right, **kw):
+    out = shuffle_join(
+        ray.data.from_arrow(left).repartition(8),
+        ray.data.from_arrow(right).repartition(2),
+        "domain",
+        **kw,
+    ).to_pandas()
+    return out.sort_values(list(out.columns), ignore_index=True)
+
+
+def test_skew_join_matches_unsalted():
+    left, right = _tables()
+    base = _join_df(left, right)
+    salted = _join_df(
+        left, right, skew_keys=["hot.example.com"], skew_salt=8
+    )
+    pd.testing.assert_frame_equal(base, salted)
+
+
+def test_skew_join_left_outer_unmatched_hot():
+    left, right = _tables()
+    # drop the hot key from the right side: every hot row must still come
+    # back exactly once with null right columns
+    right = right.filter(
+        pa.compute.not_equal(right.column("domain"), "hot.example.com")
+    )
+    base = _join_df(left, right, join_type="left outer")
+    salted = _join_df(
+        left, right, join_type="left outer",
+        skew_keys=["hot.example.com"], skew_salt=8,
+    )
+    assert len(base) == left.num_rows
+    pd.testing.assert_frame_equal(base, salted)
+
+
+def _bucket_sizes(left, right, **kw):
+    u, _ = _shuffle_join_plan(
+        ray.data.from_arrow(left).repartition(8),
+        ray.data.from_arrow(right).repartition(2),
+        "domain",
+        join_type="inner", rsuffix="_r", **kw,
+    )
+    t = pa.table(u.to_pandas())
+    # probe-side rows are the skew concern (build side replicates by design)
+    probe = t.filter(pa.compute.equal(t.column("__side__"), 0))
+    counts = (
+        probe.group_by("__bucket__").aggregate([("__side__", "count")])
+    )
+    return np.asarray(counts.column("__side___count"))
+
+
+def test_skew_salting_balances_buckets():
+    left, right = _tables()
+    unsalted = _bucket_sizes(left, right, n_buckets=8, skew_keys=None,
+                             skew_salt=16)
+    # without salting the hot key concentrates ~90% of rows in ONE bucket
+    assert unsalted.max() >= 0.9 * left.num_rows
+
+    salted = _bucket_sizes(
+        left, right, n_buckets=8,
+        skew_keys=["hot.example.com"], skew_salt=16,
+    )
+    mean = salted.sum() / len(salted)
+    assert salted.max() <= 2 * mean, (salted.max(), mean, sorted(salted))
+    assert salted.sum() == left.num_rows  # fan-out never duplicates probes
