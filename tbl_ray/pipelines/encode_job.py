@@ -122,6 +122,14 @@ def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
 
 _JOB_DECISIONS: dict[tuple, dict[str, str]] = {}
 
+# worker-process FSST symbol tables keyed like _JOB_DECISIONS: partitions
+# of one table share a byte distribution, so a worker trains each string
+# column's table once (~60 ms/column) and reuses it for every partition
+# it encodes. Every chunk payload still embeds its own table (decode
+# never depends on this cache) and the raw-size guard in encode_auto
+# bounds any drift loss, so the footprint is unchanged by construction.
+_JOB_SYMBOLS: dict[tuple, dict[str, list]] = {}
+
 # driver-side memo of plan_codec_decisions keyed by (schema, effort,
 # forced codecs): repeat jobs over same-shaped tables (warm-up runs,
 # resumed jobs, per-directory sharded invocations) skip the ~1s sampling
@@ -254,7 +262,12 @@ def encode_partition(
     if decisions:
         for k, v in decisions.items():
             cache.setdefault(k, v)
-    encoder = ColumnEncoder(codecs, effort=effort, decisions=cache)
+    encoder = ColumnEncoder(
+        codecs,
+        effort=effort,
+        decisions=cache,
+        fsst_symbols=_JOB_SYMBOLS.setdefault((skey, effort), {}),
+    )
     batch_rows = _adaptive_batch_rows(pf, batch_rows)
     # unique per attempt: a crashed run's lingering workers must never race
     # this attempt on a shared tmp path (both produce identical bytes, the

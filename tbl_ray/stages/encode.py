@@ -71,13 +71,20 @@ class ColumnEncoder:
         codecs: dict[str, str] | None = None,
         effort: str | None = None,
         decisions: dict[str, str] | None = None,
+        fsst_symbols: dict[str, list] | None = None,
     ):
         self.codecs = codecs or {}
         self.effort = effort
         # per-column FSST symbol tables, trained on the first chunk and
         # reused for this actor's lifetime (chunks of one partition share a
-        # distribution; the table is still stored in every chunk payload)
-        self._fsst_symbols: dict[str, list] = {}
+        # distribution; the table is still stored in every chunk payload).
+        # Callers may pass a longer-lived dict to reuse tables across
+        # encoder instances in one worker process (the partitioned job) —
+        # training costs ~60 ms/column, so a worker encoding many
+        # partitions of one table pays it once, not once per partition.
+        self._fsst_symbols: dict[str, list] = (
+            fsst_symbols if fsst_symbols is not None else {}
+        )
         # sticky per-column auto-selection (one stats/probe pass per actor);
         # callers may pass a longer-lived dict to share decisions across
         # encoder instances in one worker process (the partitioned job)

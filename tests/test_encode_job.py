@@ -299,3 +299,47 @@ def test_job_survives_planned_bitpack_on_late_negatives(tmp_path):
     back = decode_job_output(out)
     vals = sorted(r["v"] for r in back.take_all())
     assert vals[0] == -5000 and vals[-1] == 4999 and len(vals) == 10000
+
+
+def test_worker_fsst_symbols_reused_across_partitions(web_shards, tmp_path, monkeypatch):
+    """A worker process trains each string column's FSST table ONCE and
+    reuses it for every partition it encodes (decode never depends on the
+    cache — each chunk payload embeds its table)."""
+    import tbl_ray.codecs.fsst as fsst_mod
+    from tbl_ray.pipelines.encode_job import _JOB_SYMBOLS, encode_partition
+
+    calls = {"n": 0}
+    real_train = fsst_mod.train_symbols
+
+    def counting_train(sample):
+        calls["n"] += 1
+        return real_train(sample)
+
+    monkeypatch.setattr(fsst_mod, "train_symbols", counting_train)
+    _JOB_SYMBOLS.clear()
+
+    specs = plan_partitions(
+        web_shards, str(tmp_path / "enc"), max_rows_per_partition=3000
+    )
+    assert len(specs) >= 2
+    os.makedirs(str(tmp_path / "enc"), exist_ok=True)
+    e1 = encode_partition(specs[0], effort="ratio", batch_rows=1000)
+    trained_first = calls["n"]
+    assert trained_first >= 1  # url/html/text train on the first partition
+    e2 = encode_partition(specs[1], effort="ratio", batch_rows=1000)
+    assert calls["n"] == trained_first, "second partition must not retrain"
+    assert e1["num_rows"] + e2["num_rows"] == (
+        specs[0].num_rows + specs[1].num_rows
+    )
+
+    # the reused table must still round-trip bit-identically
+    from tbl_ray.stages.encode import decode_table
+
+    dec = decode_table(pq.read_table(specs[1].out_path))
+    src = pq.ParquetFile(specs[1].input_path)
+    want = pa.Table.from_batches(
+        [b for b in src.iter_batches(batch_size=10**9,
+                                     row_groups=list(specs[1].row_groups))]
+    )
+    assert dec.sort_by("url").cast(want.schema).equals(want.sort_by("url"))
+    _JOB_SYMBOLS.clear()
