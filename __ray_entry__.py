@@ -371,8 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def decontaminate_docs(sf_dir: str):
         """Benchmark decontamination: docs 0-9 act as the eval set; any
         training doc sharing an 8-word shingle with them is dropped
-        (includes the eval docs themselves). Rows-only check (rolling
-        word-n-gram hashing is not SQL-expressible)."""
+        (includes the eval docs themselves). Oracle-checked: the SQL side
+        rebuilds word 8-grams with lead() windows and anti-joins on
+        overlap — exact parity with the engine's full-window shingles."""
         from tbl_ray.functions.dedup import decontaminate
 
         def head_docs(t: pa.Table) -> pa.Table:
@@ -1178,8 +1179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["term_stats"] = term_stats_q
 
     def tfidf_q(sf_dir: str):
-        """Smoothed TF-IDF scores (float ln — rows-only; the integer
-        components are the oracle-checked term_stats)."""
+        """Smoothed TF-IDF scores. Oracle-checked: the integer tf/df core
+        is exact; the float score compares at ULP tolerance (np.log and
+        DuckDB ln agree to 1 ulp — the same class of difference the
+        driver already tolerates for window_agg's distributed sums)."""
         from tbl_ray.functions.text import tfidf_score
         from tbl_ray.sources.parquet import read_for_spec
         from tbl_ray.transforms import TransformSpec

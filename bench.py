@@ -243,22 +243,43 @@ def run_single(headline_only: bool) -> dict:
 
 
 def _spawn(
-    phase_args: list[str], timeout_s: int
-) -> "subprocess.CompletedProcess | None":
-    """Run one phase in a fresh subprocess; None on crash/timeout."""
+    phase_args: list[str], timeout_s: int, env: dict | None = None
+) -> tuple[str, bool]:
+    """Run one phase in a fresh subprocess.
+
+    Returns ``(stdout_text, ok)``. stdout is returned EVEN on crash or
+    timeout — a dying query-group child has already streamed one JSON
+    line per finished query, and throwing those away would defeat the
+    whole crash-resilient design. The child gets its own process group
+    so a timeout kills its Ray daemons (raylet/GCS/workers) too, not
+    just the python driver — orphaned clusters would contend with every
+    later phase."""
+    import signal
+
     cmd = [sys.executable, os.path.abspath(__file__), *phase_args]
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+        env=env,
+    )
     try:
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=timeout_s
-        )
+        stdout, stderr = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        stdout, stderr = proc.communicate()
         log(f"PHASE TIMEOUT ({timeout_s}s): {phase_args}")
-        return None
-    if out.returncode != 0:
-        log(f"PHASE FAILED rc={out.returncode}: {phase_args}")
-        log((out.stderr or "")[-3000:])
-        return None
-    return out
+        return stdout or "", False
+    if proc.returncode != 0:
+        log(f"PHASE FAILED rc={proc.returncode}: {phase_args}")
+        log((stderr or "")[-3000:])
+        return stdout or "", False
+    return stdout or "", True
 
 
 def _last_json(stdout: str, require_key: str) -> "dict | None":
@@ -278,9 +299,8 @@ def orchestrate(headline_only: bool) -> int:
     subprocesses (retry once each), then the final merged JSON line."""
     head_result = None
     for attempt in range(2):
-        out = _spawn(["--phase", "headline"], timeout_s=2400)
-        if out is not None:
-            head_result = _last_json(out.stdout, "metric")
+        stdout, _ok = _spawn(["--phase", "headline"], timeout_s=2400)
+        head_result = _last_json(stdout, "metric")
         if head_result is not None:
             break
         log(f"headline attempt {attempt} produced no result; retrying")
@@ -307,15 +327,16 @@ def orchestrate(headline_only: bool) -> int:
     for gi, names in enumerate(QUERY_GROUPS):
         got: dict[str, float] = {}
         for attempt in range(2):
-            out = _spawn(["--phase", f"queries{gi}"], timeout_s=2400)
-            if out is not None:
-                for line in out.stdout.strip().splitlines():
-                    try:
-                        cand = json.loads(line)
-                    except (ValueError, TypeError):
-                        continue
-                    if isinstance(cand, dict) and "q" in cand and "s" in cand:
-                        got[cand["q"]] = cand["s"]
+            # stdout is parsed even when the child crashed or timed out:
+            # every query that printed its line before the death counts
+            stdout, _ok = _spawn(["--phase", f"queries{gi}"], timeout_s=2400)
+            for line in stdout.strip().splitlines():
+                try:
+                    cand = json.loads(line)
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(cand, dict) and "q" in cand and "s" in cand:
+                    got[cand["q"]] = cand["s"]
             if len(got) == len(names):
                 break
             log(f"group {gi}: {len(got)}/{len(names)} after attempt {attempt}")
@@ -348,8 +369,8 @@ def run_scaling() -> dict:
     )
     # pre-generate cache so neither timed run generates (child process:
     # the parent never owns a Ray session)
-    gen = _spawn(["--phase", "gen"], timeout_s=1800)
-    if gen is None:
+    _out, ok = _spawn(["--phase", "gen"], timeout_s=1800)
+    if not ok:
         raise RuntimeError("webtable generation phase failed")
 
     # 5 reps: the encode job is now fast enough (~2-3s at the upper leg)
@@ -361,17 +382,12 @@ def run_scaling() -> dict:
         best = None
         for rep in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", "headline"],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
+            stdout, ok = _spawn(
+                ["--phase", "headline"], timeout_s=3600, env=env
             )
-            if out.returncode != 0:
-                log(out.stderr[-2000:])
+            if not ok:
                 raise RuntimeError(f"scaling run at {cpus} cpus failed")
-            r = _last_json(out.stdout, "encode_s")
+            r = _last_json(stdout, "encode_s")
             if r is None:
                 raise RuntimeError(f"no result line at {cpus} cpus")
             log(f"  {cpus} cpus rep {rep}: encode {r['encode_s']}s")

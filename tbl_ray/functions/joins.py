@@ -15,6 +15,8 @@ should never hide inside an operator).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -309,9 +311,17 @@ def _shuffle_join_plan(
             hot_np = np.asarray(hot.combine_chunks())
             salt = np.zeros(n, dtype=np.int64)
             if side == 0:
-                # round-robin the hot probe rows over the salt range
+                # round-robin the hot probe rows over the salt range,
+                # starting at a RANDOM per-batch offset: a key that is hot
+                # in aggregate but sparse per batch (1 hot row per 1k-row
+                # block) would otherwise always draw salt 0 and the
+                # fan-out would silently do nothing. Salt assignment is
+                # load-balance only — any assignment yields the identical
+                # join result — so entropy here never affects semantics.
                 hot_idx = np.flatnonzero(hot_np)
-                salt[hot_idx] = np.arange(len(hot_idx)) % skew_salt
+                if len(hot_idx):
+                    off = int.from_bytes(os.urandom(4), "little")
+                    salt[hot_idx] = (off + np.arange(len(hot_idx))) % skew_salt
                 return out.append_column("__salt__", pa.array(salt))
             # build side: every hot row must meet every salt sub-bucket
             cold = out.filter(pc.invert(hot)).append_column(

@@ -30,6 +30,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from tbl_ray.codecs.base import binary_parts
+from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, train_symbols
 from tbl_ray.codecs.select import decide_codec, default_effort
 from tbl_ray.stages.encode import ENCODED_SCHEMA, ColumnEncoder
 
@@ -122,18 +124,11 @@ def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
 
 _JOB_DECISIONS: dict[tuple, dict[str, str]] = {}
 
-# worker-process FSST symbol tables keyed like _JOB_DECISIONS: partitions
-# of one table share a byte distribution, so a worker trains each string
-# column's table once (~60 ms/column) and reuses it for every partition
-# it encodes. Every chunk payload still embeds its own table (decode
-# never depends on this cache) and the raw-size guard in encode_auto
-# bounds any drift loss, so the footprint is unchanged by construction.
-_JOB_SYMBOLS: dict[tuple, dict[str, list]] = {}
-
-# driver-side memo of plan_codec_decisions keyed by (schema, effort,
-# forced codecs): repeat jobs over same-shaped tables (warm-up runs,
-# resumed jobs, per-directory sharded invocations) skip the ~1s sampling
-_PLAN_CACHE: dict[tuple, dict[str, str]] = {}
+# driver-side memo of (plan_codec_decisions, plan_fsst_symbols) keyed by
+# (schema, effort, forced codecs): repeat jobs over same-shaped tables
+# (warm-up runs, resumed jobs, per-directory sharded invocations) skip
+# the ~1s sampling and the symbol training
+_PLAN_CACHE: dict[tuple, tuple[dict[str, str], dict[str, list]]] = {}
 
 _PLAN_SAMPLE_ROWS = 8192
 
@@ -213,6 +208,52 @@ def plan_codec_decisions(
     }
 
 
+def plan_fsst_symbols(
+    paths: str | list[str],
+    decisions: dict[str, str],
+    *,
+    codecs: dict[str, str] | None = None,
+) -> dict[str, list]:
+    """Train each FSST column's symbol table ONCE, driver-side, from the
+    first non-empty input — the same bounded sample the encoder itself
+    would train on (``binary_parts`` bytes, ``_TRAIN_SAMPLE`` cap).
+
+    Shipping the table to every worker saves ~60 ms x columns x
+    partitions of re-training AND keeps partition output bytes
+    deterministic regardless of which worker (or crashed-run straggler)
+    encodes them — the invariant the atomic tmp-rename race relies on.
+    Every chunk payload still embeds its own table, so decode never
+    depends on this plan; the raw-size guard bounds drift loss."""
+    fsst_cols = [
+        name
+        for name, codec in {**decisions, **(codecs or {})}.items()
+        if codec == "fsst"
+    ]
+    if not fsst_cols:
+        return {}
+    if isinstance(paths, str):
+        paths = [paths]
+    out: dict[str, list] = {}
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        have = [c for c in fsst_cols if c in pf.schema_arrow.names]
+        batch = next(
+            pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS, columns=have), None
+        ) if have else None
+        if batch is None or batch.num_rows == 0:
+            continue
+        t = pa.Table.from_batches([batch])
+        for name in have:
+            if name in out:
+                continue
+            _, data = binary_parts(t.column(name).combine_chunks())
+            if len(data):
+                out[name] = train_symbols(data[:_TRAIN_SAMPLE].tobytes())
+        if len(out) == len(fsst_cols):
+            break
+    return out
+
+
 def _sample_decisions(
     path: str, codecs: dict[str, str] | None, effort: str | None
 ) -> dict[str, str]:
@@ -237,6 +278,7 @@ def encode_partition(
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
     decisions: dict[str, str] | None = None,
+    fsst_symbols: dict[str, list] | None = None,
     batch_rows: int = 65536,
     compression: str = "zstd",
     compression_level: int | None = None,
@@ -262,11 +304,17 @@ def encode_partition(
     if decisions:
         for k, v in decisions.items():
             cache.setdefault(k, v)
+    # symbols: a fresh per-partition dict seeded from the driver's plan
+    # (plan_fsst_symbols) — columns the plan covered never retrain, and
+    # columns that go FSST later train on THIS partition's first chunk.
+    # Both choices are functions of (plan, partition) only, so partition
+    # bytes stay deterministic across workers and attempts — the
+    # invariant the tmp-rename race below relies on.
     encoder = ColumnEncoder(
         codecs,
         effort=effort,
         decisions=cache,
-        fsst_symbols=_JOB_SYMBOLS.setdefault((skey, effort), {}),
+        fsst_symbols=dict(fsst_symbols or {}),
     )
     batch_rows = _adaptive_batch_rows(pf, batch_rows)
     # unique per attempt: a crashed run's lingering workers must never race
@@ -377,11 +425,13 @@ class _EncodePartitions:
         batch_rows: int,
         effort: str | None = None,
         decisions: dict[str, str] | None = None,
+        fsst_symbols: dict[str, list] | None = None,
     ):
         self.codecs = codecs
         self.batch_rows = batch_rows
         self.effort = effort
         self.decisions = decisions
+        self.fsst_symbols = fsst_symbols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -398,6 +448,7 @@ class _EncodePartitions:
                 codecs=self.codecs,
                 effort=self.effort,
                 decisions=self.decisions,
+                fsst_symbols=self.fsst_symbols,
                 batch_rows=self.batch_rows,
             )
             out.append({"entry": json.dumps(entry)})
@@ -437,12 +488,17 @@ def run_encode_job(
             effort,
             tuple(sorted((codecs or {}).items())),
         )
-        decisions = _PLAN_CACHE.get(pkey)
-        if decisions is None:
+        planned = _PLAN_CACHE.get(pkey)
+        if planned is None:
             decisions = plan_codec_decisions(
                 [s.input_path for s in pending], codecs=codecs, effort=effort
             )
-            _PLAN_CACHE[pkey] = decisions
+            symbols = plan_fsst_symbols(
+                [s.input_path for s in pending], decisions, codecs=codecs
+            )
+            planned = (decisions, symbols)
+            _PLAN_CACHE[pkey] = planned
+        decisions, symbols = planned
         rows = [
             {**asdict(s), "row_groups": list(s.row_groups)} for s in pending
         ]
@@ -450,7 +506,7 @@ def run_encode_job(
         # encodes sequentially inside a single map task
         ds = ray.data.from_items(rows).repartition(len(rows))
         result = ds.map_batches(
-            _EncodePartitions(codecs, batch_rows, effort, decisions),
+            _EncodePartitions(codecs, batch_rows, effort, decisions, symbols),
             batch_size=1,
             batch_format="pyarrow",
             num_cpus=1,

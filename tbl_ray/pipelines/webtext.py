@@ -117,6 +117,13 @@ def _stage_boundary(compute, stage: str, ckpt_dir: str | None, cfg_key: str):
     out.write_parquet(tmp)
     rows = sum(pq.read_metadata(f).num_rows for f in _stage_files(tmp))
     schema = getattr(out.schema(), "base_schema", out.schema())
+    if not _stage_files(tmp) and schema is None:
+        # a 0-row stage with no recoverable schema can never be read back
+        shutil.rmtree(tmp)
+        raise ValueError(
+            f"cannot checkpoint 0-row stage {stage!r} with unknown schema "
+            "(a row-filtered empty dataset loses its schema)"
+        )
     meta = {
         "cfg": cfg_key,
         "rows": rows,
@@ -148,6 +155,7 @@ def curate_webtext(
     out_path: str | None = None,
     audit_counts: bool = False,
     checkpoint_dir: str | None = None,
+    eval_tag: str | None = None,
 ) -> tuple["ray.data.Dataset", dict]:
     """Run the curation funnel; returns (curated dataset, stage report).
 
@@ -164,7 +172,10 @@ def curate_webtext(
     form at 100 TB. A changed cfg invalidates (recomputes) every stage;
     a changed *input* needs a fresh directory (documented contract).
     The returned dataset STREAMS from the checkpoint files — consume it
-    before rerunning with a different cfg on the same directory."""
+    before rerunning with a different cfg on the same directory.
+    ``eval_tag`` names the eval-set version for the decontamination
+    checkpoint key (derived from ``eval_ds.input_files()`` when omitted;
+    required when the eval set is not file-backed)."""
     cfg = cfg or WebtextConfig()
     ckey = _cfg_key(cfg)
     report: dict = {}
@@ -210,9 +221,41 @@ def curate_webtext(
         report["after_minhash_dedup"] = kept.count()
 
     if eval_ds is not None:
-        kept = decontaminate(
-            kept, eval_ds, text_col=cfg.text_col, n=cfg.decontaminate_ngram
-        )
+        # when a two-pass stage follows, checkpoint the decontaminated
+        # corpus (the thunk defers the eval probe: a resume with a
+        # complete 03 checkpoint never collects the eval hashes at all).
+        # The stage key must identify the EVAL SET too — same cfg with an
+        # updated eval suite must recompute, or contaminated docs leak.
+        if checkpoint_dir and cfg.line_dedup_min_count is not None:
+            etag = eval_tag
+            if etag is None:
+                try:
+                    files = eval_ds.input_files()
+                except Exception:
+                    files = None
+                if not files:
+                    raise ValueError(
+                        "checkpointing decontamination needs an identifiable"
+                        " eval set: pass eval_tag=... when eval_ds is not"
+                        " file-backed"
+                    )
+                # identifies the eval SOURCE files; a changed derivation
+                # over the same files needs an explicit eval_tag
+                etag = json.dumps(sorted(files))
+            prev = kept
+            kept, _ = _stage_boundary(
+                lambda: decontaminate(
+                    prev, eval_ds,
+                    text_col=cfg.text_col, n=cfg.decontaminate_ngram,
+                ),
+                "03_decontaminate",
+                checkpoint_dir,
+                ckey + "|eval=" + etag,
+            )
+        else:
+            kept = decontaminate(
+                kept, eval_ds, text_col=cfg.text_col, n=cfg.decontaminate_ngram
+            )
         if audit_counts:
             report["after_decontaminate"] = kept.count()
 
@@ -222,13 +265,9 @@ def curate_webtext(
         from tbl_ray.functions.scrub import line_dedup
 
         # two-pass operator: checkpoint first unless the stream is already
-        # materialized (decontaminate above leaves it lazy and would
-        # otherwise re-run its full n-gram probe once per pass)
-        if checkpoint_dir and eval_ds is not None:
-            kept, _ = _stage_boundary(
-                lambda: kept, "03_decontaminate", checkpoint_dir, ckey
-            )
-        elif not isinstance(kept, MaterializedDataset) and not checkpoint_dir:
+        # materialized or file-backed (decontaminate above would otherwise
+        # re-run its full n-gram probe once per pass)
+        if not checkpoint_dir and not isinstance(kept, MaterializedDataset):
             kept = kept.materialize()
         kept = line_dedup(
             kept, cfg.text_col, sep=cfg.line_dedup_sep,

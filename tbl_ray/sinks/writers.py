@@ -140,12 +140,27 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
     rounds) and serializes with one ``to_json`` call — the same path the
     CLI's streaming stdout modes use — instead of per-row ``json.dumps``
     (~10x cheaper inner loop). Conventions: dates as ``YYYY-MM-DD``
-    (vectorized strftime), timestamps as ISO-8601, nulls as ``null``."""
+    (vectorized strftime), timestamps as ISO-8601, nulls as ``null``.
+
+    Float-bearing batches take the per-row ``json.dumps`` path instead:
+    pandas ``to_json`` caps ``double_precision`` at 15 digits, which
+    loses the last ulp the repr-faithful ``json.dumps`` round-trips
+    exactly — exactness beats speed for numeric payloads."""
+    import json
+
     import pandas as pd
     import pyarrow.compute as pc
 
+    def has_float(typ: pa.DataType) -> bool:
+        if pa.types.is_floating(typ):
+            return True
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return has_float(typ.value_type)
+        if pa.types.is_struct(typ):
+            return any(has_float(f.type) for f in typ)
+        return False
+
     def to_df(t: pa.Table) -> "pd.DataFrame":
-        t = hex_encode_binary_columns(t)
         for i, fld in enumerate(t.schema):
             if pa.types.is_date(fld.type):
                 t = t.set_column(
@@ -155,6 +170,23 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
                 )
         return t.to_pandas(types_mapper=pd.ArrowDtype)
 
+    def records(t: pa.Table) -> "list[str]":
+        t = hex_encode_binary_columns(t)
+        if any(has_float(f.type) for f in t.schema):
+            out = []
+            for row in t.to_pylist():
+                row = {
+                    k: (str(v) if hasattr(v, "isoformat") else v)
+                    for k, v in row.items()
+                }
+                out.append(json.dumps(row, default=str))
+            return out
+        s = to_df(t).to_json(
+            orient="records", lines=True, date_format="iso",
+            default_handler=str,
+        )
+        return s.splitlines() if s else []
+
     tmp, commit = _atomic(path)
     with open(tmp, "w") as fh:
         first = True
@@ -163,24 +195,16 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
         for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
             if batch.num_rows == 0:
                 continue
-            df = to_df(batch)
+            recs = records(batch)
             if lines:
-                s = df.to_json(
-                    orient="records", lines=True, date_format="iso",
-                    default_handler=str,
-                )
-                if s:
-                    fh.write(s)
-                    if not s.endswith("\n"):
-                        fh.write("\n")
+                for r in recs:
+                    fh.write(r)
+                    fh.write("\n")
             else:
-                inner = df.to_json(
-                    orient="records", date_format="iso", default_handler=str
-                )[1:-1]
-                if inner:
+                for r in recs:
                     if not first:
                         fh.write(",")
-                    fh.write(inner)
+                    fh.write(r)
                     first = False
         if not lines:
             fh.write("]")

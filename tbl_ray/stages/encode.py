@@ -19,7 +19,7 @@ smaller than input, so the downstream ``write_parquet`` streams freely.
 
 from __future__ import annotations
 
-import uuid
+import hashlib
 
 import pyarrow as pa
 import ray.data
@@ -78,10 +78,10 @@ class ColumnEncoder:
         # per-column FSST symbol tables, trained on the first chunk and
         # reused for this actor's lifetime (chunks of one partition share a
         # distribution; the table is still stored in every chunk payload).
-        # Callers may pass a longer-lived dict to reuse tables across
-        # encoder instances in one worker process (the partitioned job) —
-        # training costs ~60 ms/column, so a worker encoding many
-        # partitions of one table pays it once, not once per partition.
+        # Callers may seed it with driver-planned tables (the partitioned
+        # job ships plan_fsst_symbols output) — training costs ~60
+        # ms/column, so the job pays it once, not once per partition, and
+        # partition bytes stay deterministic across workers.
         self._fsst_symbols: dict[str, list] = (
             fsst_symbols if fsst_symbols is not None else {}
         )
@@ -119,9 +119,21 @@ class ColumnEncoder:
             payloads.append(payload)
             input_bytes += col.nbytes
             encoded_bytes += len(payload)
+        # deterministic content fingerprint (NOT uuid): partition output
+        # bytes must be a pure function of (codec plan, input) so a
+        # re-encode of the same partition — another attempt, another
+        # worker, a crashed run's straggler — produces the identical
+        # file; sampled payload bytes keep the hash cheap on big chunks
+        h = hashlib.sha256(str(table.num_rows).encode())
+        for nm, cd, p in zip(names, codec_names, payloads):
+            h.update(nm.encode())
+            h.update(cd.encode())
+            h.update(str(len(p)).encode())
+            h.update(p[:128])
+            h.update(p[-128:])
         return pa.Table.from_pydict(
             {
-                "chunk_id": [uuid.uuid4().hex],
+                "chunk_id": [h.hexdigest()[:32]],
                 "num_rows": [table.num_rows],
                 "input_bytes": [input_bytes],
                 "encoded_bytes": [encoded_bytes],

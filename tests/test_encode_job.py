@@ -301,12 +301,24 @@ def test_job_survives_planned_bitpack_on_late_negatives(tmp_path):
     assert vals[0] == -5000 and vals[-1] == 4999 and len(vals) == 10000
 
 
-def test_worker_fsst_symbols_reused_across_partitions(web_shards, tmp_path, monkeypatch):
-    """A worker process trains each string column's FSST table ONCE and
-    reuses it for every partition it encodes (decode never depends on the
-    cache — each chunk payload embeds its table)."""
+def test_planned_fsst_symbols_skip_retraining_and_stay_deterministic(
+    web_shards, tmp_path, monkeypatch
+):
+    """The driver plans each FSST column's symbol table once
+    (plan_fsst_symbols); workers seeded with the plan never retrain, the
+    reused table round-trips bit-identically, and partition bytes are
+    deterministic across attempts (the tmp-rename race invariant)."""
     import tbl_ray.codecs.fsst as fsst_mod
-    from tbl_ray.pipelines.encode_job import _JOB_SYMBOLS, encode_partition
+    from tbl_ray.pipelines.encode_job import (
+        encode_partition,
+        plan_codec_decisions,
+        plan_fsst_symbols,
+    )
+
+    decisions = plan_codec_decisions(web_shards, effort="ratio")
+    symbols = plan_fsst_symbols(web_shards, decisions)
+    fsst_cols = [c for c, codec in decisions.items() if codec == "fsst"]
+    assert fsst_cols and set(symbols) == set(fsst_cols)
 
     calls = {"n": 0}
     real_train = fsst_mod.train_symbols
@@ -316,21 +328,32 @@ def test_worker_fsst_symbols_reused_across_partitions(web_shards, tmp_path, monk
         return real_train(sample)
 
     monkeypatch.setattr(fsst_mod, "train_symbols", counting_train)
-    _JOB_SYMBOLS.clear()
 
     specs = plan_partitions(
         web_shards, str(tmp_path / "enc"), max_rows_per_partition=3000
     )
     assert len(specs) >= 2
     os.makedirs(str(tmp_path / "enc"), exist_ok=True)
-    e1 = encode_partition(specs[0], effort="ratio", batch_rows=1000)
-    trained_first = calls["n"]
-    assert trained_first >= 1  # url/html/text train on the first partition
-    e2 = encode_partition(specs[1], effort="ratio", batch_rows=1000)
-    assert calls["n"] == trained_first, "second partition must not retrain"
+    e1 = encode_partition(
+        specs[0], effort="ratio", decisions=decisions,
+        fsst_symbols=symbols, batch_rows=1000,
+    )
+    e2 = encode_partition(
+        specs[1], effort="ratio", decisions=decisions,
+        fsst_symbols=symbols, batch_rows=1000,
+    )
+    assert calls["n"] == 0, "planned columns must never retrain in workers"
     assert e1["num_rows"] + e2["num_rows"] == (
         specs[0].num_rows + specs[1].num_rows
     )
+
+    # deterministic bytes: a second attempt at the same partition with the
+    # same plan produces the identical file (sha256 from the manifest entry)
+    e2b = encode_partition(
+        specs[1], effort="ratio", decisions=decisions,
+        fsst_symbols=symbols, batch_rows=1000,
+    )
+    assert e2b["sha256"] == e2["sha256"]
 
     # the reused table must still round-trip bit-identically
     from tbl_ray.stages.encode import decode_table
@@ -342,4 +365,3 @@ def test_worker_fsst_symbols_reused_across_partitions(web_shards, tmp_path, monk
                                      row_groups=list(specs[1].row_groups))]
     )
     assert dec.sort_by("url").cast(want.schema).equals(want.sort_by("url"))
-    _JOB_SYMBOLS.clear()

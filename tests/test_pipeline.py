@@ -184,3 +184,58 @@ def test_funnel_checkpoint_cfg_change_invalidates(sf_dir, tmp_path):
     strict_clean, _ = curate_webtext(_docs_ds(sf_dir), cfg=strict_cfg)
     assert _canon_rows(strict_ck) == _canon_rows(strict_clean)
     assert len(_canon_rows(strict_ck)) < len(loose_rows)
+
+
+def test_funnel_checkpoint_eval_tag_invalidates(sf_dir, tmp_path):
+    """The decontamination checkpoint key includes the eval-set identity:
+    same cfg + different eval set must recompute, not reuse."""
+    import pyarrow.compute as pc
+
+    from tbl_ray.pipelines.webtext import WebtextConfig, curate_webtext
+
+    cfg = WebtextConfig(
+        languages=[], min_quality=0.0,
+        line_dedup_min_count=10**9, line_dedup_sep=" ",
+    )
+
+    def eval_ds(hi):
+        def head(t):
+            return t.filter(pc.less(t.column("doc_id"), hi))
+
+        return _docs_ds(sf_dir).map_batches(head, batch_format="pyarrow")
+
+    ck = str(tmp_path / "ckpt")
+    small, _ = curate_webtext(
+        _docs_ds(sf_dir), cfg=cfg, eval_ds=eval_ds(5),
+        checkpoint_dir=ck, eval_tag="eval-v1",
+    )
+    small_rows = _canon_rows(small)
+    big, _ = curate_webtext(
+        _docs_ds(sf_dir), cfg=cfg, eval_ds=eval_ds(100),
+        checkpoint_dir=ck, eval_tag="eval-v2",
+    )
+    big_rows = _canon_rows(big)
+    clean_big, _ = curate_webtext(
+        _docs_ds(sf_dir), cfg=cfg, eval_ds=eval_ds(100)
+    )
+    assert big_rows == _canon_rows(clean_big)
+    assert len(big_rows) < len(small_rows)
+
+
+def test_funnel_checkpoint_eval_needs_tag_when_not_file_backed(sf_dir, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from tbl_ray.pipelines.webtext import WebtextConfig, curate_webtext
+
+    cfg = WebtextConfig(
+        languages=[], min_quality=0.0,
+        line_dedup_min_count=10**9, line_dedup_sep=" ",
+    )
+    ev = ray.data.from_arrow(pa.table({"text": ["some eval document"]}))
+    with pytest.raises(ValueError, match="eval_tag"):
+        curate_webtext(
+            _docs_ds(sf_dir), cfg=cfg, eval_ds=ev,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )

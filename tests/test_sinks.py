@@ -96,3 +96,18 @@ def test_merge_schema_mismatch(tmp_path):
     pq.write_table(b, pb)
     with pytest.raises(SchemaMismatch):
         merge_files([pa_, pb], str(tmp_path / "m.parquet"))
+
+
+def test_write_jsonl_float_exact_roundtrip(tmp_path):
+    """Floats must round-trip exactly (repr-faithful) — pandas to_json
+    caps at 15 significant digits, so float batches take the exact path."""
+    import ray.data
+
+    vals = [0.1234567890123456789, 123456789.987654321, 1e-300, None]
+    t = pa.table({"x": pa.array(vals, pa.float64()), "i": [1, 2, 3, 4]})
+    path = str(tmp_path / "f.jsonl")
+    write_json(ray.data.from_arrow(t), path, lines=True)
+    got = [json.loads(l)["x"] for l in open(path)]
+    assert got == [v for v in vals]
+    ints = [json.loads(l)["i"] for l in open(path)]
+    assert ints == [1, 2, 3, 4]

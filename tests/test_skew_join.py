@@ -77,6 +77,36 @@ def _bucket_sizes(left, right, **kw):
     return np.asarray(counts.column("__side___count"))
 
 
+def test_skew_salting_spreads_sparse_per_batch_hot_key():
+    """A key hot in AGGREGATE but sparse per block (few hot rows per
+    batch) must still fan out: the per-batch random offset prevents every
+    block's lone hot row drawing salt 0."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    # ~1 hot row per 40-row block after a 100-block repartition
+    hot = rng.random(n) < 0.025
+    keys = np.where(hot, "hot.example.com", "cold.net")
+    left = pa.table({"domain": pa.array(keys.tolist()),
+                     "doc": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({"domain": pa.array(["hot.example.com", "cold.net"]),
+                      "rank": pa.array([0, 1], pa.int64())})
+    u, _ = _shuffle_join_plan(
+        ray.data.from_arrow(left).repartition(100),
+        ray.data.from_arrow(right),
+        "domain",
+        join_type="inner", rsuffix="_r", n_buckets=64,
+        skew_keys=["hot.example.com"], skew_salt=8,
+    )
+    t = pa.table(u.to_pandas())
+    probe = t.filter(pa.compute.equal(t.column("__side__"), 0))
+    hot_rows = probe.filter(
+        pa.compute.equal(probe.column("domain"), "hot.example.com")
+    )
+    buckets = np.asarray(hot_rows.column("__bucket__"))
+    n_sub = len(np.unique(buckets))
+    assert n_sub >= 6, f"hot key used only {n_sub} of 8 sub-buckets"
+
+
 def test_skew_salting_balances_buckets():
     left, right = _tables()
     unsalted = _bucket_sizes(left, right, n_buckets=8, skew_keys=None,
