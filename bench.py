@@ -210,6 +210,18 @@ def bench_query_group(names: list[str]) -> None:
     completed query to stdout (a crash loses only unfinished queries)."""
     import __ray_entry__ as entrymod
 
+    # warmup: the first Dataset executed in a fresh Ray session pays
+    # executor warmup + on-demand worker-process spawn (~5-8s on this
+    # box) — without this each group's FIRST queries absorb it and read
+    # as 3-8x outliers (r03 dry run: window_fns 9.3s cold vs 1.2s warm).
+    # Many small blocks force the full worker pool to spawn, not just
+    # one or two workers.
+    import ray.data
+
+    ray.data.range(NUM_CPUS * 64, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda t: t, batch_format="pyarrow", num_cpus=1
+    ).count()
+
     q = entrymod.queries()
     for name in names:
         t0 = time.monotonic()

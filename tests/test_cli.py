@@ -28,7 +28,10 @@ def test_output_mode_router():
         _mode([LINEITEM, "--inplace", "--output-file", "/tmp/x.parquet"])
 
 
-def _run_cli(args, timeout=240):
+def _run_cli(args, timeout=600):
+    # generous: each CLI run owns a fresh Ray session (~15-30s on a quiet
+    # box) but the full suite time-shares 32 CPUs with other Ray sessions
+    # — 240s has flaked once under full-suite contention
     return subprocess.run(
         [sys.executable, "-m", "tbl_ray.cli", *args],
         capture_output=True,
