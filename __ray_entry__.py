@@ -788,6 +788,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["encode_roundtrip"] = encode_roundtrip
 
+    def encode_prune(sf_dir: str):
+        """Zone-map partition pruning on the encoded container: shard
+        lineitem clustered by l_orderkey, encode (manifest records
+        per-partition min/max/null stats), then answer a range filter
+        decoding ONLY the partitions whose stats may match — the exact
+        filter re-runs on decoded batches, so the result is identical to
+        a full decode + filter (pruned-partition count is asserted by
+        tests/test_zonemap.py; here the oracle checks exactness)."""
+        import math
+        import shutil
+        import tempfile
+
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        from tbl_ray.pipelines.encode_job import run_encode_job
+        from tbl_ray.pipelines.zonemap import decode_filtered
+
+        src = _pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+        # cluster by the filter column (zone maps prune only clustered
+        # data); (orderkey, linenumber) is unique so the sort — and every
+        # shard byte — is deterministic
+        src = src.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+        base = tempfile.mkdtemp(prefix="tbl_ray_prune_")
+        try:
+            n, k = src.num_rows, 8
+            step = (n + k - 1) // k
+            paths = []
+            for i in range(k):
+                p = os.path.join(base, f"part-{i:02d}.parquet")
+                _pq.write_table(src.slice(i * step, step), p)
+                paths.append(p)
+            out_dir = os.path.join(base, "encoded")
+            run_encode_job(paths, out_dir)
+            cut = int(math.floor(0.9 * _pc.max(src.column("l_orderkey")).as_py()))
+            cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+            ds = decode_filtered(out_dir, [f"l_orderkey>={cut}"], columns=cols)
+            # collect before the tempdir is removed (the dataset is lazy)
+            return pa.concat_tables(
+                b
+                for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_rows
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    q["encode_prune"] = encode_prune
+
     def webtable_invariant(sf_dir: str):
         """Per-row invariant: extract_text(html) byte-identical to text
         after a full encode->decode cycle of the synthetic web table."""
@@ -1365,7 +1413,7 @@ _WINDOW_FIRST = [
     # wave-2/3 operators with oracles, never driver-checked (r02 gate only)
     "window_fns", "q3_revenue", "join_shuffle", "rollup",
     "grouped_quantiles", "string_agg", "regex_extract", "sessions",
-    "encode_roundtrip", "webtable_invariant", "jsonl_roundtrip",
+    "encode_roundtrip", "encode_prune", "webtable_invariant", "jsonl_roundtrip",
     "csv_roundtrip", "union_by_name", "rolling_window", "explode",
     "pivot_counts", "distinct", "range_join", "join_semi", "join_anti",
     "split_assign", "sample_weighted", "term_stats", "tfidf",
@@ -1757,6 +1805,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
         "csv_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
+        "encode_prune": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag"
+            " FROM lineitem WHERE l_orderkey >="
+            " (SELECT CAST(floor(0.9 * max(l_orderkey)) AS BIGINT)"
+            " FROM lineitem)"
+        ),
         "rollup": (
             "SELECT lang, source,"
             " CAST(count(doc_id) AS BIGINT) AS count_doc_id,"

@@ -33,6 +33,7 @@ import ray.data
 from tbl_ray.codecs.base import binary_parts
 from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, train_symbols
 from tbl_ray.codecs.select import decide_codec, default_effort
+from tbl_ray.pipelines import zonemap
 from tbl_ray.stages.encode import ENCODED_SCHEMA, ColumnEncoder
 
 MANIFEST = "manifest.jsonl"
@@ -327,11 +328,13 @@ def encode_partition(
     encoded_bytes = 0
     rows = 0
     codec_use: dict[str, dict[str, int]] = {}
+    zacc: dict = {}  # zone-map stats folded per input batch
     try:
         for batch in pf.iter_batches(
             batch_size=batch_rows, row_groups=list(spec.row_groups)
         ):
             table = pa.Table.from_batches([batch])
+            zonemap.fold_stats(zacc, table)
             enc = encoder.encode_table(table)
             if writer is None:
                 sink = _HashingFile(tmp)
@@ -380,6 +383,7 @@ def encode_partition(
         "file_bytes": os.path.getsize(spec.out_path),
         "sha256": sha.hexdigest(),
         "codecs": codec_use,
+        "stats": zonemap.finalize_stats(zacc),
         "out_path": spec.out_path,
         "wall_s": round(time.monotonic() - t0, 4),
     }

@@ -1,0 +1,219 @@
+"""Zone-map stats + manifest-driven partition pruning (pipelines/zonemap.py)."""
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from tbl_ray.filters import parse_filter
+from tbl_ray.pipelines.encode_job import decode_job_output, run_encode_job
+from tbl_ray.pipelines.zonemap import (
+    decode_filtered,
+    finalize_stats,
+    fold_stats,
+    partition_may_match,
+    prune_report,
+)
+
+
+def _stats_for(t: pa.Table) -> dict:
+    return finalize_stats(fold_stats({}, t))
+
+
+def test_fold_stats_kinds_and_bounds():
+    t = pa.table(
+        {
+            "i": pa.array([3, -7, None, 12], pa.int64()),
+            "f": pa.array([1.5, -2.0, 0.25, None], pa.float64()),
+            "fn": pa.array([1.0, float("nan"), 2.0, 3.0], pa.float64()),
+            "s": pa.array(["b", "aa", None, "zz"]),
+            "ts": pa.array([10_000, 20_000, 15_000, None], pa.timestamp("us")),
+            "b": pa.array([True, False, True, None]),
+            "bin": pa.array([b"\x01", b"\xff", None, b"\x10"], pa.binary()),
+            "allnull": pa.array([None] * 4, pa.int64()),
+            "lst": pa.array([[1], [2], [3], [4]]),  # unmapped type
+        }
+    )
+    s = _stats_for(t)
+    assert s["i"] == {
+        "kind": "int", "t": "int64", "min": -7, "max": 12, "nulls": 1,
+        "poisoned": False,
+    }
+    assert s["f"]["min"] == -2.0 and s["f"]["max"] == 1.5
+    assert s["fn"]["poisoned"] and s["fn"]["min"] is None
+    assert s["s"]["min"] == "aa" and s["s"]["max"] == "zz" and s["s"]["nulls"] == 1
+    assert s["ts"]["kind"] == "epoch" and s["ts"]["min"] == 10_000
+    assert s["b"] == {
+        "kind": "int", "t": "bool", "min": 0, "max": 1, "nulls": 1,
+        "poisoned": False,
+    }
+    assert s["bin"]["min"] == "01" and s["bin"]["max"] == "ff"
+    assert s["allnull"]["min"] is None and s["allnull"]["nulls"] == 4
+    assert "lst" not in s
+
+
+def test_fold_stats_multi_batch_and_string_cap():
+    acc = {}
+    fold_stats(acc, pa.table({"x": [5, 9], "s": ["m", "n"]}))
+    fold_stats(acc, pa.table({"x": [1, 20], "s": ["a", "y" * 300]}))
+    s = finalize_stats(acc)
+    assert s["x"]["min"] == 1 and s["x"]["max"] == 20
+    assert s["s"]["poisoned"]  # an over-cap value voids the column's map
+
+
+def _entry(stats, num_rows=100):
+    return {"num_rows": num_rows, "stats": stats}
+
+
+INT_STATS = {"x": {"kind": "int", "t": "int64", "min": 10, "max": 20,
+                   "nulls": 5, "poisoned": False}}
+
+
+@pytest.mark.parametrize(
+    "flt,expect",
+    [
+        ("x=15", True), ("x=9", False), ("x=10", True), ("x=21", False),
+        ("x!=15", True), ("x>19", True), ("x>20", False), ("x>=20", True),
+        ("x>=21", False), ("x<11", True), ("x<10", False), ("x<=10", True),
+        ("x<=9", False), ("x.is_null", True), ("x.is_not_null", True),
+    ],
+)
+def test_partition_may_match_ops(flt, expect):
+    assert partition_may_match(_entry(INT_STATS), [parse_filter(flt)]) is expect
+
+
+def test_partition_may_match_edge_cases():
+    f_eq = [parse_filter("x=15")]
+    # old manifest (no stats) and poisoned stats: always keep
+    assert partition_may_match({"num_rows": 10}, f_eq)
+    poisoned = {"x": {"kind": "int", "t": "int64", "min": None, "max": None,
+                      "nulls": 0, "poisoned": True}}
+    assert partition_may_match(_entry(poisoned), f_eq)
+    # zero-row partition: never matches anything
+    assert not partition_may_match(_entry(INT_STATS, num_rows=0), f_eq)
+    # all-null column: no comparison matches; is_null does; is_not_null not
+    allnull = {"x": {"kind": "int", "t": "int64", "min": None, "max": None,
+                     "nulls": 7, "poisoned": False}}
+    e = _entry(allnull, num_rows=7)
+    assert not partition_may_match(e, f_eq)
+    assert not partition_may_match(e, [parse_filter("x!=3")])
+    assert partition_may_match(e, [parse_filter("x.is_null")])
+    assert not partition_may_match(e, [parse_filter("x.is_not_null")])
+    # no-nulls column: is_null can't match
+    nonull = {"x": {**INT_STATS["x"], "nulls": 0}}
+    assert not partition_may_match(_entry(nonull), [parse_filter("x.is_null")])
+    # != skips only the constant partition
+    const = {"x": {**INT_STATS["x"], "min": 4, "max": 4}}
+    assert not partition_may_match(_entry(const), [parse_filter("x!=4")])
+    assert partition_may_match(_entry(const), [parse_filter("x!=5")])
+    # AND of filters: one provably-empty filter prunes
+    assert not partition_may_match(
+        _entry(INT_STATS), [parse_filter("x>=10"), parse_filter("x>25")]
+    )
+
+
+def test_partition_may_match_typed_literals():
+    ts = {"d": {"kind": "epoch", "t": "timestamp[us]",
+                "min": 1_600_000_000_000_000, "max": 1_700_000_000_000_000,
+                "nulls": 0, "poisoned": False}}
+    assert partition_may_match(_entry(ts), [parse_filter("d>=2020-09-14")])
+    assert not partition_may_match(_entry(ts), [parse_filter("d>2024-01-01")])
+    bn = {"p": {"kind": "bin", "t": "binary", "min": "0a10", "max": "0aff",
+                "nulls": 0, "poisoned": False}}
+    assert partition_may_match(_entry(bn), [parse_filter("p=0x0a80")])
+    assert not partition_may_match(_entry(bn), [parse_filter("p=0x0b00")])
+    st = {"s": {"kind": "str", "t": "string", "min": "dog", "max": "fox",
+                "nulls": 0, "poisoned": False}}
+    assert partition_may_match(_entry(st), [parse_filter("s=emu")])
+    assert not partition_may_match(_entry(st), [parse_filter("s<dog")])
+
+
+@pytest.fixture(scope="module")
+def clustered_job(ray_session, tmp_path_factory):
+    """lineitem sorted by l_orderkey, sharded into 6 files, encoded."""
+    base = tmp_path_factory.mktemp("zonemap")
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    src = src.sort_by("l_orderkey")
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir)
+    n, k = src.num_rows, 6
+    step = (n + k - 1) // k
+    paths = []
+    for i in range(k):
+        p = os.path.join(shard_dir, f"part-{i:02d}.parquet")
+        pq.write_table(src.slice(i * step, step), p)
+        paths.append(p)
+    out_dir = os.path.join(base, "encoded")
+    run_encode_job(paths, out_dir)
+    return src, out_dir
+
+
+def test_prune_skips_partitions_and_result_is_exact(clustered_job):
+    src, out_dir = clustered_job
+    cut = int(0.9 * pc.max(src.column("l_orderkey")).as_py())
+    filt = [f"l_orderkey>={cut}"]
+    rep = prune_report(out_dir, filt)
+    assert len(rep["skipped"]) >= 4, rep  # clustered: ~5 of 6 shards skip
+    assert len(rep["kept"]) >= 1
+
+    got = (
+        decode_filtered(out_dir, filt)
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        src.filter(pc.greater_equal(src.column("l_orderkey"), cut))
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+
+
+def test_prune_identical_to_unpruned(clustered_job):
+    src, out_dir = clustered_job
+    mid = int(pc.max(src.column("l_orderkey")).as_py() // 2)
+    filt = [f"l_orderkey<={mid}", "l_quantity>25"]
+    a = (
+        decode_filtered(out_dir, filt)
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    flt = [parse_filter(f) for f in filt]
+    from tbl_ray.filters import combined_mask
+
+    def exact(t):
+        return t.filter(combined_mask(flt, t))
+
+    b = (
+        decode_job_output(out_dir)
+        .map_batches(exact, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b) and len(a) > 0
+
+
+def test_all_pruned_keeps_schema(clustered_job):
+    src, out_dir = clustered_job
+    ds = decode_filtered(out_dir, ["l_orderkey<-1"])
+    assert ds.count() == 0
+    assert set(ds.schema().names) == set(src.column_names)
+
+
+def test_columns_projection(clustered_job):
+    src, out_dir = clustered_job
+    ds = decode_filtered(
+        out_dir, ["l_orderkey=1"], columns=["l_orderkey", "l_quantity"]
+    )
+    t = ds.to_pandas()
+    assert list(t.columns) == ["l_orderkey", "l_quantity"]
+    assert (t["l_orderkey"] == 1).all()
