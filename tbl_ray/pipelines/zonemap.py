@@ -270,7 +270,14 @@ def decode_filtered(
         if not rep["skipped"]:
             raise ValueError(f"no encoded partitions under {out_dir!r}")
         kept = rep["skipped"][:1]  # schema carrier; filters drop all rows
-    ds = decode_dataset(ray.data.read_parquet(kept), **decode_kwargs)
+    # projection pushdown INTO the container: decode only the requested
+    # columns plus whatever the filters need (dropped again after the mask)
+    need = None
+    if columns:
+        need = list(dict.fromkeys(list(columns) + [f.column for f in fs]))
+    ds = decode_dataset(
+        ray.data.read_parquet(kept), columns=need, **decode_kwargs
+    )
 
     def exact(t: pa.Table) -> pa.Table:
         m = combined_mask(fs, t)

@@ -157,18 +157,35 @@ class ChunkDecoder:
         return decode_table(table)
 
 
-def decode_table(table: pa.Table) -> pa.Table:
-    """Decode a batch of encoded rows back into (concatenated) original rows."""
+def decode_table(table: pa.Table, columns: "list[str] | None" = None) -> pa.Table:
+    """Decode a batch of encoded rows back into (concatenated) original rows.
+
+    ``columns`` is projection pushdown INTO the container: only the named
+    columns' payloads are parsed and decoded — the others are never even
+    copied out of the Arrow batch (the parallel ``columns`` list names
+    each payload, so skipping is a name check, not a parse). Output
+    column order follows ``columns``. Unknown names raise KeyError, as a
+    plain select would."""
+    if columns is not None and not columns:
+        raise ValueError("decode_table: columns must be non-empty when given")
     pieces: list[pa.Table] = []
     payload_lists = table.column("payloads").combine_chunks()
+    name_lists = (
+        table.column("columns").combine_chunks() if columns is not None else None
+    )
+    want = set(columns) if columns is not None else None
     for i in range(table.num_rows):
         arrays = []
         fields = []
-        for payload_scalar in payload_lists[i].values:
+        names = name_lists[i].as_py() if want is not None else None
+        for j, payload_scalar in enumerate(payload_lists[i].values):
+            if want is not None and names[j] not in want:
+                continue
             chunk = EncodedChunk.from_payload(payload_scalar.as_py())
             arrays.append(decode_chunk(chunk))
             fields.append(chunk.field)
-        pieces.append(pa.Table.from_arrays(arrays, schema=pa.schema(fields)))
+        piece = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        pieces.append(piece.select(columns) if columns is not None else piece)
     if not pieces:
         # an empty encoded block (e.g. downstream of a filter) cannot name
         # its decoded schema; Ray's schema unification drops empty
@@ -229,17 +246,29 @@ def encode_dataset(
 def decode_dataset(
     ds: "ray.data.Dataset",
     *,
+    columns: "list[str] | None" = None,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Decode an encoded Dataset back to original rows (order = stream order).
+
+    ``columns`` pushes projection into the container (see
+    :func:`decode_table`): unrequested columns' payloads are skipped
+    entirely — at scale, decoding 2 of 20 columns costs ~2/20ths.
 
     Decoding is stateless, so this runs as elastic TASKS (no actor-pool
     spin-up cost) unless a concurrency bound is requested."""
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
+    fn = decode_table
+    if columns is not None:
+        cols = list(columns)
+
+        def fn(t: pa.Table) -> pa.Table:  # noqa: F811 - projected variant
+            return decode_table(t, columns=cols)
+
     return ds.map_batches(
-        decode_table,
+        fn,
         batch_format="pyarrow",
         # one encoded row can decode to a large table; keep batches small
         batch_size=4,

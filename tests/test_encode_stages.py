@@ -181,3 +181,38 @@ def test_decode_dataset_with_empty_blocks(ray_session):
 
     emptied = enc.map_batches(drop_some, batch_format="pyarrow")
     assert decode_dataset(emptied).count() == 0
+
+
+def test_decode_table_projection_pushdown():
+    import pytest
+
+    from tbl_ray.stages.encode import ColumnEncoder, decode_table
+    from tbl_ray.webtable import generate_batch
+
+    t = generate_batch(0, 500, seed=7)
+    enc = ColumnEncoder()(t)
+    proj = decode_table(enc, columns=["text", "url"])
+    assert proj.column_names == ["text", "url"]  # requested order, not stored
+    assert proj.column("url").combine_chunks().equals(
+        t.column("url").combine_chunks()
+    )
+    assert proj.column("text").combine_chunks().equals(
+        t.column("text").combine_chunks()
+    )
+    with pytest.raises(KeyError):
+        decode_table(enc, columns=["nope"])
+    with pytest.raises(ValueError):
+        decode_table(enc, columns=[])
+
+
+def test_decode_dataset_projection(ray_session):
+    import ray.data
+
+    from tbl_ray.stages.encode import decode_dataset, encode_dataset
+    from tbl_ray.webtable import generate_batch
+
+    t = generate_batch(0, 400, seed=11)
+    enc = encode_dataset(ray.data.from_arrow(t), batch_size=100)
+    back = decode_dataset(enc, columns=["lang", "warc_ts"]).to_pandas()
+    assert list(back.columns) == ["lang", "warc_ts"]
+    assert sorted(back["lang"]) == sorted(t.column("lang").to_pylist())
