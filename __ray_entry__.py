@@ -389,6 +389,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decontaminate"] = decontaminate_docs
 
+    def dedup_incremental(sf_dir: str):
+        """Cross-run incremental dedup via the persistent fingerprint
+        store (state/fingerprints.py): ingest increment 1 (doc_id <
+        0.6*max) building the store, then dedup the overlapping
+        increment 2 (doc_id >= 0.4*max) against it — overlap rows drop
+        as store hits, only genuinely-new documents survive. The oracle
+        replays the same two-increment scenario in SQL (NOT EXISTS
+        against increment 1's texts)."""
+        import math
+        import shutil
+        import tempfile
+
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        from tbl_ray.sources import read_table
+        from tbl_ray.state.fingerprints import dedup_against_store
+
+        ids = _pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        mx = _pc.max(ids.column("doc_id")).as_py()
+        c1 = int(math.floor(0.6 * mx))
+        c2 = int(math.floor(0.4 * mx))
+        path = os.path.join(sf_dir, "documents.parquet")
+
+        def rng(lo, hi):
+            def f(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                m = pc.greater_equal(t.column("doc_id"), lo)
+                if hi is not None:
+                    m = pc.and_(m, pc.less(t.column("doc_id"), hi))
+                return t.filter(m)
+
+            return f
+
+        sdir = tempfile.mkdtemp(prefix="tbl_ray_fpstore_")
+        try:
+            inc1 = read_table(path).map_batches(
+                rng(0, c1), batch_format="pyarrow", zero_copy_batch=True
+            )
+            # ingest increment 1: the store update happens eagerly here
+            dedup_against_store(inc1, "text", "doc_id", sdir)
+            inc2 = read_table(path).map_batches(
+                rng(c2, None), batch_format="pyarrow", zero_copy_batch=True
+            )
+            out = dedup_against_store(
+                inc2, "text", "doc_id", sdir, update=False
+            )
+
+            def proj(t: pa.Table) -> pa.Table:
+                return t.select(["doc_id", "lang", "n_chars"])
+
+            # collect before the store tempdir is removed (lazy dataset)
+            return pa.concat_tables(
+                b
+                for b in out.map_batches(
+                    proj, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+                if b.num_rows
+            )
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+
+    q["dedup_incremental"] = dedup_incremental
+
     def join_broadcast(sf_dir: str):
         """Dimension enrichment: stream orders, broadcast the customer
         dim table once (ray.put), Arrow hash join per batch — no shuffle."""
@@ -1420,7 +1487,7 @@ _WINDOW_FIRST = [
     "window_agg", "cast_date", "url_parts", "histogram",
     "embedding_centroids", "count_distinct_by", "redact", "dedup_lines",
     "token_count_bpe", "chunk_fixed", "shuffle_head", "top_ngrams",
-    "decontaminate",
+    "decontaminate", "dedup_incremental",
     # rows-only wave-2/3 (driver records the weaker rows check)
     "pack_sequences", "curate_webtext", "kmeans", "image_decode",
     "audio_decode", "frame_sample", "approx_distinct_by",
@@ -1810,6 +1877,16 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem WHERE l_orderkey >="
             " (SELECT CAST(floor(0.9 * max(l_orderkey)) AS BIGINT)"
             " FROM lineitem)"
+        ),
+        "dedup_incremental": (
+            "WITH b AS (SELECT CAST(floor(0.6 * max(doc_id)) AS BIGINT) c1,"
+            " CAST(floor(0.4 * max(doc_id)) AS BIGINT) c2 FROM documents),"
+            " inc2 AS (SELECT d.* FROM documents d, b WHERE d.doc_id >= b.c2),"
+            " w AS (SELECT min(doc_id) AS doc_id FROM inc2 GROUP BY text)"
+            " SELECT i.doc_id, i.lang, i.n_chars FROM inc2 i"
+            " JOIN w ON i.doc_id = w.doc_id"
+            " WHERE NOT EXISTS (SELECT 1 FROM documents o, b"
+            " WHERE o.doc_id < b.c1 AND o.text = i.text)"
         ),
         "rollup": (
             "SELECT lang, source,"

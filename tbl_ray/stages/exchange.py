@@ -82,8 +82,14 @@ class KeyBucket:
         for kcol in self.keys:
             col = t.column(kcol).combine_chunks()
             if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+                # uint64 must not route through int64 (values over 2^63
+                # fail the checked Arrow cast); its numpy view is already
+                # the hash input type
+                wide = pa.uint64() if pa.types.is_unsigned_integer(
+                    col.type
+                ) else pa.int64()
                 k = (
-                    pc.fill_null(pc.cast(col, pa.int64()), 0)
+                    pc.fill_null(pc.cast(col, wide), 0)
                     .to_numpy(zero_copy_only=False)
                     .astype(np.uint64)
                 )

@@ -100,3 +100,35 @@ def test_shuffle_join_identical_across_widths(sf_dir, monkeypatch):
     monkeypatch.setenv("TBL_RAY_BUCKET_BYTES", "2048")
     wide = run()
     pd.testing.assert_frame_equal(base, wide)
+
+
+def test_uint64_keys_above_int63_bucket_safely(ray_session):
+    # uint64 keys over 2^63 must not route through a checked int64 cast
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.exchange import bucket_exchange
+
+    keys = np.array(
+        [2**63 + 7, 5, 2**64 - 1, 2**63 + 7, 5], dtype=np.uint64
+    )
+    t = pa.table({"k": pa.array(keys), "v": pa.array([1, 2, 3, 4, 5])})
+
+    def per_bucket(bt):
+        ks = np.asarray(bt.column("k"), dtype=np.uint64)
+        vs = np.asarray(bt.column("v"), dtype=np.int64)
+        out_k, out_s = [], []
+        for u in np.unique(ks):
+            out_k.append(int(u))
+            out_s.append(int(vs[ks == u].sum()))
+        return pa.table(
+            {"k": pa.array(np.array(out_k, np.uint64)),
+             "s": pa.array(out_s, type=pa.int64())}
+        )
+
+    rows = bucket_exchange(
+        ray.data.from_arrow(t), ["k"], per_bucket, n_buckets=8
+    ).take_all()
+    got = {r["k"]: r["s"] for r in rows}
+    assert got == {2**63 + 7: 5, 5: 7, 2**64 - 1: 3}
