@@ -198,7 +198,8 @@ QUERY_GROUPS: list[list[str]] = [
     ["ann_topk", "ann_ivf_index", "image_decode", "group_agg", "top_vocab",
      "sample_uniform", "join_broadcast", "dedup_lines", "chunk_fixed"],
     ["pack_sequences", "shuffle_head", "top_ngrams", "url_parts",
-     "histogram", "join_shuffle", "curate_webtext", "encode_roundtrip"],
+     "histogram", "join_shuffle", "curate_webtext", "encode_roundtrip",
+     "encode_prune", "dedup_incremental"],
     ["window_fns", "rolling_window", "explode", "q3_revenue",
      "grouped_quantiles", "range_join", "term_stats", "split_assign",
      "sample_weighted", "kmeans", "rollup"],

@@ -47,16 +47,59 @@ def estimate_input_bytes(ds) -> int | None:
     try:
         files = ds.input_files()
     except Exception:
+        files = None
+    if files:
+        total = 0
+        for f in files:
+            p = f[len("file://"):] if f.startswith("file://") else f
+            if not os.path.exists(p):
+                return None  # remote scheme — unknown here, assume huge
+            total += os.path.getsize(p)
+        return total
+    return _plan_source_bytes(ds)
+
+
+# row-wise logical operators a size estimate may see through: none of
+# them *grows* the data beyond what callers' amplification knobs cover
+# (a filter/limit shrinks; a map transforms in place). Anything else —
+# joins, unions, groupbys, sort, unknown ops — blocks the walk and the
+# caller must assume huge.
+_SIZE_TRANSPARENT_OPS = frozenset(
+    {"MapBatches", "MapRows", "Filter", "Project", "Limit", "StreamingSplit"}
+)
+
+
+def _plan_source_bytes(ds) -> int | None:
+    """Walk a lazy plan through row-wise operators to its single Read and
+    return the datasource's own size estimate.
+
+    Ray's ``input_files()`` goes blank as soon as a ``map_batches`` sits
+    on top of the read, which forced every *filtered* input onto the
+    distributed plan however tiny its source. The logical plan still
+    knows the source; ``Datasource.estimate_inmemory_data_size`` is the
+    public sizing API (the estimate is in-memory, i.e. LARGER than the
+    on-disk number the files path returns — conservative for every
+    caller). Best-effort: any surprise (API drift, multi-input op,
+    unknown operator) returns None = assume huge."""
+    try:
+        op = ds._logical_plan.dag
+        for _ in range(32):  # depth cap — no real chain is this deep
+            deps = op.input_dependencies
+            if not deps:
+                break
+            if type(op).__name__ not in _SIZE_TRANSPARENT_OPS:
+                return None
+            if len(deps) != 1:
+                return None  # union/zip/join — no single source
+            op = deps[0]
+        else:
+            return None
+        if type(op).__name__ != "Read":
+            return None
+        est = op._datasource.estimate_inmemory_data_size()
+        return int(est) if est is not None else None
+    except Exception:  # noqa: BLE001 - private-plan introspection
         return None
-    if not files:
-        return None
-    total = 0
-    for f in files:
-        p = f[len("file://"):] if f.startswith("file://") else f
-        if not os.path.exists(p):
-            return None  # remote scheme — unknown here, assume huge
-        total += os.path.getsize(p)
-    return total
 
 
 def collect_local(ds) -> "object | None":

@@ -20,13 +20,33 @@ def test_estimate_read_parquet(sf_dir):
     assert fits_local(ds)
 
 
-def test_estimate_unknown_for_lazy_transform(sf_dir):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+def test_estimate_sees_through_rowwise_transforms(sf_dir):
+    import os
+
+    plain = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = plain.map_batches(lambda t: t, batch_format="pyarrow")
+    # input_files() goes blank through a map; the plan walk recovers the
+    # source's own (in-memory, i.e. larger) estimate
+    est = estimate_input_bytes(ds)
+    assert est is not None
+    assert est >= os.path.getsize(f"{sf_dir}/documents.parquet")
+    assert fits_local(ds)
+
+
+def test_estimate_unknown_for_non_file_transform():
+    ds = ray.data.from_items([{"a": 1}, {"a": 2}]).map_batches(
         lambda t: t, batch_format="pyarrow"
     )
-    # transformed plan loses input files -> unknown -> distributed path
+    # no file-backed Read at the bottom of the plan -> assume huge
     assert estimate_input_bytes(ds) is None
     assert not fits_local(ds)
+
+
+def test_estimate_blocked_by_multi_input_op(sf_dir):
+    a = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    b = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    u = a.union(b).map_batches(lambda t: t, batch_format="pyarrow")
+    assert estimate_input_bytes(u) is None
 
 
 def test_estimate_materialized():
