@@ -217,3 +217,52 @@ def test_columns_projection(clustered_job):
     t = ds.to_pandas()
     assert list(t.columns) == ["l_orderkey", "l_quantity"]
     assert (t["l_orderkey"] == 1).all()
+
+
+# ---- property: pruning is conservative on arbitrary data/filters ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.one_of(
+    st.none(),
+    st.integers(min_value=-50, max_value=50),
+)
+_strs = st.one_of(st.none(), st.text(alphabet="abcxyz", max_size=4))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    ints=st.lists(_vals, min_size=0, max_size=30),
+    strs=st.data(),
+    op=st.sampled_from(["=", "!=", ">", ">=", "<", "<=", "is_null", "is_not_null"]),
+    lit=st.integers(min_value=-55, max_value=55),
+    on_str=st.booleans(),
+    slit=st.text(alphabet="abcxyz", max_size=4),
+)
+def test_prune_never_drops_a_matching_row(ints, strs, op, lit, on_str, slit):
+    n = len(ints)
+    svals = strs.draw(st.lists(_strs, min_size=n, max_size=n))
+    t = pa.table(
+        {
+            "x": pa.array(ints, pa.int64()),
+            "s": pa.array(svals, pa.string()),
+        }
+    )
+    col = "s" if on_str else "x"
+    if op in ("is_null", "is_not_null"):
+        fstr = f"{col}.{op}"
+    elif on_str:
+        fstr = f"{col}{op}{slit}"
+    else:
+        fstr = f"{col}{op}{lit}"
+    f = parse_filter(fstr)
+    entry = {"num_rows": n, "stats": _stats_for(t)}
+    may = partition_may_match(entry, [f])
+    if not may:
+        # the claim partition_may_match makes: NO row matches
+        if n:
+            mask = f.mask(t)
+            assert pc.sum(mask).as_py() in (0, None), (
+                fstr, entry["stats"], t.to_pydict()
+            )
