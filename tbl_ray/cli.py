@@ -322,9 +322,42 @@ def main(argv: list[str] | None = None) -> int:
     return _data(_build_parser().parse_args(argv))
 
 
+def _ls_encoded(out_dir: str, args) -> int:
+    """Manifest-driven listing of an encode-job output: per-partition
+    rows / input / encoded / on-disk bytes, no data read."""
+    from tbl_ray.pipelines.encode_job import load_manifest
+
+    entries = sorted(
+        load_manifest(out_dir).values(), key=lambda e: e["out_path"]
+    )
+    cap = args.n or len(entries)
+    tot_rows = tot_in = tot_file = 0
+    for e in entries:
+        tot_rows += e["num_rows"]
+        tot_in += e["input_bytes"]
+        tot_file += e["file_bytes"]
+    for e in entries[:cap]:
+        name = e["out_path"] if args.absolute else os.path.basename(e["out_path"])
+        print(
+            f"{name}  {e['num_rows']} rows  in={e['input_bytes']}"
+            f"  disk={e['file_bytes']}"
+        )
+    if len(entries) > cap:
+        print(f"... {len(entries) - cap} more partitions")
+    ratio = tot_file / max(tot_in, 1)
+    print(
+        f"{len(entries)} encoded partitions, {tot_rows} rows, "
+        f"{tot_file} bytes on disk ({ratio:.3f}x of input)"
+    )
+    return 0
+
+
 def _ls(args) -> int:
+    from tbl_ray.sources.encoded import is_encoded_dir
     from tbl_ray.sources.summary import summarize_file
 
+    if args.paths and len(args.paths) == 1 and is_encoded_dir(args.paths[0]):
+        return _ls_encoded(args.paths[0], args)
     paths = _gather(args.paths, args.tree)
     total_rows = 0
     total_bytes = 0
@@ -341,9 +374,45 @@ def _ls(args) -> int:
     return 0
 
 
+def _schema_encoded(out_dir: str, args) -> int:
+    """Decoded schema + per-column codec usage and zone-map coverage of
+    an encode-job output — all from footers and the manifest."""
+    from tbl_ray.pipelines.encode_job import load_manifest
+    from tbl_ray.sources.encoded import encoded_schema_names
+
+    entries = list(load_manifest(out_dir).values())
+    names = encoded_schema_names(out_dir)
+    # dtype strings from the first non-empty partition's chunk fields
+    # are not stored flat; the manifest's zone-map stats carry the type
+    # for mappable columns, codec votes carry usage
+    codec_use: dict[str, dict[str, int]] = {}
+    stats_cols: dict[str, str] = {}
+    rows = 0
+    for e in entries:
+        rows += e["num_rows"]
+        for col, use in (e.get("codecs") or {}).items():
+            agg = codec_use.setdefault(col, {})
+            for codec, n in use.items():
+                agg[codec] = agg.get(codec, 0) + n
+        for col, s in (e.get("stats") or {}).items():
+            stats_cols.setdefault(col, s.get("t", "?"))
+    print(f"encoded job: {len(entries)} partitions, {rows} rows")
+    for name in names[: args.n or len(names)]:
+        codecs = ",".join(
+            f"{c}x{n}" for c, n in sorted((codec_use.get(name) or {}).items())
+        )
+        zm = stats_cols.get(name)
+        zone = f"zone-map[{zm}]" if zm else "no zone-map"
+        print(f"  {name}: codecs={codecs or '?'}  {zone}")
+    return 0
+
+
 def _schema(args) -> int:
+    from tbl_ray.sources.encoded import is_encoded_dir
     from tbl_ray.sources.summary import summarize_by_schema, summarize_files
 
+    if args.paths and len(args.paths) == 1 and is_encoded_dir(args.paths[0]):
+        return _schema_encoded(args.paths[0], args)
     paths = _gather(args.paths, args.tree)
     groups = summarize_by_schema(summarize_files(paths))
     shown = [summ for _schema, summ in groups.values()]
@@ -381,19 +450,42 @@ def _data(args) -> int:
 
         write_parquet_atomic(decode_job_output(args.output_dir), args.output_file)
         return 0
-    paths = _gather(args.paths, args.tree)
-    if not paths:
-        print("no tabular files found", file=sys.stderr)
-        return 1
+    from tbl_ray.sources.encoded import is_encoded_dir
+
+    # a single encode-job output dir is a first-class input: decode with
+    # zone-map pruning + projection pushdown instead of gathering (which
+    # would feed the RAW encoded payload rows into the chain)
+    enc_dir = None
+    if args.paths and len(args.paths) == 1 and is_encoded_dir(args.paths[0]):
+        enc_dir = args.paths[0]
+        paths = [enc_dir]
+    else:
+        paths = _gather(args.paths, args.tree)
+        if not paths:
+            print("no tabular files found", file=sys.stderr)
+            return 1
     spec = _spec_from_args(args)
+    if enc_dir is not None and mode in ("encode", "directory", "inplace"):
+        raise SystemExit(
+            "encoded-dir input supports stdout, --output-file, and partition "
+            "modes; use --decode + --output-file for a plain parquet copy "
+            f"(got mode {mode!r})"
+        )
 
     _init_ray(args.num_cpus)
     from tbl_ray.sources import read_table
     from tbl_ray.sources.parquet import read_for_spec
     from tbl_ray.transforms import apply_transforms
 
+    def _source_ds():
+        if enc_dir is not None:
+            from tbl_ray.sources.encoded import read_encoded_for_spec
+
+            return read_encoded_for_spec(enc_dir, spec)
+        return read_for_spec(paths, spec)
+
     if mode == "stdout":
-        ds = apply_transforms(read_for_spec(paths, spec), spec)
+        ds = apply_transforms(_source_ds(), spec)
         if args.csv:
             # stream batch-wise: header once, then rows — flat driver RSS
             header = True
@@ -451,7 +543,7 @@ def _data(args) -> int:
             raise SystemExit("partition modes require --output-dir")
         if not _confirm_gate(args, writes=True):
             return 0
-        ds = apply_transforms(read_for_spec(paths, spec), spec)
+        ds = apply_transforms(_source_ds(), spec)
         from tbl_ray.stages.partition import (
             partition_by_bytes,
             partition_by_key,
@@ -477,7 +569,7 @@ def _data(args) -> int:
         return 0
 
     if mode == "single_file":
-        ds = apply_transforms(read_for_spec(paths, spec), spec)
+        ds = apply_transforms(_source_ds(), spec)
         _summary(mode, paths, [args.output_file], spec)
         if not _confirm_gate(args, writes=True):
             return 0

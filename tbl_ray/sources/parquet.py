@@ -45,6 +45,24 @@ def read_table(
     )
 
 
+def spec_projection(spec, schema_names: list[str]) -> "list[str] | None":
+    """Columns the transform chain touches, in schema order — None when
+    no ``--select`` bounds the output (the whole schema is needed)."""
+    if not spec.select:
+        return None
+    needed = set(spec.select)
+    needed.update(f.column for f in spec.parsed_filters())
+    needed.update(c for c, _ in spec.parsed_casts())
+    needed.update(c for c, _ in spec.parsed_sets())
+    needed.update(spec.nullify)
+    needed.update(c for c, _, _ in spec.parsed_replaces())
+    needed.update(spec.parsed_sort()[0])
+    needed.update(spec.drop)
+    if spec.value_counts:
+        needed.add(spec.value_counts)
+    return [n for n in schema_names if n in needed]
+
+
 def read_for_spec(paths: list[str] | str, spec) -> "ray.data.Dataset":
     """Scan planned FROM the transform spec: read only the columns the chain
     touches (when a --select bounds the output) and push the filter
@@ -56,19 +74,7 @@ def read_for_spec(paths: list[str] | str, spec) -> "ray.data.Dataset":
     if isinstance(paths, str):
         paths = [paths]
     schema = pq.read_schema(paths[0])
-    columns = None
-    if spec.select:
-        needed = set(spec.select)
-        needed.update(f.column for f in spec.parsed_filters())
-        needed.update(c for c, _ in spec.parsed_casts())
-        needed.update(c for c, _ in spec.parsed_sets())
-        needed.update(spec.nullify)
-        needed.update(c for c, _, _ in spec.parsed_replaces())
-        needed.update(spec.parsed_sort()[0])
-        needed.update(spec.drop)
-        if spec.value_counts:
-            needed.add(spec.value_counts)
-        columns = [n for n in schema.names if n in needed]
+    columns = spec_projection(spec, schema.names)
     expr = filters_to_expression(spec.parsed_filters(), schema)
     return read_table(paths, columns=columns, filter_expr=expr)
 
