@@ -266,3 +266,51 @@ def test_prune_never_drops_a_matching_row(ints, strs, op, lit, on_str, slit):
             assert pc.sum(mask).as_py() in (0, None), (
                 fstr, entry["stats"], t.to_pydict()
             )
+
+
+def test_resume_with_stats_less_manifest_entries(ray_session, tmp_path):
+    """A job resumed over partitions encoded before zone maps existed
+    (manifest entries without 'stats') must still decode and prune
+    correctly: stats-less partitions are always kept."""
+    import json
+
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet").sort_by(
+        "l_orderkey"
+    )
+    shards = []
+    step = (src.num_rows + 1) // 2
+    for i in range(2):
+        p = str(tmp_path / f"s{i}.parquet")
+        pq.write_table(src.slice(i * step, step), p)
+        shards.append(p)
+    out = str(tmp_path / "enc")
+    run_encode_job(shards, out)
+
+    # simulate an old-engine partition: strip stats from the first entry
+    mpath = os.path.join(out, "manifest.jsonl")
+    lines = [json.loads(ln) for ln in open(mpath) if ln.strip()]
+    assert all("stats" in e for e in lines)
+    lines[0].pop("stats")
+    with open(mpath, "w") as fh:
+        for e in lines:
+            fh.write(json.dumps(e) + "\n")
+
+    hi = int(pc.max(src.column("l_orderkey")).as_py())
+    rep = prune_report(out, [f"l_orderkey>={hi}"])
+    # the stats-less partition is kept unconditionally; the second
+    # (stats-bearing, covers the top range) is kept on merit
+    assert len(rep["kept"]) == 2 and not rep["skipped"]
+    rep_lo = prune_report(out, ["l_orderkey<0"])
+    # only the stats-bearing partition can be proven empty
+    assert len(rep_lo["kept"]) == 1 and len(rep_lo["skipped"]) == 1
+    got = decode_filtered(out, [f"l_orderkey>={hi}"]).count()
+    exp = src.filter(
+        pc.greater_equal(src.column("l_orderkey"), hi)
+    ).num_rows
+    assert got == exp
+
+    # resume over the stripped manifest must not re-encode (sha+size
+    # still verify) and must leave results intact
+    rep2 = run_encode_job(shards, out, resume=True)
+    assert rep2["skipped"] == 2
+    assert decode_job_output(out).count() == src.num_rows
