@@ -88,6 +88,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "or $TBL_RAY_CODEC_EFFORT); 'ratio' maximizes codec-level "
                         "compression, 'balanced' probes the zstd container and "
                         "skips codecs that don't shrink the file")
+    d.add_argument("--on-error", dest="on_error", choices=("raise", "skip"),
+                   default="raise",
+                   help="--encode: skip partitions whose read/encode fails "
+                        "(recorded in the manifest + report; resume retries "
+                        "them) instead of aborting the job")
     d.add_argument("--no-resume", action="store_true")
     d.add_argument("--confirm", action="store_true")
     d.add_argument("--dry", action="store_true")
@@ -533,7 +538,7 @@ def _data(args) -> int:
             codecs = dict(c.split("=", 1) for c in args.codec)
         report = run_encode_job(
             paths, args.output_dir, resume=not args.no_resume, codecs=codecs,
-            effort=args.effort,
+            effort=args.effort, on_error=args.on_error,
         )
         print(report)
         return 0

@@ -411,9 +411,12 @@ def load_manifest(out_dir: str) -> dict[str, dict]:
 
 def _entry_verified(entry: dict, spec: PartitionSpec) -> bool:
     """An entry is trusted iff the output it describes is still on disk,
-    byte-for-byte (size check; sha on demand would also be exact)."""
+    byte-for-byte (size check; sha on demand would also be exact).
+    Failure records (on_error="skip") are never trusted — resume retries
+    them."""
     return (
-        entry.get("out_path") == spec.out_path
+        not entry.get("error")
+        and entry.get("out_path") == spec.out_path
         and tuple(entry.get("row_groups", ())) == spec.row_groups
         and os.path.exists(spec.out_path)
         and os.path.getsize(spec.out_path) == entry.get("file_bytes")
@@ -430,12 +433,14 @@ class _EncodePartitions:
         effort: str | None = None,
         decisions: dict[str, str] | None = None,
         fsst_symbols: dict[str, list] | None = None,
+        on_error: str = "raise",
     ):
         self.codecs = codecs
         self.batch_rows = batch_rows
         self.effort = effort
         self.decisions = decisions
         self.fsst_symbols = fsst_symbols
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -447,14 +452,35 @@ class _EncodePartitions:
                 num_rows=row["num_rows"],
                 out_path=row["out_path"],
             )
-            entry = encode_partition(
-                spec,
-                codecs=self.codecs,
-                effort=self.effort,
-                decisions=self.decisions,
-                fsst_symbols=self.fsst_symbols,
-                batch_rows=self.batch_rows,
-            )
+            try:
+                entry = encode_partition(
+                    spec,
+                    codecs=self.codecs,
+                    effort=self.effort,
+                    decisions=self.decisions,
+                    fsst_symbols=self.fsst_symbols,
+                    batch_rows=self.batch_rows,
+                )
+            except Exception as e:  # noqa: BLE001 - poison-pill containment
+                if self.on_error != "skip":
+                    raise
+                # a failure RECORD, not a result: zero totals, never
+                # trusted by resume (so fixing the input and re-running
+                # retries exactly this partition)
+                entry = {
+                    "partition_id": spec.partition_id,
+                    "input_path": spec.input_path,
+                    "row_groups": list(spec.row_groups),
+                    "out_path": spec.out_path,
+                    "error": f"{type(e).__name__}: {e}",
+                    "num_rows": 0,
+                    "input_bytes": 0,
+                    "encoded_bytes": 0,
+                    "file_bytes": 0,
+                    "codecs": {},
+                    "stats": {},
+                    "wall_s": 0.0,
+                }
             out.append({"entry": json.dumps(entry)})
         return pa.Table.from_pylist(out)
 
@@ -468,12 +494,43 @@ def run_encode_job(
     effort: str | None = None,
     batch_rows: int = 65536,
     max_rows_per_partition: int = 1_000_000,
+    on_error: str = "raise",
 ) -> dict:
     """Encode a multi-file dataset with per-partition lineage + exact resume.
 
-    Returns a job report: totals, ratio, skipped/encoded partition counts.
+    ``on_error="skip"``: a partition whose read/encode raises (corrupt
+    shard, schema surprise) is recorded in the manifest as a FAILURE and
+    the job continues — at corpus scale one poison file must not void
+    hours of work. The report carries ``failed`` +
+    ``failed_partitions``; ``_SUCCESS`` is written only when no
+    partition failed; resume retries exactly the failed partitions
+    (failure records never verify).
+
+    Returns a job report: totals, ratio, skipped/encoded/failed counts.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip' (got {on_error!r})")
     os.makedirs(out_dir, exist_ok=True)
+    plan_failures: list[dict] = []
+    if on_error == "skip":
+        # a corrupt footer would otherwise kill the PLANNING phase before
+        # any partition encodes; probe footers first (OS-cached, ~13 ms
+        # each, threaded) and carry unreadable files as failure records
+        def probe(p: str) -> "str | None":
+            try:
+                pq.ParquetFile(p).metadata
+                return None
+            except Exception as e:  # noqa: BLE001 - poison-pill containment
+                return f"{type(e).__name__}: {e}"
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+            errs = dict(zip(sorted(paths), ex.map(probe, sorted(paths))))
+        plan_failures = [
+            {"input_path": p, "error": err, "partition_id": None}
+            for p, err in errs.items()
+            if err is not None
+        ]
+        paths = [p for p in sorted(paths) if errs[p] is None]
     specs = plan_partitions(
         paths, out_dir, max_rows_per_partition=max_rows_per_partition
     )
@@ -510,7 +567,10 @@ def run_encode_job(
         # encodes sequentially inside a single map task
         ds = ray.data.from_items(rows).repartition(len(rows))
         result = ds.map_batches(
-            _EncodePartitions(codecs, batch_rows, effort, decisions, symbols),
+            _EncodePartitions(
+                codecs, batch_rows, effort, decisions, symbols,
+                on_error=on_error,
+            ),
             batch_size=1,
             batch_format="pyarrow",
             num_cpus=1,
@@ -527,21 +587,36 @@ def run_encode_job(
                     new_entries.append(entry)
                 fh.flush()
 
-    all_entries = [manifest[s.partition_id] for s in skipped] + new_entries
+    failures = plan_failures + [e for e in new_entries if e.get("error")]
+    ok_new = [e for e in new_entries if not e.get("error")]
+    all_entries = [manifest[s.partition_id] for s in skipped] + ok_new
     report = {
         "partitions": len(specs),
-        "encoded": len(new_entries),
+        "encoded": len(ok_new),
         "skipped": len(skipped),
+        "failed": len(failures),
         "num_rows": sum(e["num_rows"] for e in all_entries),
         "input_bytes": sum(e["input_bytes"] for e in all_entries),
         "encoded_bytes": sum(e["encoded_bytes"] for e in all_entries),
         "file_bytes": sum(e["file_bytes"] for e in all_entries),
-        "wall_s": sum(e["wall_s"] for e in new_entries),
+        "wall_s": sum(e["wall_s"] for e in ok_new),
     }
+    if failures:
+        report["failed_partitions"] = [
+            {
+                "partition_id": f.get("partition_id"),
+                "input_path": f.get("input_path"),
+                "error": f.get("error"),
+            }
+            for f in failures
+        ]
     if report["input_bytes"]:
         report["ratio"] = report["encoded_bytes"] / report["input_bytes"]
-    with open(os.path.join(out_dir, SUCCESS), "w") as fh:
-        json.dump(report, fh)
+    if not failures:
+        # _SUCCESS marks a COMPLETE job; a partial (skip-mode) run leaves
+        # it absent so downstream consumers and resume know to finish it
+        with open(os.path.join(out_dir, SUCCESS), "w") as fh:
+            json.dump(report, fh)
     return report
 
 
@@ -555,8 +630,13 @@ def verify_job(out_dir: str) -> dict:
     manifest = load_manifest(out_dir)
     missing: list[str] = []
     corrupt: list[str] = []
+    failed: list[str] = []
     verified = 0
     for pid, e in manifest.items():
+        if e.get("error"):
+            # an on_error="skip" failure record: no output to verify
+            failed.append(pid)
+            continue
         path = e["out_path"]
         if not os.path.exists(path):
             missing.append(pid)
@@ -572,7 +652,12 @@ def verify_job(out_dir: str) -> dict:
             corrupt.append(pid)
         else:
             verified += 1
-    return {"verified": verified, "missing": missing, "corrupt": corrupt}
+    return {
+        "verified": verified,
+        "missing": missing,
+        "corrupt": corrupt,
+        "failed": failed,
+    }
 
 
 def read_encoded(out_dir: str) -> "ray.data.Dataset":
