@@ -443,13 +443,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             def proj(t: pa.Table) -> pa.Table:
                 return t.select(["doc_id", "lang", "n_chars"])
 
-            # collect before the store tempdir is removed (lazy dataset)
-            return pa.concat_tables(
-                b
-                for b in out.map_batches(
+            from tbl_ray.sizing import collect_local
+
+            # collect before the store tempdir is removed (lazy dataset);
+            # increment 2's top id range is disjoint from increment 1, so
+            # survivors always exist
+            return collect_local(
+                out.map_batches(
                     proj, batch_format="pyarrow", zero_copy_batch=True
-                ).iter_batches(batch_format="pyarrow", batch_size=None)
-                if b.num_rows
+                )
             )
         finally:
             shutil.rmtree(sdir, ignore_errors=True)
@@ -891,12 +893,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             run_encode_job(paths, out_dir)
             cut = int(math.floor(0.9 * _pc.max(src.column("l_orderkey")).as_py()))
             cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
-            ds = decode_filtered(out_dir, [f"l_orderkey>={cut}"], columns=cols)
-            # collect before the tempdir is removed (the dataset is lazy)
-            return pa.concat_tables(
-                b
-                for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-                if b.num_rows
+            from tbl_ray.sizing import collect_local
+
+            # collect before the tempdir is removed (the dataset is lazy);
+            # cut <= max guarantees at least one surviving row
+            return collect_local(
+                decode_filtered(out_dir, [f"l_orderkey>={cut}"], columns=cols)
             )
         finally:
             shutil.rmtree(base, ignore_errors=True)

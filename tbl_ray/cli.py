@@ -335,24 +335,29 @@ def _ls_encoded(out_dir: str, args) -> int:
     entries = sorted(
         load_manifest(out_dir).values(), key=lambda e: e["out_path"]
     )
-    cap = args.n or len(entries)
+    failed = [e for e in entries if e.get("error")]
+    ok = [e for e in entries if not e.get("error")]
+    cap = args.n or len(ok)
     tot_rows = tot_in = tot_file = 0
-    for e in entries:
+    for e in ok:
         tot_rows += e["num_rows"]
         tot_in += e["input_bytes"]
         tot_file += e["file_bytes"]
-    for e in entries[:cap]:
+    for e in ok[:cap]:
         name = e["out_path"] if args.absolute else os.path.basename(e["out_path"])
         print(
             f"{name}  {e['num_rows']} rows  in={e['input_bytes']}"
             f"  disk={e['file_bytes']}"
         )
-    if len(entries) > cap:
-        print(f"... {len(entries) - cap} more partitions")
+    if len(ok) > cap:
+        print(f"... {len(ok) - cap} more partitions")
+    for e in failed:
+        print(f"FAILED {e.get('partition_id')}: {e.get('error')}")
     ratio = tot_file / max(tot_in, 1)
+    tail = f", {len(failed)} FAILED (partial job)" if failed else ""
     print(
-        f"{len(entries)} encoded partitions, {tot_rows} rows, "
-        f"{tot_file} bytes on disk ({ratio:.3f}x of input)"
+        f"{len(ok)} encoded partitions, {tot_rows} rows, "
+        f"{tot_file} bytes on disk ({ratio:.3f}x of input){tail}"
     )
     return 0
 

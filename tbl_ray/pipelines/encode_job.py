@@ -56,11 +56,14 @@ def plan_partitions(
     out_dir: str,
     *,
     max_rows_per_partition: int = 1_000_000,
+    metas: "dict | None" = None,
 ) -> list[PartitionSpec]:
     """Pure function of (sorted input set, plan params) -> partition list.
 
     Partitions are runs of whole parquet row groups, so they never split a
     row group and never require a data scan to plan (footers only).
+    ``metas`` (path -> parquet FileMetaData) lets a caller that already
+    probed the footers skip the re-read.
     """
     ordered = sorted(paths)
     # footer reads release the GIL in Arrow's C++ reader; a thread pool
@@ -68,10 +71,11 @@ def plan_partitions(
     # (at 10^12-doc scale planning stays footer-only AND wall-bounded by
     # storage round-trips, not file count). Order is re-imposed below, so
     # the plan stays a pure function of the sorted input set.
-    with ThreadPoolExecutor(max_workers=min(16, max(1, len(ordered)))) as ex:
-        metas = dict(
-            zip(ordered, ex.map(lambda p: pq.ParquetFile(p).metadata, ordered))
-        )
+    if metas is None or any(p not in metas for p in ordered):
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(ordered)))) as ex:
+            metas = dict(
+                zip(ordered, ex.map(lambda p: pq.ParquetFile(p).metadata, ordered))
+            )
     specs: list[PartitionSpec] = []
     for path in ordered:
         md = metas[path]
@@ -512,27 +516,30 @@ def run_encode_job(
         raise ValueError(f"on_error must be 'raise' or 'skip' (got {on_error!r})")
     os.makedirs(out_dir, exist_ok=True)
     plan_failures: list[dict] = []
+    metas = None
     if on_error == "skip":
         # a corrupt footer would otherwise kill the PLANNING phase before
-        # any partition encodes; probe footers first (OS-cached, ~13 ms
-        # each, threaded) and carry unreadable files as failure records
-        def probe(p: str) -> "str | None":
+        # any partition encodes; probe footers (threaded), carry
+        # unreadable files as failure records, and hand the good footers
+        # to plan_partitions so they are read exactly once
+        def probe(p: str):
             try:
-                pq.ParquetFile(p).metadata
-                return None
+                return pq.ParquetFile(p).metadata
             except Exception as e:  # noqa: BLE001 - poison-pill containment
                 return f"{type(e).__name__}: {e}"
 
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
-            errs = dict(zip(sorted(paths), ex.map(probe, sorted(paths))))
+            probed = dict(zip(sorted(paths), ex.map(probe, sorted(paths))))
         plan_failures = [
-            {"input_path": p, "error": err, "partition_id": None}
-            for p, err in errs.items()
-            if err is not None
+            {"input_path": p, "error": r, "partition_id": None}
+            for p, r in probed.items()
+            if isinstance(r, str)
         ]
-        paths = [p for p in sorted(paths) if errs[p] is None]
+        metas = {p: r for p, r in probed.items() if not isinstance(r, str)}
+        paths = sorted(metas)
     specs = plan_partitions(
-        paths, out_dir, max_rows_per_partition=max_rows_per_partition
+        paths, out_dir, max_rows_per_partition=max_rows_per_partition,
+        metas=metas,
     )
     manifest = load_manifest(out_dir) if resume else {}
     skipped = [

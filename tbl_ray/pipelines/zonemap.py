@@ -93,7 +93,15 @@ def fold_stats(acc: dict, t: pa.Table) -> dict:
             mm = pc.min_max(col)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
         elif kind == "int":
-            mm = pc.min_max(pc.cast(col, pa.int64()))
+            # uint64 must not route through the CHECKED int64 cast
+            # (values over 2^63 raise — the same trap KeyBucket fixed);
+            # Python ints compare fine either way at prune time
+            wide = (
+                pa.uint64()
+                if pa.types.is_unsigned_integer(col.type)
+                else pa.int64()
+            )
+            mm = pc.min_max(pc.cast(col, wide))
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
         elif kind == "epoch":
             mm = pc.min_max(_epoch_int64(col))
@@ -101,7 +109,11 @@ def fold_stats(acc: dict, t: pa.Table) -> dict:
         else:  # str / bin — bytewise order == Arrow's compare order
             mm = pc.min_max(col)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if len(lo) > _VAL_CAP or len(hi) > _VAL_CAP:
+            lo_n = len(lo.encode()) if kind == "str" else len(lo)
+            hi_n = len(hi.encode()) if kind == "str" else len(hi)
+            if lo_n > _VAL_CAP or hi_n > _VAL_CAP:
+                # cap is in BYTES (manifest size bound); a truncated max
+                # could also under-bound '>' pruning, so drop the map
                 s["poisoned"] = True
                 continue
         if s["min"] is None or lo < s["min"]:
@@ -170,7 +182,12 @@ def _literal_as_stat(f: Filter, s: dict):
                 if pa.types.is_date32(dtype) or pa.types.is_time32(dtype):
                     return pc.cast(pc.cast(sc, pa.int32()), pa.int64()).as_py()
                 return pc.cast(sc, pa.int64()).as_py()
-            return pc.cast(sc, pa.int64()).as_py()
+            wide = (
+                pa.uint64()
+                if pa.types.is_unsigned_integer(dtype)
+                else pa.int64()
+            )
+            return pc.cast(sc, wide).as_py()
         if kind == "float":
             v = float(value)
             return None if v != v else v  # NaN literal: keep partition
@@ -231,24 +248,32 @@ def partition_may_match(entry: dict, filters: "list[Filter]") -> bool:
 def prune_report(out_dir: str, filters: "list[str | Filter]") -> dict:
     """Driver-side prune decision for every manifest partition.
 
-    Returns ``{"kept": [paths...], "skipped": [paths...]}`` in
-    deterministic (path-sorted) order. Pure manifest work — no data read."""
+    Returns ``{"kept": [paths...], "skipped": [paths...], "failed":
+    [partition ids...]}`` in deterministic (path-sorted) order —
+    ``failed`` lists ``on_error="skip"`` failure records, which have no
+    output to read. Pure manifest work — no data read."""
     from tbl_ray.pipelines.encode_job import load_manifest
 
     fs = [parse_filter(f) if isinstance(f, str) else f for f in filters]
     entries = sorted(
         load_manifest(out_dir).values(), key=lambda e: e["out_path"]
     )
-    kept, skipped = [], []
+    kept, skipped, failed = [], [], []
     for e in entries:
-        (kept if partition_may_match(e, fs) else skipped).append(e["out_path"])
-    return {"kept": kept, "skipped": skipped}
+        if e.get("error"):
+            failed.append(e.get("partition_id"))
+        elif partition_may_match(e, fs):
+            kept.append(e["out_path"])
+        else:
+            skipped.append(e["out_path"])
+    return {"kept": kept, "skipped": skipped, "failed": failed}
 
 
 def decode_filtered(
     out_dir: str,
     filters: "list[str | Filter]",
     columns: "list[str] | None" = None,
+    allow_partial: bool = False,
     **decode_kwargs,
 ) -> "object":
     """Decode a finished encode job's output with zone-map pruning, then
@@ -256,20 +281,48 @@ def decode_filtered(
 
     Result is identical to ``decode_job_output(out_dir)`` + the same
     filters — pruning only skips partitions whose stats prove emptiness.
-    When every partition is pruned, one partition is still decoded (and
-    exact-filtered to zero rows) so the dataset keeps its schema."""
+    When every partition is pruned, one row-bearing partition is still
+    decoded (and exact-filtered to zero rows) so the dataset keeps its
+    schema.
+
+    A manifest containing ``on_error="skip"`` failure records is a
+    PARTIAL job: reading it as if complete would silently return an
+    incomplete extract, so this raises unless ``allow_partial=True``
+    (resume the encode job to heal it). Note this guard sees
+    PARTITION-level failures (recorded in the manifest); a file whose
+    footer never parsed fails at planning and appears only in the job
+    REPORT + the absent ``_SUCCESS`` marker — check those before
+    trusting any in-flight job's directory."""
     import ray.data
 
     from tbl_ray.filters import combined_mask
+    from tbl_ray.pipelines.encode_job import load_manifest
     from tbl_ray.stages.encode import decode_dataset
 
     fs = [parse_filter(f) if isinstance(f, str) else f for f in filters]
-    rep = prune_report(out_dir, fs)
-    kept = rep["kept"]
+    entries = sorted(
+        load_manifest(out_dir).values(), key=lambda e: e["out_path"]
+    )
+    failed = [e for e in entries if e.get("error")]
+    if failed and not allow_partial:
+        ids = [e.get("partition_id") for e in failed]
+        raise ValueError(
+            f"{out_dir!r} is a PARTIAL encode job — {len(failed)} failed "
+            f"partition(s) {ids[:5]}{'...' if len(ids) > 5 else ''}; resume "
+            "the encode job to heal it, or pass allow_partial=True to read "
+            "the incomplete data anyway"
+        )
+    live = [e for e in entries if not e.get("error")]
+    kept = [e["out_path"] for e in live if partition_may_match(e, fs)]
     if not kept:
-        if not rep["skipped"]:
-            raise ValueError(f"no encoded partitions under {out_dir!r}")
-        kept = rep["skipped"][:1]  # schema carrier; filters drop all rows
+        # schema carrier: a row-bearing live partition (exact filters
+        # drop its rows); a zero-row partition couldn't name the schema
+        carriers = [e for e in live if e.get("num_rows")]
+        if not carriers:
+            raise ValueError(
+                f"no decodable rows under {out_dir!r} (empty or failed job)"
+            )
+        kept = [carriers[0]["out_path"]]
     # projection pushdown INTO the container: decode only the requested
     # columns plus whatever the filters need (dropped again after the mask)
     need = None

@@ -59,14 +59,16 @@ def estimate_input_bytes(ds) -> int | None:
     return _plan_source_bytes(ds)
 
 
-# row-wise logical operators a size estimate may see through: none of
-# them *grows* the data beyond what callers' amplification knobs cover
-# (a filter/limit shrinks; a map transforms in place). Anything else —
-# joins, unions, groupbys, sort, unknown ops — blocks the walk and the
-# caller must assume huge.
+# row-wise logical operators a size estimate may see through. A map CAN
+# grow the data (container decode, line/chunk exploders), so walked
+# estimates carry _WALK_AMPLIFICATION margin: the gate stays safe for
+# up to that expansion factor, and anything bigger should not sit
+# un-materialized upstream of a driver collect anyway. Joins, unions,
+# groupbys, sorts, unknown ops block the walk — caller assumes huge.
 _SIZE_TRANSPARENT_OPS = frozenset(
     {"MapBatches", "MapRows", "Filter", "Project", "Limit", "StreamingSplit"}
 )
+_WALK_AMPLIFICATION = 8
 
 
 def _plan_source_bytes(ds) -> int | None:
@@ -97,7 +99,9 @@ def _plan_source_bytes(ds) -> int | None:
         if type(op).__name__ != "Read":
             return None
         est = op._datasource.estimate_inmemory_data_size()
-        return int(est) if est is not None else None
+        # margin for maps that EXPAND data (container decode, exploders):
+        # the gate must stay conservative for up to 8x expansion
+        return int(est) * _WALK_AMPLIFICATION if est is not None else None
     except Exception:  # noqa: BLE001 - private-plan introspection
         return None
 

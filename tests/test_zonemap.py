@@ -314,3 +314,49 @@ def test_resume_with_stats_less_manifest_entries(ray_session, tmp_path):
     rep2 = run_encode_job(shards, out, resume=True)
     assert rep2["skipped"] == 2
     assert decode_job_output(out).count() == src.num_rows
+
+
+def test_fold_stats_uint64_above_int63():
+    t = pa.table({"u": pa.array([2**63 + 5, 7, 2**64 - 1], pa.uint64())})
+    s = _stats_for(t)
+    assert s["u"]["min"] == 7 and s["u"]["max"] == 2**64 - 1
+    entry = {"num_rows": 3, "stats": s}
+    assert partition_may_match(entry, [parse_filter(f"u={2**63 + 5}")])
+    assert not partition_may_match(entry, [parse_filter("u<7")])
+
+
+def test_string_cap_is_bytes_not_chars():
+    # 200 CJK chars = 600 UTF-8 bytes: over the 256-BYTE cap -> poisoned
+    acc = fold_stats({}, pa.table({"s": ["中" * 200, "a"]}))
+    assert finalize_stats(acc)["s"]["poisoned"]
+
+
+def test_decode_filtered_partial_job_guard(ray_session, tmp_path):
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    good = str(tmp_path / "g.parquet")
+    bad = str(tmp_path / "a_bad.parquet")  # sorts FIRST among outputs
+    pq.write_table(src.slice(0, 1000), good)
+    # footer intact, data pages corrupt: fails at ENCODE time, so the
+    # failure record lands in the manifest (a corrupt FOOTER fails at
+    # planning and is report-only — the manifest guard can't see it)
+    pq.write_table(src.slice(1000, 1000), bad)
+    raw = bytearray(open(bad, "rb").read())
+    raw[len(raw) // 4 : len(raw) // 4 + 256] = b"\x00" * 256
+    with open(bad, "wb") as fh:
+        fh.write(bytes(raw))
+    out = str(tmp_path / "enc")
+    rep = run_encode_job([good, bad], out, on_error="skip")
+    if rep["failed"] != 1:
+        pytest.skip("data-page corruption not detected by this reader")
+    # partial job refused by default, readable with allow_partial
+    with pytest.raises(ValueError, match="PARTIAL"):
+        decode_filtered(out, ["l_orderkey>=0"])
+    ds = decode_filtered(out, ["l_orderkey>=0"], allow_partial=True)
+    assert ds.count() == 1000
+    # all-pruned fallback must pick a LIVE row-bearing partition, never
+    # the failure record (whose output file does not exist)
+    ds0 = decode_filtered(out, ["l_orderkey<-1"], allow_partial=True)
+    assert ds0.count() == 0
+    assert set(ds0.schema().names) == set(src.column_names)
+    rep2 = prune_report(out, ["l_orderkey>=0"])
+    assert rep2["failed"] and len(rep2["kept"]) == 1
