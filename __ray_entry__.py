@@ -238,6 +238,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["simhash"] = simhash_col
 
+    def dedup_ngram(sf_dir: str):
+        """Exact n-gram-Jaccard near-dedup: MinHash LSH proposes
+        candidates, exact character-trigram Jaccard verifies each pair
+        (precision), union-find keeps the min-id doc per group."""
+        from tbl_ray.functions.dedup import jaccard_dedup
+
+        return jaccard_dedup(
+            _docs(sf_dir), "text", "doc_id", n=3, threshold=0.8
+        ).select_columns(["doc_id", "lang", "n_chars"])
+
+    q["dedup_ngram"] = dedup_ngram
+
+    def dedup_embed(sf_dir: str):
+        """Embedding-cosine near-dup via random-hyperplane LSH: the
+        embeddings table unioned with an id-shifted copy of itself, so
+        every vector has one exact duplicate — the only pairs at
+        cosine>=0.95 (max off-diagonal cosine in this table is ~0.6,
+        verified), which identical sign patterns find in every LSH
+        table. Oracle: each vec_id pairs with vec_id + 1000000."""
+        from tbl_ray.functions.dedup import embedding_dup_pairs
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "embeddings.parquet"))
+
+        def dup(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            idx = t.schema.get_field_index("vec_id")
+            shifted = t.set_column(
+                idx, "vec_id", _pc.add(t.column("vec_id"), 1_000_000)
+            )
+            return pa.concat_tables([t, shifted])
+
+        both = ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+        pairs = embedding_dup_pairs(both, threshold=0.95)
+        return pa.table(
+            {
+                "id_a": pa.array([p["id_a"] for p in pairs], pa.int64()),
+                "id_b": pa.array([p["id_b"] for p in pairs], pa.int64()),
+            }
+        )
+
+    q["dedup_embed"] = dedup_embed
+
     def ann_topk(sf_dir: str):
         from tbl_ray.functions.similarity import knn_brute
         from tbl_ray.sources import read_table
@@ -1489,7 +1533,7 @@ _WINDOW_FIRST = [
     "window_agg", "cast_date", "url_parts", "histogram",
     "embedding_centroids", "count_distinct_by", "redact", "dedup_lines",
     "token_count_bpe", "chunk_fixed", "shuffle_head", "top_ngrams",
-    "decontaminate", "dedup_incremental",
+    "decontaminate", "dedup_incremental", "dedup_ngram", "dedup_embed",
     # rows-only wave-2/3 (driver records the weaker rows check)
     "pack_sequences", "curate_webtext", "kmeans", "image_decode",
     "audio_decode", "frame_sample", "approx_distinct_by",
@@ -1879,6 +1923,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem WHERE l_orderkey >="
             " (SELECT CAST(floor(0.9 * max(l_orderkey)) AS BIGINT)"
             " FROM lineitem)"
+        ),
+        "dedup_embed": (
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b"
+            " FROM embeddings ORDER BY id_a"
         ),
         "dedup_incremental": (
             "WITH b AS (SELECT CAST(floor(0.6 * max(doc_id)) AS BIGINT) c1,"

@@ -591,6 +591,76 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def jaccard_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> "ray.data.Dataset":
+    """EXACT character-n-gram-Jaccard near-dedup: MinHash LSH proposes
+    candidate pairs (recall), :func:`ngram_jaccard` verifies each pair
+    exactly (precision — no sketch-estimate false positives survive),
+    union-find groups the verified pairs, the min-id doc of each group
+    is kept.
+
+    This is the standard production split: the sketch pass never ships
+    documents (only the banded signature), and exact verification
+    touches ONLY the candidate texts — driver work is bounded by the
+    candidate-pair count, not the corpus. The candidate threshold is
+    relaxed below ``threshold`` so sketch variance cannot lose true
+    pairs; exact verification then applies ``threshold`` precisely.
+
+    Consumes ``ds`` three times (sketch, candidate-text fetch, filter);
+    checkpoint expensive upstreams first, as with :func:`exact_dedup`."""
+    # relaxed candidate gate: est_jaccard is a Binomial(n_hashes, J)
+    # mean, so ~3 sigma below threshold keeps true pairs in play
+    sigma = (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+    cand_thr = max(0.0, threshold - 3.0 * sigma)
+    cands = minhash_dup_pairs(
+        ds, text_col, id_col,
+        n_hashes=n_hashes, bands=bands, threshold=cand_thr,
+    )
+    if not cands:
+        return ds
+    need = sorted({p["id_a"] for p in cands} | {p["id_b"] for p in cands})
+    need_arr = np.asarray(need, dtype=np.int64)
+    need_ref = ray.put(need_arr)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        keep = _sorted_member_mask(ids, ray.get(need_ref))
+        return pa.table(
+            {id_col: t.column(id_col).filter(pa.array(keep)),
+             text_col: t.column(text_col).filter(pa.array(keep))}
+        )
+
+    picked = ds.map_batches(
+        fetch, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    texts = {r[id_col]: r[text_col] for r in picked}
+    verified = [
+        (p["id_a"], p["id_b"])
+        for p in cands
+        if ngram_jaccard(
+            texts.get(p["id_a"], ""), texts.get(p["id_b"], ""), n=n
+        ) >= threshold
+    ]
+    roots = union_find(verified)
+    drop = np.sort(
+        np.fromiter((x for x, r in roots.items() if x != r), dtype=np.int64)
+    )
+    if drop.size == 0:
+        return ds
+    drop_ref = ray.put(drop)
+    return ds.map_batches(
+        _DropIds(drop_ref, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

@@ -1244,3 +1244,42 @@ def test_safe_group_by_null_string_plus_int_keys():
     assert out2.schema.field("k").type == pa.binary()
     # single-key and no-null paths stay untouched (no cast)
     assert safe_group_by(t, "v", [("x", "count")]).num_rows == 3
+
+
+def test_jaccard_dedup_exact_verification(ray_session):
+    import ray.data
+
+    from tbl_ray.functions.dedup import jaccard_dedup, ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base[:-8] + "sleeping"          # high trigram overlap
+    far = "completely different content with no shared trigrams at all"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},       # near-dup of 1 -> dropped
+        {"doc_id": 3, "text": far},
+        {"doc_id": 4, "text": base},       # exact dup of 1 -> dropped
+    ]
+    assert ngram_jaccard(base, near) >= 0.8
+    assert ngram_jaccard(base, far) < 0.2
+    out = jaccard_dedup(
+        ray.data.from_items(rows), "text", "doc_id", threshold=0.8
+    )
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [1, 3]
+
+
+def test_jaccard_dedup_rejects_sketch_false_positives(ray_session):
+    """Pairs the sketch proposes but exact Jaccard refutes must survive."""
+    import ray.data
+
+    from tbl_ray.functions.dedup import jaccard_dedup
+
+    # similar-ish but below the 0.9 exact bar: verification must keep both
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota kappa"
+    rows = [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b}]
+    out = jaccard_dedup(
+        ray.data.from_items(rows), "text", "doc_id", threshold=0.9
+    )
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2]
