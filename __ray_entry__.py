@@ -1538,14 +1538,19 @@ _WINDOW_FIRST = [
     "pack_sequences", "curate_webtext", "kmeans", "image_decode",
     "audio_decode", "frame_sample", "approx_distinct_by",
     # previously-green anchors (regression coverage inside the window)
-    "chain", "sort_topk", "dedup_exact", "group_agg", "join_broadcast",
-    "join_asof",
+    "chain", "sort_topk",
 ]
 
 
 def _rotate_window(q: dict) -> dict:
     missing = [n for n in _WINDOW_FIRST if n not in q]
     assert not missing, f"window rotation names unknown queries: {missing}"
+    # the driver checks EXACTLY the first 50 insertions — an oversized
+    # list would silently push wave-2/3 operators out of the window
+    assert len(_WINDOW_FIRST) <= 50, (
+        f"_WINDOW_FIRST has {len(_WINDOW_FIRST)} entries; the driver "
+        "checks only the first 50 — trim it"
+    )
     rest = {k: v for k, v in q.items() if k not in set(_WINDOW_FIRST)}
     return {**{k: q[k] for k in _WINDOW_FIRST}, **rest}
 

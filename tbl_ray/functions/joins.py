@@ -56,11 +56,19 @@ def broadcast_join(
     def probe(t: pa.Table) -> pa.Table:
         s = ray.get(small_ref)
         left_names = set(t.schema.names)
-        collide = {
-            c: c + rsuffix
-            for c in s.schema.names
-            if c not in keys and c in left_names
-        }
+        taken = left_names | set(s.schema.names)
+        collide = {}
+        for c in s.schema.names:
+            if c in keys or c not in left_names:
+                continue
+            # suffix until unique on BOTH sides: a big side already
+            # holding '<c>_r' would otherwise collide with the rename
+            # itself (the exact silent-duplicate this exists to prevent)
+            new = c + rsuffix
+            while new in taken:
+                new += rsuffix
+            collide[c] = new
+            taken.add(new)
         if collide:
             s = s.rename_columns(
                 [collide.get(c, c) for c in s.schema.names]
@@ -260,9 +268,16 @@ def _shuffle_join_plan(
             raise ValueError(f"key column {kcol!r} dtype differs across sides")
     lcols = [c for c in lsch.names if c not in keys]
     rcols_in = [c for c in rsch.names if c not in keys]
-    rename = {
-        c: (c + rsuffix if c in set(lcols) else c) for c in rcols_in
-    }
+    # suffix until unique against BOTH sides (a left column named
+    # '<c>_r' would collide with the rename itself) and prior renames
+    taken = set(keys) | set(lcols) | set(rcols_in)
+    rename = {}
+    for c in rcols_in:
+        new = c
+        while new in set(lcols) or (new != c and new in taken):
+            new += rsuffix
+        rename[c] = new
+        taken.add(new)
     rcols_out = [rename[c] for c in rcols_in]
     fields = (
         [(k, lsch.field(k).type) for k in keys]

@@ -24,19 +24,34 @@ DOMAIN_RE = r"([^.]+\.[^.]+)$"  # registrable-domain approximation
 
 def _group1_to_named(pattern: str) -> str:
     """Rewrite the first CAPTURING '(' to '(?P<g>' — Arrow wants named
-    groups, DuckDB numbered ones. Skips escaped literals ('\\(' — count
-    the preceding backslash run) and non-capturing/lookaround '(?'."""
+    groups, DuckDB numbered ones. A single left-to-right scan tracks
+    escapes AND character classes, so '\\(' (escaped literal), '[(]'
+    (bracketed literal) and '(?' (non-capturing/lookaround) are all
+    skipped — a '(' inside a class is a plain character in RE2."""
     i = 0
     n = len(pattern)
+    in_class = False
     while i < n:
-        if pattern[i] == "(":
-            bs = 0
-            j = i - 1
-            while j >= 0 and pattern[j] == "\\":
-                bs += 1
-                j -= 1
-            if bs % 2 == 0 and not pattern.startswith("(?", i):
-                return pattern[:i] + "(?P<g>" + pattern[i + 1 :]
+        c = pattern[i]
+        if c == "\\":
+            i += 2  # escaped char: skip it wholesale (also inside a class)
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            # ']' immediately after '[' or '[^' is a literal member
+            if pattern.startswith("^", i + 1):
+                i += 1
+            if pattern.startswith("]", i + 1):
+                i += 1
+            i += 1
+            continue
+        if c == "(" and not pattern.startswith("(?", i):
+            return pattern[:i] + "(?P<g>" + pattern[i + 1 :]
         i += 1
     raise ValueError(
         f"pattern has no capture group (group 1 required): {pattern!r}"

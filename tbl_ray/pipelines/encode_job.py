@@ -550,8 +550,18 @@ def run_encode_job(
 
     new_entries: list[dict] = []
     if pending:
-        pschema = pq.ParquetFile(pending[0].input_path).schema_arrow
+        # the plan (codec decisions + FSST symbol tables) must be a pure
+        # function of the SORTED FULL input set, never the pending
+        # subset: a resume whose pending list starts mid-job would
+        # otherwise train on different samples and produce different
+        # bytes for retried partitions — breaking the sha-identical
+        # re-encode invariant the tmp-rename race safety relies on. The
+        # cache key carries the input-set identity for the same reason
+        # (two same-schema datasets in one driver must not share tables).
+        plan_paths = list(dict.fromkeys(s.input_path for s in specs))
+        pschema = pq.ParquetFile(plan_paths[0]).schema_arrow
         pkey = (
+            tuple(plan_paths),
             tuple((f.name, str(f.type)) for f in pschema),
             effort,
             tuple(sorted((codecs or {}).items())),
@@ -559,11 +569,9 @@ def run_encode_job(
         planned = _PLAN_CACHE.get(pkey)
         if planned is None:
             decisions = plan_codec_decisions(
-                [s.input_path for s in pending], codecs=codecs, effort=effort
+                plan_paths, codecs=codecs, effort=effort
             )
-            symbols = plan_fsst_symbols(
-                [s.input_path for s in pending], decisions, codecs=codecs
-            )
+            symbols = plan_fsst_symbols(plan_paths, decisions, codecs=codecs)
             planned = (decisions, symbols)
             _PLAN_CACHE[pkey] = planned
         decisions, symbols = planned

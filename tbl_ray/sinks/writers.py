@@ -160,7 +160,12 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
             return any(has_float(f.type) for f in typ)
         return False
 
-    def to_df(t: pa.Table) -> "pd.DataFrame":
+    def stringify_temporal(t: pa.Table) -> pa.Table:
+        """One temporal text form for BOTH serialization paths below:
+        pandas to_json would otherwise truncate timestamps to 'ms'
+        (its date_unit default) and emit a 'T' separator only on the
+        float-free path — a silent microsecond loss AND a format that
+        flips with the presence of an unrelated float column."""
         for i, fld in enumerate(t.schema):
             if pa.types.is_date(fld.type):
                 t = t.set_column(
@@ -168,10 +173,17 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
                     pa.field(fld.name, pa.string()),
                     pc.strftime(t.column(i), "%Y-%m-%d"),
                 )
-        return t.to_pandas(types_mapper=pd.ArrowDtype)
+            elif pa.types.is_timestamp(fld.type):
+                # Arrow's %S prints the unit's full subsecond digits
+                t = t.set_column(
+                    i,
+                    pa.field(fld.name, pa.string()),
+                    pc.strftime(t.column(i), "%Y-%m-%d %H:%M:%S"),
+                )
+        return t
 
     def records(t: pa.Table) -> "list[str]":
-        t = hex_encode_binary_columns(t)
+        t = stringify_temporal(hex_encode_binary_columns(t))
         if any(has_float(f.type) for f in t.schema):
             out = []
             for row in t.to_pylist():
@@ -181,9 +193,8 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
                 }
                 out.append(json.dumps(row, default=str))
             return out
-        s = to_df(t).to_json(
-            orient="records", lines=True, date_format="iso",
-            default_handler=str,
+        s = t.to_pandas(types_mapper=pd.ArrowDtype).to_json(
+            orient="records", lines=True, default_handler=str,
         )
         return s.splitlines() if s else []
 

@@ -43,11 +43,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from tbl_ray.functions.dedup import (
-    _DropIds,
-    _fingerprint128,
-    _sorted_member_mask,
-)
+from tbl_ray.functions.dedup import _DropIds, _fingerprint128
 from tbl_ray.sizing import collect_local
 
 _RUN_PREFIX = "fprun-"
@@ -182,11 +178,12 @@ def dedup_against_store(
     ``update``, the kept rows' fingerprints are appended as one atomic
     run so the next increment dedups against them too.
 
-    One sketch pass ((f1, f2, id) pairs only), one driver resolve over
-    the sketch (store membership + within-increment winners), one
-    broadcast-filter pass over ``ds`` — documents never shuffle.
-    ``ds`` is consumed twice (sketch + filter): materialize or
-    checkpoint expensive upstreams first, as with ``exact_dedup``."""
+    Both plans consume ``ds`` exactly TWICE (sketch pass + broadcast
+    filter pass) and never shuffle documents: small increments resolve
+    the 24 B/row sketch on the driver; big ones resolve it in ONE
+    bucket exchange whose per-bucket task also checks the broadcast
+    store and appends its kept fingerprints. Materialize or checkpoint
+    expensive upstreams first, as with ``exact_dedup``."""
     from tbl_ray.sizing import fits_local
 
     store = FingerprintStore(store_dir)
@@ -219,13 +216,22 @@ def dedup_against_store(
             kept = ~(dup | in_store)
             store.append(f1s[kept], f2s[kept])
     else:
-        # big increment: within-increment losers via the engine's bucket
-        # exchange (vectorized per bucket, never per key), store hits via
-        # a broadcast-store stage; both driver collections are bounded by
-        # the duplicate count, exactly exact_dedup's documented bound
+        # big increment: ONE bucket exchange resolves everything — a
+        # fingerprint's rows all land in one bucket, so each bucket task
+        # computes its within-increment losers, its store hits (store
+        # ships once by ObjectRef), AND appends its kept fingerprints as
+        # one content-addressed run (idempotent on task retry). Only the
+        # drop ids return to the driver, bounded by the duplicate count —
+        # exactly exact_dedup's documented bound.
+        # NOTE: no tbl_ray imports inside the worker fn — runtime imports
+        # fail from a foreign cwd; module globals ship by value instead.
         from tbl_ray.stages.exchange import bucket_exchange
 
-        def bucket_losers(t: pa.Table) -> pa.Table:
+        store_ref = ray.put(store.load())
+        sdir = store.dir
+        do_update = update
+
+        def bucket_resolve(t: pa.Table) -> pa.Table:
             f1 = np.asarray(t.column("f1"), np.uint64)
             f2 = np.asarray(t.column("f2"), np.uint64)
             ids = np.asarray(t.column(id_col), dtype=np.int64)
@@ -234,55 +240,25 @@ def dedup_against_store(
             dup = np.zeros(len(idss), bool)
             if len(idss) > 1:
                 dup[1:] = (f1s[1:] == f1s[:-1]) & (f2s[1:] == f2s[:-1])
-            return pa.table({"drop": pa.array(idss[dup], pa.int64())})
+            sf1, sf2 = ray.get(store_ref)
+            hit = _member_mask(f1s, f2s, sf1, sf2)
+            drop_mask = dup | hit
+            if do_update:
+                keep = ~drop_mask
+                FingerprintStore(sdir).append(f1s[keep], f2s[keep])
+            return pa.table({"drop": pa.array(idss[drop_mask], pa.int64())})
 
-        losers = np.fromiter(
-            (
-                r["drop"]
-                for r in bucket_exchange(
-                    pair_ds, ["f1", "f2"], bucket_losers
-                ).take_all()
-            ),
-            dtype=np.int64,
+        drop = np.sort(
+            np.fromiter(
+                (
+                    r["drop"]
+                    for r in bucket_exchange(
+                        pair_ds, ["f1", "f2"], bucket_resolve
+                    ).take_all()
+                ),
+                dtype=np.int64,
+            )
         )
-        store_ref = ray.put(store.load())
-        hits = np.fromiter(
-            (
-                r["hit"]
-                for r in pair_ds.map_batches(
-                    _StoreHits(store_ref, id_col),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).take_all()
-            ),
-            dtype=np.int64,
-        )
-        drop = np.unique(np.concatenate([losers, hits]))
-        if update:
-            # third sketch pass: every non-dropped row is its fingerprint's
-            # unique winner; each task appends its batch's fingerprints as
-            # one content-addressed run (load() uniques across runs)
-            drop_ref0 = ray.put(drop)
-            sdir = store.dir
-
-            # NOTE: no tbl_ray imports inside this worker fn — runtime
-            # imports fail when the driver runs from a foreign cwd;
-            # module globals ship by value instead
-            def write_runs(t: pa.Table) -> pa.Table:
-                d = ray.get(drop_ref0)
-                ids_b = np.asarray(t.column(id_col), dtype=np.int64)
-                keep = ~_sorted_member_mask(ids_b, d) if len(d) else np.ones(
-                    len(ids_b), bool
-                )
-                FingerprintStore(sdir).append(
-                    np.asarray(t.column("f1"), np.uint64)[keep],
-                    np.asarray(t.column("f2"), np.uint64)[keep],
-                )
-                return pa.table({"n": pa.array([int(keep.sum())], pa.int64())})
-
-            pair_ds.map_batches(
-                write_runs, batch_format="pyarrow", zero_copy_batch=True
-            ).count()
 
     if drop.size == 0:
         return ds

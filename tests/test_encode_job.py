@@ -365,3 +365,50 @@ def test_planned_fsst_symbols_skip_retraining_and_stay_deterministic(
                                      row_groups=list(specs[1].row_groups))]
     )
     assert dec.sort_by("url").cast(want.schema).equals(want.sort_by("url"))
+
+
+def test_resume_plan_is_pure_function_of_input_set(ray_session, tmp_path):
+    """A mid-job resume must encode retried/remaining partitions to the
+    SAME bytes a clean full run produces: the codec/FSST plan derives
+    from the sorted FULL input set, never the pending subset (and the
+    plan cache is keyed by input-set identity, so a warm driver that
+    just encoded a same-schema dataset cannot leak its symbol tables)."""
+    import json
+
+    from tbl_ray.pipelines import encode_job as ej
+    from tbl_ray.webtable import generate_batch
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(generate_batch(0, 3000, seed=21), a)
+    pq.write_table(generate_batch(3000, 3000, seed=21), b)
+
+    def shas(out):
+        return {
+            e["partition_id"]: e["sha256"]
+            for e in (
+                json.loads(ln)
+                for ln in open(os.path.join(out, "manifest.jsonl"))
+                if ln.strip()
+            )
+            if not e.get("error")
+        }
+
+    clean = str(tmp_path / "clean")
+    ej._PLAN_CACHE.clear()
+    run_encode_job([a, b], clean)
+    want = shas(clean)
+
+    resumed = str(tmp_path / "resumed")
+    ej._PLAN_CACHE.clear()
+    run_encode_job([a], resumed)          # partial ingest: plan over [a]
+    ej._PLAN_CACHE.clear()                # fresh driver for the resume
+    run_encode_job([a, b], resumed, resume=True)
+    got = shas(resumed)
+
+    # b's partitions (encoded by the RESUME, pending=[b]) must be
+    # byte-identical to the clean run's
+    b_parts = [p for p in want if p.startswith("b.")]
+    assert b_parts
+    for p in b_parts:
+        assert got[p] == want[p]

@@ -1283,3 +1283,22 @@ def test_jaccard_dedup_rejects_sketch_false_positives(ray_session):
         ray.data.from_items(rows), "text", "doc_id", threshold=0.9
     )
     assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2]
+
+
+def test_broadcast_join_rename_does_not_collide_with_existing_suffix(
+    ray_session,
+):
+    import ray.data
+
+    from tbl_ray.functions.joins import broadcast_join
+
+    big = pa.table({"k": [1, 2], "v": [10, 20], "v_r": [100, 200]})
+    small = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    out = pa.concat_tables(
+        broadcast_join(ray.data.from_arrow(big), small, "k").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    names = out.column_names
+    assert len(names) == len(set(names)), names  # no silent duplicates
+    assert "v_r_r" in names  # the rename stepped past the taken suffix

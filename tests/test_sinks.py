@@ -111,3 +111,41 @@ def test_write_jsonl_float_exact_roundtrip(tmp_path):
     assert got == [v for v in vals]
     ints = [json.loads(l)["i"] for l in open(path)]
     assert ints == [1, 2, 3, 4]
+
+
+def test_write_json_timestamp_microseconds_and_path_consistency(
+    ray_session, tmp_path
+):
+    """Both JSONL serialization paths (vectorized float-free, per-row
+    float-bearing) must emit the SAME microsecond-exact timestamp text —
+    pandas to_json alone would truncate to ms on one path only."""
+    import datetime
+    import json as _json
+
+    import ray.data
+
+    from tbl_ray.sinks.writers import write_json
+
+    ts = [
+        datetime.datetime(2020, 1, 1, 12, 30, 45, 123456),
+        datetime.datetime(2021, 2, 3),
+    ]
+    a = str(tmp_path / "nofloat.jsonl")
+    b = str(tmp_path / "float.jsonl")
+    write_json(
+        ray.data.from_arrow(
+            pa.table({"ts": pa.array(ts, pa.timestamp("us")), "x": [1, 2]})
+        ),
+        a, lines=True,
+    )
+    write_json(
+        ray.data.from_arrow(
+            pa.table({"ts": pa.array(ts, pa.timestamp("us")), "x": [1.5, 2.5]})
+        ),
+        b, lines=True,
+    )
+    ta = [_json.loads(ln)["ts"] for ln in open(a)]
+    tb = [_json.loads(ln)["ts"] for ln in open(b)]
+    assert ta == tb == [
+        "2020-01-01 12:30:45.123456", "2021-02-03 00:00:00.000000"
+    ]

@@ -981,3 +981,29 @@ def test_union_by_name_three_way():
     )
     assert out.schema.names == ["x", "y", "z"]
     assert out.num_rows == 3
+
+
+def test_regex_extract_char_class_paren(ray_session, duck):
+    """A '(' inside a character class is a literal — the group-1 rewrite
+    must skip it and name the REAL capture (r'[(](\\d+)[)]' crashed every
+    worker batch before the scanner fix)."""
+    import ray.data
+
+    from tbl_ray.functions.text import regex_extract
+
+    t = pa.table({"s": ["a(42)b", "no parens", None, "(7)"]})
+    out = pa.concat_tables(
+        regex_extract(
+            ray.data.from_arrow(t), "s", r"[(](\d+)[)]", out_col="num"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    want = duck.execute(
+        "SELECT regexp_extract(s, '[(](\\d+)[)]', 1) AS num"
+        " FROM (VALUES ('a(42)b'), ('no parens'), (NULL), ('(7)')) v(s)"
+    ).fetchall()
+    got = sorted(
+        x if x is not None else "<null>"
+        for x in out.column("num").to_pylist()
+    )
+    exp = sorted(x[0] if x[0] is not None else "<null>" for x in want)
+    assert got == exp == sorted(["42", "7", "", "<null>"])
