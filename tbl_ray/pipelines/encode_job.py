@@ -179,6 +179,7 @@ def plan_codec_decisions(
     *,
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
+    on_error: str = "raise",
 ) -> dict[str, str]:
     """Decide every auto-selected column's codec ONCE, driver-side, from
     samples of up to three partitions spread across the job (first /
@@ -197,13 +198,38 @@ def plan_codec_decisions(
     if len(paths) > 1:
         picks.append(paths[-1])
     picks = list(dict.fromkeys(picks))
+    sampled: list[dict] = []
     if ray.is_initialized() and len(picks) > 1:
         # the probes are ~1s each; run them as parallel tasks so planning
         # stays off the job's critical path
         fn = ray.remote(num_cpus=1)(_sample_decisions)
-        sampled = ray.get([fn.remote(p, codecs, effort) for p in picks])
+        refs = [fn.remote(p, codecs, effort) for p in picks]
+        for ref in refs:
+            try:
+                sampled.append(ray.get(ref))
+            except Exception:  # noqa: BLE001 - poison-pill containment
+                if on_error != "skip":
+                    raise
     else:
-        sampled = [_sample_decisions(p, codecs, effort) for p in picks]
+        for p in picks:
+            try:
+                sampled.append(_sample_decisions(p, codecs, effort))
+            except Exception:  # noqa: BLE001 - poison-pill containment
+                if on_error != "skip":
+                    raise
+    if not sampled and on_error == "skip":
+        # every pick had corrupt data pages (footers were fine): scan the
+        # remaining files for ONE readable sample; with none at all,
+        # return no decisions — encode actors fall back to per-actor
+        # probing and the corrupt partitions become failure records
+        for p in paths:
+            if p in picks:
+                continue
+            try:
+                sampled.append(_sample_decisions(p, codecs, effort))
+                break
+            except Exception:  # noqa: BLE001
+                continue
     votes: dict[str, list[str]] = {}
     for d in sampled:
         for name, codec in d.items():
@@ -218,6 +244,7 @@ def plan_fsst_symbols(
     decisions: dict[str, str],
     *,
     codecs: dict[str, str] | None = None,
+    on_error: str = "raise",
 ) -> dict[str, list]:
     """Train each FSST column's symbol table ONCE, driver-side, from the
     first non-empty input — the same bounded sample the encoder itself
@@ -240,11 +267,17 @@ def plan_fsst_symbols(
         paths = [paths]
     out: dict[str, list] = {}
     for path in paths:
-        pf = pq.ParquetFile(path)
-        have = [c for c in fsst_cols if c in pf.schema_arrow.names]
-        batch = next(
-            pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS, columns=have), None
-        ) if have else None
+        try:
+            pf = pq.ParquetFile(path)
+            have = [c for c in fsst_cols if c in pf.schema_arrow.names]
+            batch = next(
+                pf.iter_batches(batch_size=_PLAN_SAMPLE_ROWS, columns=have),
+                None,
+            ) if have else None
+        except Exception:  # noqa: BLE001 - poison-pill containment
+            if on_error != "skip":
+                raise
+            continue  # corrupt sample file: train from the next one
         if batch is None or batch.num_rows == 0:
             continue
         t = pa.Table.from_batches([batch])
@@ -569,9 +602,11 @@ def run_encode_job(
         planned = _PLAN_CACHE.get(pkey)
         if planned is None:
             decisions = plan_codec_decisions(
-                plan_paths, codecs=codecs, effort=effort
+                plan_paths, codecs=codecs, effort=effort, on_error=on_error
             )
-            symbols = plan_fsst_symbols(plan_paths, decisions, codecs=codecs)
+            symbols = plan_fsst_symbols(
+                plan_paths, decisions, codecs=codecs, on_error=on_error
+            )
             planned = (decisions, symbols)
             _PLAN_CACHE[pkey] = planned
         decisions, symbols = planned
