@@ -1820,9 +1820,9 @@ def oracle_sql() -> dict[str, str]:
             " SELECT o_orderkey, o_custkey,"
             " row_number() OVER w AS rn,"
             " lag(price_fl) OVER w AS lag_price_fl,"
-            " sum(price_fl) OVER (PARTITION BY o_custkey ORDER BY"
+            " CAST(sum(price_fl) OVER (PARTITION BY o_custkey ORDER BY"
             " o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND"
-            " CURRENT ROW) AS cum_price_fl,"
+            " CURRENT ROW) AS BIGINT) AS cum_price_fl,"
             " lead(price_fl) OVER w AS lead_price_fl,"
             " first_value(price_fl) OVER w AS first_price_fl,"
             " percent_rank() OVER w AS pr,"
@@ -1834,7 +1834,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT event_id, user_id, ts,"
             " CAST(floor(value) AS BIGINT) AS value_fl FROM events)"
             " SELECT event_id, count(*) OVER w AS n_w,"
-            " sum(value_fl) OVER w AS sum_w"
+            " CAST(sum(value_fl) OVER w AS BIGINT) AS sum_w"
             " FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts"
             " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ),
@@ -1844,10 +1844,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pivot_counts": (
             "SELECT lang,"
-            " sum(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS n_src0,"
-            " sum(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS n_src1,"
-            " sum(CASE WHEN source='src2' THEN 1 ELSE 0 END) AS n_src2,"
-            " sum(CASE WHEN source='src3' THEN 1 ELSE 0 END) AS n_src3"
+            " CAST(sum(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,"
+            " CAST(sum(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,"
+            " CAST(sum(CASE WHEN source='src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2,"
+            " CAST(sum(CASE WHEN source='src3' THEN 1 ELSE 0 END) AS BIGINT) AS n_src3"
             " FROM documents GROUP BY lang"
         ),
         "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
@@ -1882,8 +1882,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q3_revenue": (
             "SELECT l_orderkey,"
-            " sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)"
-            " AS BIGINT)) AS sum_revenue_cents"
+            " CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)) AS BIGINT) AS sum_revenue_cents"
             " FROM lineitem WHERE l_orderkey IN"
             " (SELECT o_orderkey FROM orders WHERE o_orderpriority='1-URGENT')"
             " GROUP BY l_orderkey"

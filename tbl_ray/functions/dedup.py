@@ -316,6 +316,10 @@ class _MinhashSketch:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         col = t.column(self.text_col).combine_chunks()
+        if pa.types.is_null(col.type):
+            # an all-null block arrives as Arrow `null` type — fill_null
+            # can't build a string scalar for it, so cast first
+            col = col.cast(pa.string())
         if col.null_count:
             col = pc.fill_null(col, "")
         sig = minhash_signatures(col, self.n_hashes)
@@ -641,7 +645,9 @@ def jaccard_dedup(
     picked = ds.map_batches(
         fetch, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
-    texts = {r[id_col]: r[text_col] for r in picked}
+    # coalesce null texts: null-text docs sketch identically, so they DO
+    # arrive as candidates, and ngram_jaccard(None, ...) would raise
+    texts = {r[id_col]: (r[text_col] or "") for r in picked}
     verified = [
         (p["id_a"], p["id_b"])
         for p in cands

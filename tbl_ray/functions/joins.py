@@ -15,7 +15,7 @@ should never hide inside an operator).
 
 from __future__ import annotations
 
-import os
+import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -327,16 +327,20 @@ def _shuffle_join_plan(
             salt = np.zeros(n, dtype=np.int64)
             if side == 0:
                 # round-robin the hot probe rows over the salt range,
-                # starting at a RANDOM per-batch offset: a key that is hot
-                # in aggregate but sparse per batch (1 hot row per 1k-row
-                # block) would otherwise always draw salt 0 and the
-                # fan-out would silently do nothing. Salt assignment is
-                # load-balance only — any assignment yields the identical
-                # join result — so entropy here never affects semantics.
+                # starting at a per-batch offset DERIVED FROM BATCH CONTENT:
+                # a key that is hot in aggregate but sparse per batch (1 hot
+                # row per 1k-row block) would otherwise always draw salt 0
+                # and the fan-out would silently do nothing. The offset must
+                # be deterministic (not os.urandom): Ray may re-execute this
+                # task for lineage reconstruction after downstream shuffle
+                # blocks were partially consumed, and a nondeterministic
+                # offset would land rows in different salt sub-buckets than
+                # the first execution, duplicating or losing join rows.
                 hot_idx = np.flatnonzero(hot_np)
                 if len(hot_idx):
-                    off = int.from_bytes(os.urandom(4), "little")
-                    salt[hot_idx] = (off + np.arange(len(hot_idx))) % skew_salt
+                    first = out.column(keys[0])[int(hot_idx[0])].as_py()
+                    h = zlib.crc32(repr((first, n, int(hot_idx[0]))).encode())
+                    salt[hot_idx] = (h + np.arange(len(hot_idx))) % skew_salt
                 return out.append_column("__salt__", pa.array(salt))
             # build side: every hot row must meet every salt sub-bucket
             cold = out.filter(pc.invert(hot)).append_column(

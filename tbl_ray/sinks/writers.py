@@ -174,11 +174,17 @@ def write_json(ds: "ray.data.Dataset", path: str, *, lines: bool = True) -> None
                     pc.strftime(t.column(i), "%Y-%m-%d"),
                 )
             elif pa.types.is_timestamp(fld.type):
-                # Arrow's %S prints the unit's full subsecond digits
+                # Arrow's %S prints the unit's full subsecond digits.
+                # tz-aware columns keep their offset (%z) so the instant
+                # stays recoverable — strftime without %z would render
+                # local wall time and silently drop the zone.
+                fmt = "%Y-%m-%d %H:%M:%S"
+                if fld.type.tz is not None:
+                    fmt += "%z"
                 t = t.set_column(
                     i,
                     pa.field(fld.name, pa.string()),
-                    pc.strftime(t.column(i), "%Y-%m-%d %H:%M:%S"),
+                    pc.strftime(t.column(i), fmt),
                 )
         return t
 

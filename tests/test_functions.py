@@ -1269,6 +1269,25 @@ def test_jaccard_dedup_exact_verification(ray_session):
     assert kept == [1, 3]
 
 
+def test_jaccard_dedup_null_texts(ray_session):
+    """Null-text docs sketch identically, so they DO reach exact
+    verification as candidates; they must be coalesced to '' (and thus
+    dedup against each other), not crash ngram_jaccard(None, ...)."""
+    import ray.data
+
+    from tbl_ray.functions.dedup import jaccard_dedup
+
+    rows = [
+        {"doc_id": 1, "text": None},
+        {"doc_id": 2, "text": None},   # null == null -> dropped
+        {"doc_id": 3, "text": "real content that is not a duplicate"},
+    ]
+    out = jaccard_dedup(
+        ray.data.from_items(rows), "text", "doc_id", threshold=0.8
+    )
+    assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3]
+
+
 def test_jaccard_dedup_rejects_sketch_false_positives(ray_session):
     """Pairs the sketch proposes but exact Jaccard refutes must survive."""
     import ray.data

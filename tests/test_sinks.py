@@ -149,3 +149,25 @@ def test_write_json_timestamp_microseconds_and_path_consistency(
     assert ta == tb == [
         "2020-01-01 12:30:45.123456", "2021-02-03 00:00:00.000000"
     ]
+
+
+def test_write_json_tz_aware_keeps_offset(ray_session, tmp_path):
+    """tz-aware timestamp columns must keep their UTC offset in JSON —
+    bare strftime would render wall time and drop the zone, making the
+    instant unrecoverable."""
+    import datetime
+    import json as _json
+
+    import ray.data
+
+    from tbl_ray.sinks.writers import write_json
+
+    ts = [datetime.datetime(2021, 1, 2, 3, 4, 5, 123456)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us", tz="UTC")), "x": [1]})
+    path = str(tmp_path / "tz.jsonl")
+    write_json(ray.data.from_arrow(t), path, lines=True)
+    got = _json.loads(open(path).read())["ts"]
+    assert got == "2021-01-02 03:04:05.123456+0000"
+    # the instant round-trips
+    back = datetime.datetime.strptime(got, "%Y-%m-%d %H:%M:%S.%f%z")
+    assert back == ts[0].replace(tzinfo=datetime.timezone.utc)
