@@ -604,12 +604,21 @@ def jaccard_dedup(
     threshold: float = 0.8,
     n_hashes: int = 32,
     bands: int = 8,
+    candidate_threshold: float | None = None,
 ) -> "ray.data.Dataset":
     """EXACT character-n-gram-Jaccard near-dedup: MinHash LSH proposes
     candidate pairs (recall), :func:`ngram_jaccard` verifies each pair
     exactly (precision — no sketch-estimate false positives survive),
     union-find groups the verified pairs, the min-id doc of each group
     is kept.
+
+    ``candidate_threshold`` overrides the sketch-level candidate gate
+    (default: ``threshold`` minus 3 sigma of the estimator). Pass ``0.0``
+    with high ``bands`` (e.g. ``bands=16`` at ``n_hashes=32``, 2 rows
+    per band) to make candidate recall effectively exhaustive — every
+    band-bucket cohabitant is exactly verified, so the result equals a
+    brute-force pairwise Jaccard dedup up to a ~1e-7/pair LSH miss
+    probability. The driver oracle relies on this mode.
 
     This is the standard production split: the sketch pass never ships
     documents (only the banded signature), and exact verification
@@ -620,10 +629,13 @@ def jaccard_dedup(
 
     Consumes ``ds`` three times (sketch, candidate-text fetch, filter);
     checkpoint expensive upstreams first, as with :func:`exact_dedup`."""
-    # relaxed candidate gate: est_jaccard is a Binomial(n_hashes, J)
-    # mean, so ~3 sigma below threshold keeps true pairs in play
-    sigma = (threshold * (1.0 - threshold) / n_hashes) ** 0.5
-    cand_thr = max(0.0, threshold - 3.0 * sigma)
+    if candidate_threshold is not None:
+        cand_thr = candidate_threshold
+    else:
+        # relaxed candidate gate: est_jaccard is a Binomial(n_hashes, J)
+        # mean, so ~3 sigma below threshold keeps true pairs in play
+        sigma = (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+        cand_thr = max(0.0, threshold - 3.0 * sigma)
     cands = minhash_dup_pairs(
         ds, text_col, id_col,
         n_hashes=n_hashes, bands=bands, threshold=cand_thr,

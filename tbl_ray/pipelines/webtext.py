@@ -43,7 +43,10 @@ class WebtextConfig:
     languages: list[str] = field(default_factory=lambda: ["en"])
     min_quality: float = 0.2
     normalize: bool = True
-    minhash_threshold: float = 0.9
+    # None skips the near-dedup stage entirely (the remaining funnel —
+    # filter, exact dedup, decontaminate, sample — is then fully
+    # deterministic and SQL-replayable, which the driver oracle uses)
+    minhash_threshold: float | None = 0.9
     decontaminate_ngram: int = 8
     sample_n: int | None = None
     sample_seed: int = 0
@@ -209,16 +212,17 @@ def curate_webtext(
     if audit_counts:
         report["after_exact_dedup"] = kept.count()
 
-    kept, _ = _stage_boundary(
-        lambda: minhash_dedup(
-            kept, cfg.text_col, cfg.id_col, threshold=cfg.minhash_threshold
-        ),
-        "02_minhash_dedup",
-        checkpoint_dir,
-        ckey,
-    )
-    if audit_counts:
-        report["after_minhash_dedup"] = kept.count()
+    if cfg.minhash_threshold is not None:
+        kept, _ = _stage_boundary(
+            lambda: minhash_dedup(
+                kept, cfg.text_col, cfg.id_col, threshold=cfg.minhash_threshold
+            ),
+            "02_minhash_dedup",
+            checkpoint_dir,
+            ckey,
+        )
+        if audit_counts:
+            report["after_minhash_dedup"] = kept.count()
 
     if eval_ds is not None:
         # when a two-pass stage follows, checkpoint the decontaminated

@@ -73,9 +73,19 @@ class ImageDecode:
 
     FEATURE_DIM = 16
 
-    def __init__(self, *, strict: bool = False, payload_col: str = "payload"):
+    def __init__(
+        self,
+        *,
+        strict: bool = False,
+        payload_col: str = "payload",
+        emit_sum: bool = False,
+    ):
         self.strict = strict
         self.payload_col = payload_col
+        # exact int64 sum of all decoded channel values — an
+        # independently-computable pixel checksum (the driver oracle
+        # replays it analytically for formula-generated images)
+        self.emit_sum = emit_sum
         # per-actor init: nothing heavy for the numpy codecs; a real
         # model/codec handle (PIL/libvips/ffmpeg) would load ONCE here
 
@@ -84,6 +94,7 @@ class ImageDecode:
         n = len(lens)
         width = np.zeros(n, np.int32)
         height = np.zeros(n, np.int32)
+        sum_px = np.zeros(n, np.int64)
         feat = np.zeros((n, self.FEATURE_DIM), dtype=np.float32)
         for i in range(n):
             data = payloads[i].as_py() or b""
@@ -101,8 +112,10 @@ class ImageDecode:
                     ) / 65535.0
                 continue
             height[i], width[i] = pixels.shape[0], pixels.shape[1]
+            if self.emit_sum:
+                sum_px[i] = int(pixels.astype(np.int64).sum())
             feat[i] = image_features(pixels, self.FEATURE_DIM)
-        return {
+        out = {
             "width": pa.array(width),
             "height": pa.array(height),
             "n_bytes": pa.array(lens, type=pa.int64()),
@@ -110,6 +123,9 @@ class ImageDecode:
                 pa.array(feat.ravel()), self.FEATURE_DIM
             ),
         }
+        if self.emit_sum:
+            out["sum_px"] = pa.array(sum_px, type=pa.int64())
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.payload_col).combine_chunks()
@@ -124,6 +140,7 @@ def decode_images(
     ds: "ray.data.Dataset",
     *,
     strict: bool = False,
+    emit_sum: bool = False,
     batch_size: int = 64,
     concurrency=None,
 ) -> "ray.data.Dataset":
@@ -132,7 +149,7 @@ def decode_images(
 
     return ds.map_batches(
         ImageDecode,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict, "emit_sum": emit_sum},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -240,6 +257,93 @@ def synthetic_image_table(n: int, *, seed: int = 42, fmt: str = "bmp") -> pa.Tab
     )
 
 
+def _formula_pixels(w: int, h: int, salt: int) -> np.ndarray:
+    """Closed-form RGB grid — every pixel is an integer formula of
+    (x, y, salt), so an independent oracle (e.g. SQL ``generate_series``)
+    can recompute dimension and pixel-sum expectations without running
+    any of this code: R=(x*255)//(w-1), G=(y*255)//(h-1),
+    B=(x*y+salt)%256."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            ((xx * 255) // max(w - 1, 1)).astype(np.uint8),
+            ((yy * 255) // max(h - 1, 1)).astype(np.uint8),
+            ((xx * yy + salt) % 256).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+def formula_image_table(n: int, *, fmt: str = "bmp") -> pa.Table:
+    """Media rows whose payloads are REAL decodable images with
+    closed-form dimensions and pixels: image ``i`` is
+    ``8+(i*37)%56 x 8+(i*53)%56`` with :func:`_formula_pixels` content.
+    Unlike :func:`synthetic_image_table` (rng pixels), everything here is
+    replayable by an external oracle."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i * 37) % 56, 8 + (i * 53) % 56
+        px = _formula_pixels(w, h, i)
+        rows.append(encode_bmp(px) if fmt == "bmp" else encode_png(px))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(rows, type=pa.large_binary()),
+            "mime": pa.array([f"image/{fmt}"] * n),
+            "meta": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def formula_audio_table(n: int) -> pa.Table:
+    """Media rows whose payloads are REAL WAV clips with closed-form
+    samples: clip ``i`` has rate ``[8000,16000,44100][i%3]``, length
+    ``500+(i*131)%1500`` and ``pcm[t] = ((t*(t+7)+i*31)%24001)-12000``
+    — integer arithmetic only, so an external oracle can recompute
+    n_samples and the exact PCM sum."""
+    rows = []
+    rates = [8000, 16000, 44100]
+    for i in range(n):
+        rate = rates[i % 3]
+        length = 500 + (i * 131) % 1500
+        tt = np.arange(length, dtype=np.int64)
+        pcm = ((tt * (tt + 7) + i * 31) % 24001 - 12000).astype(np.int16)
+        rows.append(encode_wav(pcm, rate))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(rows, type=pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "meta": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def formula_video_table(n: int, *, frames: int = 8) -> pa.Table:
+    """Media rows whose payloads are REAL frame containers of BMP frames
+    with closed-form dimensions: frame ``j`` of video ``i`` is
+    ``8+((i*7+j*37)%56) x 8+((i*11+j*53)%56)``."""
+    rows = []
+    for i in range(n):
+        fr = []
+        for j in range(frames):
+            w = 8 + (i * 7 + j * 37) % 56
+            h = 8 + (i * 11 + j * 53) % 56
+            fr.append(encode_bmp(_formula_pixels(w, h, i * 91 + j)))
+        rows.append(pack_frames(fr))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(rows, type=pa.large_binary()),
+            "mime": pa.array(["video/x-frames"] * n),
+            "meta": pa.array(["{}"] * n),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def fake_media_table(n: int, *, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
     """Deterministic fake media rows for plumbing tests/benchmarks."""
     rng = np.random.default_rng(seed)
@@ -268,9 +372,18 @@ class AudioDecode:
 
     FEATURE_DIM = 8
 
-    def __init__(self, *, strict: bool = False, payload_col: str = "payload"):
+    def __init__(
+        self,
+        *,
+        strict: bool = False,
+        payload_col: str = "payload",
+        emit_sum: bool = False,
+    ):
         self.strict = strict
         self.payload_col = payload_col
+        # exact int64 sum of decoded PCM samples — an independently
+        # computable checksum for formula-generated clips (driver oracle)
+        self.emit_sum = emit_sum
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.payload_col).combine_chunks()
@@ -279,6 +392,7 @@ class AudioDecode:
         ns = np.zeros(n, np.int64)
         ch = np.zeros(n, np.int32)
         dur = np.zeros(n, np.float64)
+        sum_pcm = np.zeros(n, np.int64)
         feat = np.zeros((n, self.FEATURE_DIM), np.float32)
         for i in range(n):
             data = payloads[i].as_py() or b""
@@ -290,22 +404,28 @@ class AudioDecode:
                 continue
             sr[i], ns[i], ch[i] = rate, samples.shape[0], samples.shape[1]
             dur[i] = samples.shape[0] / rate
+            if self.emit_sum:
+                sum_pcm[i] = int(samples.astype(np.int64).sum())
             feat[i] = audio_features(samples, rate, self.FEATURE_DIM)
         out = t.drop_columns([self.payload_col])
         out = out.append_column("sample_rate", pa.array(sr))
         out = out.append_column("n_samples", pa.array(ns))
         out = out.append_column("channels", pa.array(ch))
         out = out.append_column("duration_s", pa.array(dur))
-        return out.append_column(
+        out = out.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(pa.array(feat.ravel()), self.FEATURE_DIM),
         )
+        if self.emit_sum:
+            out = out.append_column("sum_pcm", pa.array(sum_pcm, pa.int64()))
+        return out
 
 
 def decode_audio(
     ds: "ray.data.Dataset",
     *,
     strict: bool = False,
+    emit_sum: bool = False,
     batch_size: int = 64,
     concurrency=None,
 ) -> "ray.data.Dataset":
@@ -313,7 +433,7 @@ def decode_audio(
 
     return ds.map_batches(
         AudioDecode,
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={"strict": strict, "emit_sum": emit_sum},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
