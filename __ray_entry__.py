@@ -1278,6 +1278,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["join_anti"] = join_anti_q
 
+    def join_anti_large_q(sf_dir: str):
+        """Anti join with a LARGE (non-broadcastable) right side: the
+        co-bucketed shuffle anti plan — right collapses to per-block
+        distinct keys, one key-hash exchange co-partitions both sides,
+        Arrow left-anti per bucket. Same answer as the broadcast plan."""
+        from tbl_ray.functions.joins import shuffle_anti_join
+        from tbl_ray.sources.parquet import read_for_spec
+        from tbl_ray.transforms import TransformSpec
+
+        li = read_for_spec(
+            [os.path.join(sf_dir, "lineitem.parquet")],
+            TransformSpec(select=["l_orderkey", "l_linenumber"]),
+        )
+        ur = read_for_spec(
+            [os.path.join(sf_dir, "orders.parquet")],
+            TransformSpec(
+                select=["o_orderkey", "o_orderpriority"],
+                filter=["o_orderpriority=1-URGENT"],
+            ),
+        ).map_batches(
+            lambda t: t.select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return shuffle_anti_join(li, ur, "l_orderkey")
+
+    q["join_anti_large"] = join_anti_large_q
+
     def q3_revenue(sf_dir: str):
         """TPC-H-Q3-shaped composite: revenue per order (exact integer
         cents), semi-joined to urgent orders, top-10 without a global
@@ -1606,8 +1634,10 @@ _WINDOW_FIRST = [
     "filter_ge", "filter_is_null", "filter_not_null",
     "value_counts", "value_counts_events", "head", "offset_head", "tail",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
-    "token_count", "text_len", "sample_uniform", "sample_stratified",
+    "token_count", "sample_uniform", "sample_stratified",
     "ann_topk", "group_agg",
+    # the round-4 co-bucketed large-right anti join
+    "join_anti_large",
 ]
 
 
@@ -1942,6 +1972,11 @@ def _wave4_oracles() -> dict[str, str]:
         " ORDER BY sk, doc_id LIMIT 100"
     )
     out["kmeans"] = _kmeans_sql(8, 3)
+    out["join_anti_large"] = (
+        "SELECT l_orderkey, l_linenumber FROM lineitem"
+        " WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders"
+        " WHERE o_orderpriority='1-URGENT')"
+    )
     # brute-force character-trigram Jaccard dedup from first principles:
     # distinct trigrams per doc, pairwise intersection via a gram join,
     # J >= 0.8 edges, min-label propagation for connected components,

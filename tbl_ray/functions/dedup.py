@@ -15,6 +15,8 @@ sketches only -> tiny pair set. The documents table never moves twice.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -27,6 +29,30 @@ from tbl_ray.codecs.base import binary_parts, segment_reduceat
 from tbl_ray.codecs.native import lib as _native_lib
 from tbl_ray.sizing import collect_local as _collect_sketch, fits_local
 from tbl_ray.webtable import _mix
+
+
+_PAIR_BUDGET_ENV = "TBL_RAY_MAX_PAIRS"
+
+
+def _check_pair_budget(n_pairs: int, op: str) -> None:
+    """Driver-side guard on the verified near-duplicate pair list.
+
+    The pair list is tiny BY DESIGN (bucket caps bound candidate
+    generation), but a pathological corpus — everything near-duplicate —
+    would otherwise materialize O(n^2-ish) pairs on the driver and OOM
+    silently. Failing with a clear message beats that; the remedies are
+    in the message. Budget via TBL_RAY_MAX_PAIRS (default 5e6 pairs,
+    ~a few hundred MB of driver dict)."""
+    budget = int(os.environ.get(_PAIR_BUDGET_ENV, 5_000_000))
+    if n_pairs > budget:
+        raise RuntimeError(
+            f"{op}: the verified near-duplicate pair list exceeded the"
+            f" driver budget ({n_pairs} > {budget} pairs). The corpus is"
+            " pathologically duplicate-dense for a driver-side"
+            " union-find. Run exact_dedup first to collapse identical"
+            " documents, tighten the threshold, or raise"
+            f" {_PAIR_BUDGET_ENV} if the driver has the memory."
+        )
 
 
 def _local_bucket_groups(t: pa.Table | None, group_fn):
@@ -418,15 +444,18 @@ def minhash_dup_pairs(
                 key = (a, b)
                 if key not in seen or j > seen[key]:
                     seen[key] = j
+            _check_pair_budget(len(seen), "minhash_dup_pairs")
     else:
         pair_ds = sk.groupby(["band", "bucket"]).map_groups(
             pairs_fn, batch_format="pyarrow"
         )
         pair_ds = _coalesce_pairs(pair_ds, "est_jaccard", maximize=True)
-        for r in pair_ds.take_all():
-            key = (r["id_a"], r["id_b"])
-            if key not in seen or r["est_jaccard"] > seen[key]:
-                seen[key] = r["est_jaccard"]
+        for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            for r in b.to_pylist():
+                key = (r["id_a"], r["id_b"])
+                if key not in seen or r["est_jaccard"] > seen[key]:
+                    seen[key] = r["est_jaccard"]
+            _check_pair_budget(len(seen), "minhash_dup_pairs")
     return [
         {"id_a": a, "id_b": b, "est_jaccard": j} for (a, b), j in sorted(seen.items())
     ]
@@ -567,15 +596,18 @@ def simhash_dup_pairs(
                 key = (a, b)
                 if key not in seen or h < seen[key]:
                     seen[key] = h
+            _check_pair_budget(len(seen), "simhash_dup_pairs")
     else:
         pair_ds = sk.groupby(["band", "bucket"]).map_groups(
             pairs, batch_format="pyarrow"
         )
         pair_ds = _coalesce_pairs(pair_ds, "hamming", maximize=False)
-        for r in pair_ds.take_all():
-            key = (r["id_a"], r["id_b"])
-            if key not in seen or r["hamming"] < seen[key]:
-                seen[key] = r["hamming"]
+        for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            for r in b.to_pylist():
+                key = (r["id_a"], r["id_b"])
+                if key not in seen or r["hamming"] < seen[key]:
+                    seen[key] = r["hamming"]
+            _check_pair_budget(len(seen), "simhash_dup_pairs")
     return [{"id_a": a, "id_b": b, "hamming": h} for (a, b), h in sorted(seen.items())]
 
 
@@ -762,10 +794,12 @@ def embedding_dup_pairs(
     pair_ds = sk.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
     pair_ds = _coalesce_pairs(pair_ds, "cosine", maximize=True)
     seen = {}
-    for r in pair_ds.take_all():
-        key = (r["id_a"], r["id_b"])
-        if key not in seen or r["cosine"] > seen[key]:
-            seen[key] = r["cosine"]
+    for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for r in b.to_pylist():
+            key = (r["id_a"], r["id_b"])
+            if key not in seen or r["cosine"] > seen[key]:
+                seen[key] = r["cosine"]
+        _check_pair_budget(len(seen), "embedding_dup_pairs")
     return [{"id_a": a, "id_b": b, "cosine": c} for (a, b), c in sorted(seen.items())]
 
 

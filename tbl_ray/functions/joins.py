@@ -25,6 +25,7 @@ import ray.data
 from tbl_ray.functions.dedup import _fingerprint128  # noqa: F401 - re-export
 from tbl_ray.stages.exchange import KeyBucket as _KeyBucket
 from tbl_ray.stages.exchange import auto_buckets as _auto_buckets
+from tbl_ray.stages.exchange import safe_group_by as _safe_group_by
 
 _JOIN_TYPES = {"inner", "left outer"}
 
@@ -477,6 +478,88 @@ def broadcast_range_join(
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shuffle_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    *,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Anti join for two LARGE sides: keep left rows whose key appears
+    nowhere in the right side, without broadcasting either.
+
+    Scale shape (the co-bucketed design exact_dedup_bucketed pioneered):
+    the right side first collapses to its per-block DISTINCT keys (the
+    only bytes it contributes to the exchange), both sides are tagged
+    and co-partitioned by ONE key-hash bucket exchange, and each bucket
+    runs Arrow's vectorized ``left anti`` join locally. Null-key
+    semantics match :func:`broadcast_semi_join`'s anti form exactly:
+    a null right key matches nothing (dropped before the exchange), a
+    null left key has no match and is KEPT (Arrow join semantics — note
+    this differs from SQL ``NOT IN`` null poisoning, same as the
+    broadcast plan)."""
+    import numpy as np  # noqa: F401 - parity with sibling joins
+
+    from tbl_ray.stages.exchange import KeyBucket as _KB
+    from tbl_ray.stages.exchange import auto_buckets as _ab
+
+    keys = [on] if isinstance(on, str) else list(on)
+    lsch = left.schema()
+    lsch = getattr(lsch, "base_schema", lsch)
+    if lsch is None:
+        lsch = pa.concat_tables(
+            left.limit(1).iter_batches(batch_format="pyarrow", batch_size=None)
+        ).schema
+    lfields = [(n, lsch.field(n).type) for n in lsch.names]
+
+    def widen_left(t: pa.Table) -> pa.Table:
+        cols = {n: t.column(n).cast(typ) for n, typ in lfields}
+        cols["__side__"] = pa.nulls(t.num_rows, pa.int8()).fill_null(0)
+        return pa.table(cols)
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        t = t.select(keys)
+        for kcol in keys:  # null right keys can never match: drop early
+            t = t.filter(pc.is_valid(t.column(kcol)))
+        # module-scope import (_safe_group_by): this closure runs in Ray
+        # workers, where a late `from tbl_ray...` import breaks under a
+        # foreign driver cwd
+        t = _safe_group_by(t, keys)  # per-block distinct: shrink the shuffle
+        n = t.num_rows
+        cols = {}
+        for name, typ in lfields:
+            if name in keys:
+                cols[name] = t.column(name).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        cols["__side__"] = pa.nulls(n, pa.int8()).fill_null(1)
+        return pa.table(cols)
+
+    u = left.map_batches(
+        widen_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            widen_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    if n_buckets is None:
+        n_buckets = _ab(left)
+
+    def bucket_anti(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket__"])
+        side = t.column("__side__")
+        lt = t.filter(pc.equal(side, 0)).drop_columns(["__side__"])
+        rt = t.filter(pc.equal(side, 1)).select(keys)
+        return lt.join(rt, keys=keys, join_type="left anti")
+
+    bucketed = u.map_batches(
+        _KB(keys, n_buckets), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("__bucket__").map_groups(
+        bucket_anti, batch_format="pyarrow"
+    )
+
+
 def join_auto(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -551,11 +634,11 @@ def join_auto(
             )
         return broadcast_join(left, t, keys, join_type=join_type)
     if anti:
-        raise NotImplementedError(
-            "anti join with a large right side: co-bucket both sides by "
-            "key hash (tbl_ray.stages.partition.partition_by_hash) and "
-            "anti-join per bucket — see exact_dedup_bucketed for the shape"
-        )
+        if rkeys != keys:
+            right = right.map_batches(
+                rename_keys_table, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return shuffle_anti_join(left, right, keys)
     if rkeys != keys:
         right = right.map_batches(
             rename_keys_table, batch_format="pyarrow", zero_copy_batch=True

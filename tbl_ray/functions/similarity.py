@@ -110,6 +110,56 @@ def knn_brute(
     return _collect_topk(partials, q.shape[0], k)
 
 
+def _train_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    sample_rows: int,
+    *,
+    seed: int = 3,
+) -> pa.Table:
+    """Deterministic UNBIASED training sample: per-row keep decision from
+    a seeded splitmix64 hash of ``id_col`` — never ``ds.limit()``, whose
+    first-N rows train collapsed centroids on corpora sorted by
+    domain/time/cluster. Costs one ``count()`` (parquet metadata for
+    file-backed reads) to size the keep fraction; the sample is
+    identical across runs, cluster sizes and block layouts."""
+    from tbl_ray.webtable import _mix
+
+    n = ds.count()
+    if n == 0:
+        raise ValueError("cannot sample an empty dataset")
+    if n <= sample_rows:
+        return pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).combine_chunks()
+    # the sample is the sample_rows SMALLEST hash values: oversample the
+    # filter ~25% + slack so enough rows pass w.h.p., then finish the
+    # top-k locally — exact, block-layout independent
+    frac = min(1.0, (sample_rows * 1.25 + 64.0) / n)
+    thr = np.uint64(int(frac * float(2**64 - 1)))
+    useed = np.uint64(seed)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix(ids + useed)
+        m = h < thr
+        return t.filter(pa.array(m)).append_column(
+            "__h__", pa.array(h[m], pa.uint64())
+        )
+
+    picked = pa.concat_tables(
+        ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    return (
+        picked.sort_by([("__h__", "ascending")])
+        .slice(0, sample_rows)
+        .drop_columns(["__h__"])
+    )
+
+
 def train_centroids(
     sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 3
 ) -> np.ndarray:
@@ -142,7 +192,7 @@ def knn_ivf(
 
     Scan cost per batch ~ n_probe / n_clusters of brute force; recall
     depends on how clustered the data is."""
-    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    sample_t = _train_sample(ds, id_col, sample_rows)
     cent = train_centroids(_vec_matrix(sample_t, vec_col), n_clusters)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
@@ -216,7 +266,7 @@ def build_ivf_index(
     import json
     import os
 
-    sample_t = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    sample_t = _train_sample(ds, id_col, sample_rows, seed=seed)
     sample = _vec_matrix(sample_t, vec_col)
     cent = train_centroids(sample, n_clusters, iters=iters, seed=seed)
     dim = sample.shape[1]

@@ -220,6 +220,56 @@ def test_knn_ivf_recall(sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_knn_ivf_recall_on_cluster_sorted_corpus(ray_session):
+    """Adversarial layout: the corpus is SORTED by cluster, so first-N
+    training (the old ds.limit sample) sees only the first cluster and
+    centroids collapse. The seeded hash-sample must keep recall high."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 32)).astype(np.float32) * 4.0
+    vecs = np.concatenate(
+        [c + rng.normal(size=(500, 32)).astype(np.float32) for c in centers]
+    )  # 2000 rows in cluster order
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), 32
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = vecs[[10, 600, 1100, 1700]]  # one probe per true cluster
+    exact = knn_brute(ds, q, k=10)
+    # train on only 300 rows — far fewer than one cluster, so a head
+    # sample could not even see clusters 2-4
+    approx = knn_ivf(ds, q, k=10, n_clusters=4, n_probe=1, sample_rows=300)
+    recall = np.mean(
+        [
+            len({r["id"] for r in approx[i]} & {r["id"] for r in exact[i]}) / 10
+            for i in range(4)
+        ]
+    )
+    assert recall >= 0.9, f"sorted-corpus IVF recall too low: {recall}"
+
+
+def test_train_sample_is_unbiased_and_deterministic(ray_session):
+    from tbl_ray.functions.similarity import _train_sample
+
+    t = pa.table({"vec_id": pa.array(range(10_000), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    s1 = _train_sample(ds, "vec_id", 1000)
+    s2 = _train_sample(ds, "vec_id", 1000)
+    ids1 = sorted(np.asarray(s1.column("vec_id")).tolist())
+    assert ids1 == sorted(np.asarray(s2.column("vec_id")).tolist())
+    assert len(ids1) == 1000
+    # unbiased across the id range: mean near the middle, not the head
+    m = float(np.mean(ids1))
+    assert 4000 < m < 6000, m
+    # small inputs: take everything
+    small = _train_sample(ray.data.from_arrow(t.slice(0, 50)), "vec_id", 100)
+    assert small.num_rows == 50
+
+
 def test_train_centroids_unit_norm():
     rng = np.random.default_rng(1)
     c = train_centroids(rng.normal(size=(200, 16)), 4)
@@ -747,6 +797,75 @@ def test_broadcast_join_matches_duck(sf_dir, duck):
     assert semi == n_semi
 
 
+def test_shuffle_anti_join_matches_broadcast(ray_session):
+    """The co-bucketed large-right anti join must equal the broadcast
+    anti plan row for row — including null-key semantics (null left
+    keys kept, null right keys match nothing) and a skewed hot key."""
+    import numpy as np
+
+    from tbl_ray.functions.joins import broadcast_semi_join, shuffle_anti_join
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 50, 5000).astype(object)
+    keys[:2500] = 7  # skewed hot key
+    keys[::97] = None  # null left keys: kept by anti
+    left = pa.table(
+        {"k": pa.array(list(keys), pa.int64()),
+         "v": pa.array(range(5000), pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([7, 1, 2, 3, None], pa.int64()),
+         "extra": pa.array([0, 1, 2, 3, 4], pa.int64())}
+    )
+    lds = ray.data.from_arrow(left).repartition(6)
+    want = pa.Table.from_pylist(
+        broadcast_semi_join(lds, right, "k", anti=True).take_all()
+    )
+    got = pa.Table.from_pylist(
+        shuffle_anti_join(
+            lds, ray.data.from_arrow(right).repartition(2), "k"
+        ).take_all()
+    )
+    assert got.num_rows == want.num_rows
+    a = got.select(["k", "v"]).to_pandas().sort_values("v", ignore_index=True)
+    b = want.select(["k", "v"]).to_pandas().sort_values("v", ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # null left keys survive
+    assert a["k"].isna().any()
+
+
+def test_join_auto_anti_large_right(ray_session, monkeypatch):
+    """join_auto(anti=True) must route a non-broadcastable right side to
+    the shuffle anti plan (not raise) and match the broadcast answer."""
+    from tbl_ray.functions.joins import broadcast_semi_join, join_auto
+
+    monkeypatch.setenv("TBL_RAY_LOCAL_SKETCH_BYTES", "0")  # force big-side
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5, 6] * 100, pa.int64()),
+         "v": pa.array(range(600), pa.int64())}
+    )
+    right = pa.table({"k": pa.array([2, 4, 6], pa.int64())})
+    got = sorted(
+        r["v"]
+        for r in join_auto(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(2),
+            "k",
+            anti=True,
+        ).take_all()
+    )
+    monkeypatch.delenv("TBL_RAY_LOCAL_SKETCH_BYTES")
+    want = sorted(
+        r["v"]
+        for r in broadcast_semi_join(
+            ray.data.from_arrow(left), right, "k", anti=True
+        ).take_all()
+    )
+    assert got == want and len(got) == 300
+
+
 def test_broadcast_join_left_outer(ray_session):
     from tbl_ray.functions.joins import broadcast_join
 
@@ -1267,6 +1386,27 @@ def test_jaccard_dedup_exact_verification(ray_session):
     )
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [1, 3]
+
+
+def test_pair_budget_guard_on_pathological_corpus(ray_session, monkeypatch):
+    """A corpus where EVERYTHING is a near-duplicate must hit the pair
+    budget with a clear message, not OOM the driver building the list."""
+    import pytest as _pytest
+
+    from tbl_ray.functions.dedup import minhash_dup_pairs
+
+    monkeypatch.setenv("TBL_RAY_MAX_PAIRS", "50")
+    rows = [{"doc_id": i, "text": "identical duplicate content " * 10}
+            for i in range(60)]  # ~1770 pairs, all verified
+    with _pytest.raises(RuntimeError, match="TBL_RAY_MAX_PAIRS"):
+        minhash_dup_pairs(
+            ray.data.from_items(rows), "text", "doc_id", threshold=0.8
+        )
+    monkeypatch.setenv("TBL_RAY_MAX_PAIRS", "5000")
+    pairs = minhash_dup_pairs(
+        ray.data.from_items(rows), "text", "doc_id", threshold=0.8
+    )
+    assert len(pairs) == 60 * 59 // 2
 
 
 def test_jaccard_dedup_null_texts(ray_session):
