@@ -933,6 +933,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["frame_sample"] = frame_sample
 
+    def jpeg_decode(sf_dir: str):
+        """Real baseline-JPEG decode (pure-numpy ITU T.81 codec) through
+        the strict actor-pool stage: formulaic RGB images are
+        JPEG-encoded (4:2:0, q=90), decoded back, and each row reports
+        the decoded dimensions (oracle: the generating formulas) plus a
+        lossy-round-trip fidelity flag computed against the pre-encode
+        pixels (oracle: TRUE — aggregate pixel-sum deviation under
+        4/pixel at q=90; exact pixel equality is impossible for a lossy
+        codec, and the dims come from the real decoded grid)."""
+        import ray.data
+
+        from tbl_ray.stages.jpegcodec import encode_jpeg
+        from tbl_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            _formula_pixels,
+            decode_images,
+        )
+
+        n = 60
+        rows, sums = [], []
+        for i in range(n):
+            w, h = 16 + (i * 29) % 48, 16 + (i * 41) % 48
+            px = _formula_pixels(w, h, i)
+            rows.append(encode_jpeg(px, quality=90, subsample="420"))
+            sums.append(int(px.astype(np.int64).sum()))
+        t = pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "payload": pa.array(rows, pa.large_binary()),
+                "mime": pa.array(["image/jpeg"] * n),
+                "meta": pa.array(["{}"] * n),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        out = decode_images(
+            ray.data.from_arrow(t).repartition(4),
+            strict=True,
+            emit_sum=True,
+            batch_size=16,
+            concurrency=2,
+        ).take_all()
+        recs = []
+        for r in sorted(out, key=lambda r: r["media_id"]):
+            i = r["media_id"]
+            npx = int(r["width"]) * int(r["height"]) * 3
+            mean_err = abs(int(r["sum_px"]) - sums[i]) / npx
+            recs.append(
+                {
+                    "media_id": i,
+                    "width": int(r["width"]),
+                    "height": int(r["height"]),
+                    "fidelity_ok": bool(mean_err < 4.0),
+                }
+            )
+        return pa.Table.from_pylist(recs)
+
+    q["jpeg_decode"] = jpeg_decode
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip, oracle-checked: documents is encoded with
         the full per-column codec engine (dict/rle/fsst/bitpack/for
@@ -1632,12 +1690,13 @@ _WINDOW_FIRST = [
     "nullify", "replace",
     "filter_eq", "filter_ne", "filter_lt", "filter_le", "filter_gt",
     "filter_ge", "filter_is_null", "filter_not_null",
-    "value_counts", "value_counts_events", "head", "offset_head", "tail",
+    "value_counts", "head", "offset_head", "tail",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
     "token_count", "sample_uniform", "sample_stratified",
     "ann_topk", "group_agg",
-    # the round-4 co-bucketed large-right anti join
-    "join_anti_large",
+    # round-4 engine additions: co-bucketed large-right anti join,
+    # baseline-JPEG decode through the strict actor-pool stage
+    "join_anti_large", "jpeg_decode",
 ]
 
 
@@ -1976,6 +2035,15 @@ def _wave4_oracles() -> dict[str, str]:
         "SELECT l_orderkey, l_linenumber FROM lineitem"
         " WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders"
         " WHERE o_orderpriority='1-URGENT')"
+    )
+    # JPEG decode: dims replay the generating formulas; fidelity flag is
+    # TRUE by the codec's q=90 error bound (lossy, so no exact pixel sum)
+    out["jpeg_decode"] = (
+        "WITH v AS (SELECT unnest(generate_series(0, 59)) AS i)"
+        " SELECT i AS media_id,"
+        " CAST(16 + (i * 29) % 48 AS BIGINT) AS width,"
+        " CAST(16 + (i * 41) % 48 AS BIGINT) AS height,"
+        " TRUE AS fidelity_ok FROM v"
     )
     # brute-force character-trigram Jaccard dedup from first principles:
     # distinct trigrams per doc, pairwise intersection via a gram join,

@@ -1,8 +1,7 @@
 """Pure-numpy image codecs backing the multimodal stages.
 
 No image library exists in this environment, so the engine carries its own
-minimal decoders for the two deterministic formats it can implement from
-the public specs alone:
+decoders for the formats implementable from the public specs alone:
 
 - **BMP** (Windows V3 ``BITMAPINFOHEADER``, uncompressed 24/32-bit,
   bottom-up or top-down) — header parse + one vectorized reshape.
@@ -12,9 +11,12 @@ the public specs alone:
   fall back to a per-byte row loop (their left-dependency is nonlinear) —
   our own encoder always emits filter 0, so engine round-trips stay on the
   fast path.
+- **JPEG** (baseline sequential, ITU-T T.81) — re-exported from
+  :mod:`tbl_ray.stages.jpegcodec`: real Huffman + IDCT decode for the
+  format web corpora actually ship. Progressive/arithmetic raise.
 
-Matching encoders (``encode_bmp`` / ``encode_png``) exist so tests can
-round-trip real generated payloads bit-for-bit.
+Matching encoders (``encode_bmp`` / ``encode_png`` / ``encode_jpeg``)
+exist so tests can round-trip real generated payloads.
 """
 
 from __future__ import annotations
@@ -24,8 +26,11 @@ import zlib
 
 import numpy as np
 
+from tbl_ray.stages.jpegcodec import decode_jpeg, encode_jpeg  # noqa: F401
+
 BMP_MAGIC = b"BM"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8"
 
 
 # ---------------------------------------------------------------------------
@@ -195,13 +200,16 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing decode -> (H, W, C) uint8. Raises ValueError on
-    unknown formats (JPEG etc. need codecs this environment lacks)."""
+    """Magic-sniffing decode -> (H, W, C) uint8. BMP, 8-bit PNG and
+    baseline JPEG (tbl_ray.stages.jpegcodec, pure-numpy ITU T.81) are
+    decoded for real; anything else raises ValueError."""
     if data[:2] == BMP_MAGIC:
         return decode_bmp(data)
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
-    raise ValueError("unknown image format (supported: BMP, PNG)")
+    if data[:2] == JPEG_MAGIC:
+        return decode_jpeg(data)
+    raise ValueError("unknown image format (supported: BMP, PNG, JPEG)")
 
 
 def image_features(pixels: np.ndarray, dim: int = 16) -> np.ndarray:

@@ -1,0 +1,666 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec).
+
+Web-scale multimodal corpora are overwhelmingly JPEG, so the engine
+carries a real baseline-profile codec rather than a checksum fake:
+
+- **decoder**: SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI marker walk,
+  canonical-Huffman entropy decode (T.81 F.2.2.3, via a 16-bit-prefix
+  lookup table per Huffman table), dequantize + dezigzag, matrix IDCT
+  over all blocks at once, chroma upsampling by replication, BT.601
+  YCbCr->RGB. Baseline sequential only (SOF0) — progressive (SOF2),
+  arithmetic coding and 12-bit precision raise ``ValueError``.
+- **encoder**: the inverse pipeline with the Annex K.1/K.2 quantization
+  tables (quality-scaled, libjpeg formula) and the Annex K.3 "typical"
+  Huffman tables; 4:4:4 / 4:2:0 and grayscale.
+
+Throughput note: DCT/quant/color are vectorized numpy; the entropy pass
+is a per-symbol Python loop (Huffman bitstreams are inherently serial).
+That is fine for the actor-pool decode stages this backs — a production
+deployment would swap ``decode_jpeg`` for libjpeg-turbo bindings behind
+the same signature.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SOI, EOI, SOS, DQT, DHT, DRI, COM = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xFE
+SOF0 = 0xC0  # baseline sequential
+
+# zigzag scan order: ZIGZAG[i] = raster index of the i-th scanned coef
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1 / K.2 quantization tables (luminance / chrominance)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 "typical" Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A (A[u,x]); forward = A @ B @ A.T,
+    inverse = A.T @ F @ A."""
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a.astype(np.float64)
+
+
+_A = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, int]]:
+    """(symbol, code, length) triples per T.81 Annex C code assignment."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """16-bit-prefix lookup: peek 16 bits, one table read gives
+    (symbol, code length)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.lut_sym = np.full(1 << 16, -1, dtype=np.int16)
+        self.lut_len = np.zeros(1 << 16, dtype=np.int8)
+        for sym, code, length in _canonical_codes(bits, vals):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            self.lut_sym[lo:hi] = sym
+            self.lut_len[lo:hi] = length
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        # zero-pad so a 16-bit peek never walks off the end
+        self.bits = np.concatenate([self.bits, np.zeros(16, np.uint8)])
+        self.pos = 0
+        self.n = len(self.bits) - 16
+        self._pow16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+
+    def peek16(self) -> int:
+        return int(self.bits[self.pos : self.pos + 16] @ self._pow16)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = int(
+            self.bits[self.pos : self.pos + n]
+            @ (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
+        )
+        self.pos += n
+        return v
+
+    def huff(self, table: _HuffDecoder) -> int:
+        p = self.peek16()
+        sym = int(table.lut_sym[p])
+        if sym < 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        self.skip(int(table.lut_len[p]))
+        return sym
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _unstuff(data: bytes) -> bytes:
+    """Remove 0x00 stuffing after 0xFF within an entropy-coded segment."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB (or (H, W, 1) gray)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffDecoder] = {}  # (class, id)
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == EOI:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == DQT:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    q = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                qtables[tq] = q  # zigzag order
+        elif marker == DHT:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                htables[(tc, th)] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif marker == DRI:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == SOF0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG profile (SOF{marker - 0xC0}); "
+                "baseline sequential (SOF0) only"
+            )
+        elif marker == SOS:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            # entropy-coded data runs until the next non-RST marker
+            end = pos
+            while end < len(data) - 1:
+                if data[end] == 0xFF and data[end + 1] not in (0x00,) and not (
+                    0xD0 <= data[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            ecs = data[pos:end]
+            pixels = _decode_scan(
+                frame, scan, qtables, htables, ecs, restart_interval
+            )
+            return pixels
+    raise ValueError("JPEG contained no scan")
+
+
+def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: int):
+    h, w = frame["h"], frame["w"]
+    comps = [s[0] for s in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    # per-component coefficient stores (block grids)
+    planes = []
+    for c, _, _ in scan:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        planes.append(np.zeros((bh * bw, 64), dtype=np.int64))
+    # split on restart markers; each segment decodes restart_interval MCUs
+    segments = []
+    start = 0
+    i = 0
+    while i < len(ecs) - 1:
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            segments.append(ecs[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(ecs[start:])
+    mcu_idx = 0
+    for seg in segments:
+        reader = _BitReader(_unstuff(seg))
+        preds = [0] * len(scan)
+        limit = (
+            min(mcu_idx + restart_interval, n_mcu)
+            if restart_interval
+            else n_mcu
+        )
+        while mcu_idx < limit:
+            my, mx = divmod(mcu_idx, mcux)
+            for ci, (c, dc_id, ac_id) in enumerate(scan):
+                dct = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = _decode_block(
+                            reader,
+                            htables[(0, dc_id)],
+                            htables[(1, ac_id)],
+                        )
+                        coefs[0] += preds[ci]
+                        preds[ci] = coefs[0]
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        planes[ci][row * (mcux * c["h"]) + col] = coefs * dct
+            mcu_idx += 1
+        if mcu_idx >= n_mcu:
+            break
+    # IDCT all blocks per component, assemble planes, upsample, convert
+    out_planes = []
+    for ci, (c, _, _) in enumerate(scan):
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        spatial = _idct_blocks(planes[ci])  # (nblocks, 8, 8)
+        grid = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(bh * 8, bw * 8)
+        # upsample to full resolution by replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return out_planes[0][:, :, None].astype(np.uint8)
+    ycc = np.stack(out_planes, axis=2).astype(np.float64)
+    return _ycbcr_to_rgb(ycc)
+
+
+def _decode_block(reader: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
+    coefs = np.zeros(64, dtype=np.int64)
+    t = reader.huff(dc)
+    coefs[0] = _extend(reader.read(t), t)
+    k = 1
+    while k < 64:
+        rs = reader.huff(ac)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        coefs[k] = _extend(reader.read(s), s)
+        k += 1
+    return coefs
+
+
+def _idct_blocks(coef_zz: np.ndarray) -> np.ndarray:
+    """(n, 64) dequantized zigzag coefficients -> (n, 8, 8) uint8-range
+    spatial samples (level-shifted, clipped)."""
+    F = coef_zz[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+    spatial = np.einsum("ux,nuv,vy->nxy", _A, F, _A, optimize=True)
+    return np.clip(np.round(spatial + 128.0), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[:, :, 0], ycc[:, :, 1] - 128.0, ycc[:, :, 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling, clamped to [1, 255]."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _fdct_quant(plane: np.ndarray, q_raster: np.ndarray) -> np.ndarray:
+    """(H8, W8) plane -> (nblocks, 64) quantized zigzag coefficients."""
+    h8, w8 = plane.shape
+    blocks = (
+        plane.reshape(h8 // 8, 8, w8 // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    F = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A, optimize=True)
+    q = np.round(F.reshape(-1, 64) / q_raster[None, :]).astype(np.int64)
+    return q[:, ZIGZAG]
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_blocks(
+    writer: _BitWriter,
+    blocks: np.ndarray,
+    order: list[tuple[int, int]],
+    dc_codes: list[dict],
+    ac_codes: list[dict],
+    preds: list[int],
+) -> None:
+    """Interleave pre-quantized blocks in MCU order. ``order`` lists
+    (component, block_index) pairs per MCU."""
+    for ci, bi in order:
+        coefs = blocks[ci][bi]
+        dcc, acc = dc_codes[ci], ac_codes[ci]
+        diff = int(coefs[0]) - preds[ci]
+        preds[ci] = int(coefs[0])
+        t = _category(diff)
+        code, ln = dcc[t]
+        writer.write(code, ln)
+        writer.write(_mag_bits(diff, t), t)
+        run = 0
+        nz = np.nonzero(coefs[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = acc[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = acc[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(_mag_bits(v, s), s)
+            run = 0
+        if last < 63:
+            code, ln = acc[0x00]
+            writer.write(code, ln)
+
+
+def _code_map(bits: list[int], vals: list[int]) -> dict:
+    return {sym: (code, ln) for sym, code, ln in _canonical_codes(bits, vals)}
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) gray -> baseline JFIF
+    bytes. ``subsample``: '444' or '420' (color only).
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off)
+    — restart points bound error propagation and allow a decoder to
+    parallelize segments."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    gray = pixels.ndim == 2 or pixels.shape[2] == 1
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w = pixels.shape[:2]
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    # tables are stored in NATURAL (raster) order; the DQT segment and
+    # the coefficient stream use ZIGZAG order
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    ql_r = ql.astype(np.float64)
+    qc_r = qc.astype(np.float64)
+
+    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = (plane.shape[0] + mult - 1) // mult * mult
+        pw = (plane.shape[1] + mult - 1) // mult * mult
+        return np.pad(
+            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 JFIF
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    # DQT
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        ql[ZIGZAG].astype(np.uint8).tolist()
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qc[ZIGZAG].astype(np.uint8).tolist()
+        )
+
+    if gray:
+        comps_sof = [(1, 0x11, 0)]
+        scan_comp = [(1, 0x00)]
+    elif subsample == "420":
+        comps_sof = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        scan_comp = [(1, 0x00), (2, 0x11), (3, 0x11)]
+    else:
+        comps_sof = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        scan_comp = [(1, 0x00), (2, 0x11), (3, 0x11)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_sof))
+    for cid, hv, tq in comps_sof:
+        sof += struct.pack(">BBB", cid, hv, tq)
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(scan_comp)])
+    for cid, tt in scan_comp:
+        sos += bytes([cid, tt])
+    sos += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _code_map(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _code_map(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _code_map(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _code_map(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    # build per-MCU block orders, then emit with optional restarts
+    if gray:
+        y = pad_to(pixels[:, :, 0].astype(np.float64), 8)
+        blocks = [_fdct_quant(y, ql_r)]
+        dcs, acs = [dc_l], [ac_l]
+        orders = [[(0, m)] for m in range(blocks[0].shape[0])]
+    else:
+        ycc = _rgb_to_ycbcr(pixels[:, :, :3])
+        dcs, acs = [dc_l, dc_c, dc_c], [ac_l, ac_c, ac_c]
+        if subsample == "420":
+            y = pad_to(ycc[:, :, 0], 16)
+            cb_full = pad_to(ycc[:, :, 1], 16)
+            cr_full = pad_to(ycc[:, :, 2], 16)
+            cb = cb_full.reshape(-1, 2, cb_full.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr = cr_full.reshape(-1, 2, cr_full.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            blocks = [
+                _fdct_quant(y, ql_r),
+                _fdct_quant(cb, qc_r),
+                _fdct_quant(cr, qc_r),
+            ]
+            mcux, mcuy = y.shape[1] // 16, y.shape[0] // 16
+            ybw = y.shape[1] // 8
+            cbw = cb.shape[1] // 8
+            orders = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    order = [
+                        (0, (my * 2 + byy) * ybw + mx * 2 + bxx)
+                        for byy in range(2)
+                        for bxx in range(2)
+                    ]
+                    order.append((1, my * cbw + mx))
+                    order.append((2, my * cbw + mx))
+                    orders.append(order)
+        else:
+            y = pad_to(ycc[:, :, 0], 8)
+            cb = pad_to(ycc[:, :, 1], 8)
+            cr = pad_to(ycc[:, :, 2], 8)
+            blocks = [
+                _fdct_quant(y, ql_r),
+                _fdct_quant(cb, qc_r),
+                _fdct_quant(cr, qc_r),
+            ]
+            orders = [
+                [(0, m), (1, m), (2, m)] for m in range(blocks[0].shape[0])
+            ]
+
+    writer = _BitWriter()
+    preds = [0] * len(blocks)
+    rst = 0
+    for mi, order in enumerate(orders):
+        _encode_blocks(writer, blocks, order, dcs, acs, preds)
+        if (
+            restart_interval
+            and (mi + 1) % restart_interval == 0
+            and mi + 1 < len(orders)
+        ):
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0] * len(blocks)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with sidecar metadata columns
 (mime, width/height/duration). Decode / feature-extraction / resize /
 frame-sampling are **actor-pool** ``map_batches`` stages, and the decodes
-are REAL for the formats implementable from public specs with numpy alone
-(:mod:`tbl_ray.stages.imagecodec`): BMP + 8-bit PNG images, RIFF/PCM16
-WAV audio, and a length-prefixed frame container for video sampling.
-Formats needing external codecs (JPEG/MP3/H.264) raise in strict mode or
-fall back to a deterministic checksum fake per row (plumbing-test mode).
+are REAL for the formats implementable from public specs with numpy alone:
+BMP + 8-bit PNG images (:mod:`tbl_ray.stages.imagecodec`), baseline JPEG
+(:mod:`tbl_ray.stages.jpegcodec`, ITU-T T.81), RIFF/PCM16 WAV audio, and
+a length-prefixed frame container for video sampling. Formats still
+needing external codecs (MP3/H.264, progressive JPEG) raise in strict
+mode or fall back to a deterministic checksum fake per row
+(plumbing-test mode).
 
 Batch-size note (SURVEY.md §4 memory row): multi-MB payloads need small
 row-count batches; callers size ``batch_size`` so
@@ -60,15 +62,17 @@ def _payload_stats(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 class ImageDecode:
     """Actor-pool stage: binary payload -> decoded feature columns.
 
-    The decode is REAL for BMP and 8-bit PNG payloads (pure-numpy codecs in
-    :mod:`tbl_ray.stages.imagecodec` — no external image library needed):
+    The decode is REAL for BMP, 8-bit PNG and baseline JPEG payloads
+    (pure-numpy codecs in :mod:`tbl_ray.stages.imagecodec` /
+    :mod:`tbl_ray.stages.jpegcodec` — no external image library needed):
     width/height come from the actual pixel grid and ``features`` is a
     16-float [channel means, luma std, luma histogram] vector.
 
-    Formats this environment cannot decode (JPEG & co.): ``strict=True``
-    raises ``ValueError`` naming the payload; ``strict=False`` falls back to
-    a deterministic checksum-derived fake for those rows only, keeping the
-    plumbing testable with arbitrary bytes.
+    Formats this environment cannot decode (MP3-in-image columns,
+    progressive JPEG & co.): ``strict=True`` raises ``ValueError`` naming
+    the payload; ``strict=False`` falls back to a deterministic
+    checksum-derived fake for those rows only, keeping the plumbing
+    testable with arbitrary bytes.
     """
 
     FEATURE_DIM = 16

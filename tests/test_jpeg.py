@@ -1,0 +1,176 @@
+"""Baseline JPEG codec (tbl_ray/stages/jpegcodec.py, ITU-T T.81).
+
+The hand-crafted fixtures below are assembled byte-by-byte in the test
+from the SPEC's rules (canonical code construction worked out by hand,
+flat-block DCT closed form), so they validate the decoder independently
+of the encoder's serialization path.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tbl_ray.stages.imagecodec import decode_image
+from tbl_ray.stages.jpegcodec import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _handmade_gray_jpeg(entropy: bytes, w: int = 8, h: int = 8) -> bytes:
+    """Assemble a minimal single-component baseline JPEG around a given
+    entropy-coded segment: all-ones quant table, standard luma Huffman."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, bits, vals in (
+        (0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, AC_LUMA_BITS, AC_LUMA_VALS),
+    ):
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_handmade_solid_gray_128():
+    """DC diff 0 -> DC category code '00' (the only len-2 DC code);
+    EOB is the 4th AC value (0x00) -> canonical code '1010' (len 4).
+    Bits 00 1010 padded with 1s = 0x2B. Every pixel must decode to 128
+    (level shift of an all-zero block)."""
+    img = decode_jpeg(_handmade_gray_jpeg(b"\x2b"))
+    assert img.shape == (8, 8, 1)
+    assert (img == 128).all()
+
+
+def test_handmade_solid_gray_136():
+    """Flat block at 136: DC coef = 8*(136-128) = 64 with quant 1 ->
+    category 7 (DC code '11110' by canonical construction), magnitude
+    bits 1000000, then EOB '1010': 11110100 00001010 = F4 0A."""
+    img = decode_jpeg(_handmade_gray_jpeg(b"\xf4\x0a"))
+    assert img.shape == (8, 8, 1)
+    assert (img == 136).all()
+
+
+def test_roundtrip_gray():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (24, 40, 1)
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.mean() < 6.0
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize("quality", [95, 75])
+def test_roundtrip_color(subsample, quality):
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(xx * 255 // (w - 1)), (yy * 255 // (h - 1)), ((xx + yy) % 256)],
+        axis=2,
+    ).astype(np.uint8)
+    data = encode_jpeg(rgb, quality=quality, subsample=subsample)
+    out = decode_jpeg(data)
+    assert out.shape == rgb.shape
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    bound = {("444", 95): 1.2, ("444", 75): 2.5,
+             ("420", 95): 3.0, ("420", 75): 4.0}[(subsample, quality)]
+    assert err.mean() < bound, err.mean()
+
+
+def test_roundtrip_odd_dimensions():
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (33, 27, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=sub))
+        assert out.shape == (33, 27, 3)
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: encoder emits restarts, decoder resets DC predictors at
+    each — the result must equal the restart-free decode exactly."""
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(rgb, quality=85, subsample="420"))
+    with_rst = encode_jpeg(
+        rgb, quality=85, subsample="420", restart_interval=3
+    )
+    assert b"\xff\xdd" in with_rst  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in with_rst for i in range(8))
+    assert np.array_equal(decode_jpeg(with_rst), plain)
+
+
+def test_solid_color_exact():
+    """Solid colors survive high-quality round-trip near-exactly (DC-only
+    blocks; chroma rounding may move values by <=1)."""
+    for color in [(255, 0, 0), (0, 128, 255), (17, 200, 90)]:
+        rgb = np.full((16, 16, 3), color, np.uint8)
+        out = decode_jpeg(encode_jpeg(rgb, quality=100))
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_progressive_rejected():
+    """SOF2 (progressive) must raise, not mis-decode."""
+    rng = np.random.default_rng(1)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (8, 8), np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_and_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no scan
+
+
+def test_decode_image_dispatches_jpeg():
+    img = np.full((8, 8), 200, np.uint8)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == (8, 8, 1)
+    assert np.abs(out.astype(int) - 200).max() <= 1
+
+
+def test_image_decode_stage_with_jpeg_payloads(ray_session):
+    """The actor-pool decode stage handles real JPEG media rows in
+    strict mode (no checksum-fake fallback)."""
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.multimodal import MEDIA_SCHEMA, decode_images
+
+    rows = []
+    for i in range(12):
+        w, h = 16 + i, 24 + i
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(xx * 9 + i) % 256, (yy * 7) % 256, (xx + yy) % 256], axis=2
+        ).astype(np.uint8)
+        rows.append(encode_jpeg(rgb, quality=90, subsample="420"))
+    t = pa.table(
+        {
+            "media_id": pa.array(range(12), pa.int64()),
+            "payload": pa.array(rows, pa.large_binary()),
+            "mime": pa.array(["image/jpeg"] * 12),
+            "meta": pa.array(["{}"] * 12),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = decode_images(
+        ray.data.from_arrow(t).repartition(3), strict=True, concurrency=2
+    ).take_all()
+    assert len(out) == 12
+    for i, r in enumerate(sorted(out, key=lambda r: r["media_id"])):
+        assert (r["width"], r["height"]) == (16 + i, 24 + i)
