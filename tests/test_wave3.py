@@ -280,11 +280,13 @@ def test_join_auto_anti_small_and_big():
     right = ray.data.from_arrow(_right_table())
     out = _collect(join_auto(left, right, "k", right_on="rk", anti=True))
     assert out.column("k").to_pylist() == [3]
-    # big right side (forced distributed): anti must refuse loudly
+    # big right side (forced distributed): routes to the co-bucketed
+    # shuffle anti plan (round 4) — same answer as the broadcast plan
     os.environ["TBL_RAY_LOCAL_SKETCH_BYTES"] = "0"
     try:
-        with pytest.raises(NotImplementedError, match="co-bucket"):
-            join_auto(left, right, "k", right_on="rk", anti=True)
+        big = _collect(join_auto(left, right, "k", right_on="rk", anti=True))
+        assert big.column("k").to_pylist() == [3]
+        assert sorted(big.schema.names) == sorted(["k", "v"])
     finally:
         del os.environ["TBL_RAY_LOCAL_SKETCH_BYTES"]
 
