@@ -271,15 +271,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         candidates, exact character-trigram Jaccard verifies each pair
         (precision), union-find keeps the min-id doc per group.
 
-        Exhaustive-candidate mode (candidate_threshold=0, 16 bands of 2
-        rows: LSH miss odds ~1e-7/pair) makes the result equal to a
-        brute-force pairwise trigram-Jaccard dedup, which the DuckDB
-        oracle computes from first principles."""
+        High-recall candidate mode (16 bands of 2 rows -> band-miss odds
+        ~1e-7/pair; candidate gate 0.5, ~5 sigma below the 0.8 exact
+        threshold -> estimator-miss odds ~1e-6/pair) makes the result
+        equal to a brute-force pairwise trigram-Jaccard dedup — which
+        the DuckDB oracle computes from first principles — while the
+        candidate count stays LSH-sized, not O(n^2) (candidate_threshold
+        0.0 measured 220k candidates vs 256 on 5000 docs)."""
         from tbl_ray.functions.dedup import jaccard_dedup
 
         return jaccard_dedup(
             _docs(sf_dir), "text", "doc_id", n=3, threshold=0.8,
-            n_hashes=32, bands=16, candidate_threshold=0.0,
+            n_hashes=32, bands=16, candidate_threshold=0.5,
         ).select_columns(["doc_id", "lang", "n_chars"])
 
     q["dedup_ngram"] = dedup_ngram

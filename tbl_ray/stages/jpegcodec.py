@@ -143,48 +143,67 @@ class _HuffDecoder:
     (symbol, code length)."""
 
     def __init__(self, bits: list[int], vals: list[int]):
-        self.lut_sym = np.full(1 << 16, -1, dtype=np.int16)
-        self.lut_len = np.zeros(1 << 16, dtype=np.int8)
+        lut_sym = np.full(1 << 16, -1, dtype=np.int16)
+        lut_len = np.zeros(1 << 16, dtype=np.int8)
         for sym, code, length in _canonical_codes(bits, vals):
             lo = code << (16 - length)
             hi = lo + (1 << (16 - length))
-            self.lut_sym[lo:hi] = sym
-            self.lut_len[lo:hi] = length
+            lut_sym[lo:hi] = sym
+            lut_len[lo:hi] = length
+        # plain lists: per-symbol numpy indexing costs more interpreter
+        # overhead than the decode math itself
+        self.lut_sym = lut_sym.tolist()
+        self.lut_len = lut_len.tolist()
 
 
 class _BitReader:
-    """MSB-first bit reader over unstuffed entropy-coded bytes."""
+    """MSB-first bit reader over unstuffed entropy-coded bytes.
+
+    Pure Python-int bit buffer (refill a small accumulator byte by
+    byte): per-symbol numpy indexing costs ~10x more in interpreter
+    overhead than small-int shifts at JPEG symbol sizes."""
+
+    __slots__ = ("data", "n", "bytepos", "acc", "nbits", "lut_sym", "lut_len")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        # zero-pad so a 16-bit peek never walks off the end
-        self.bits = np.concatenate([self.bits, np.zeros(16, np.uint8)])
-        self.pos = 0
-        self.n = len(self.bits) - 16
-        self._pow16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+        self.data = data
+        self.n = len(data)
+        self.bytepos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.data[self.bytepos] if self.bytepos < self.n else 0
+            self.bytepos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
 
     def peek16(self) -> int:
-        return int(self.bits[self.pos : self.pos + 16] @ self._pow16)
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
     def skip(self, n: int) -> None:
-        self.pos += n
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        v = int(
-            self.bits[self.pos : self.pos + n]
-            @ (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
-        )
-        self.pos += n
+        if self.nbits < n:
+            self._fill(n)
+        self.nbits -= n
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def huff(self, table: _HuffDecoder) -> int:
         p = self.peek16()
-        sym = int(table.lut_sym[p])
+        sym = table.lut_sym[p]
         if sym < 0:
             raise ValueError("invalid Huffman code in JPEG stream")
-        self.skip(int(table.lut_len[p]))
+        self.skip(table.lut_len[p])
         return sym
 
 
@@ -358,7 +377,7 @@ def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: in
 
 
 def _decode_block(reader: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
-    coefs = np.zeros(64, dtype=np.int64)
+    coefs = [0] * 64
     t = reader.huff(dc)
     coefs[0] = _extend(reader.read(t), t)
     k = 1
@@ -375,7 +394,7 @@ def _decode_block(reader: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
             raise ValueError("JPEG AC run past end of block")
         coefs[k] = _extend(reader.read(s), s)
         k += 1
-    return coefs
+    return np.asarray(coefs, dtype=np.int64)
 
 
 def _idct_blocks(coef_zz: np.ndarray) -> np.ndarray:

@@ -28,6 +28,7 @@ from tbl_ray.stages.imagecodec import (
     decode_image,
     decode_wav,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_wav,
     image_features,
@@ -176,10 +177,16 @@ class ImageResize:
         *,
         strict: bool = False,
         payload_col: str = "payload",
+        out_format: str = "bmp",
+        jpeg_quality: int = 85,
     ):
+        if out_format not in ("bmp", "jpeg"):
+            raise ValueError(f"unsupported out_format {out_format!r}")
         self.out_w, self.out_h = out_w, out_h
         self.strict = strict
         self.payload_col = payload_col
+        self.out_format = out_format
+        self.jpeg_quality = jpeg_quality
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.payload_col).combine_chunks()
@@ -197,8 +204,19 @@ class ImageResize:
                 continue
             if pixels.shape[2] == 1:
                 pixels = np.repeat(pixels, 3, axis=2)
-            resized = resize_nearest(pixels[:, :, :3], self.out_w, self.out_h)
-            out_payloads.append(encode_bmp(np.ascontiguousarray(resized)))
+            resized = np.ascontiguousarray(
+                resize_nearest(pixels[:, :, :3], self.out_w, self.out_h)
+            )
+            if self.out_format == "jpeg":
+                # encode_jpeg imported at module scope: this runs in Ray
+                # workers, where late `from tbl_ray...` imports break
+                # under a foreign driver cwd
+                out_payloads.append(
+                    encode_jpeg(resized, quality=self.jpeg_quality,
+                                subsample="420")
+                )
+            else:
+                out_payloads.append(encode_bmp(resized))
             widths[i], heights[i] = self.out_w, self.out_h
         out = t.set_column(
             t.schema.get_field_index(self.payload_col),
@@ -215,16 +233,24 @@ def resize_images(
     out_h: int,
     *,
     strict: bool = False,
+    out_format: str = "bmp",
+    jpeg_quality: int = 85,
     batch_size: int = 64,
     concurrency=None,
 ) -> "ray.data.Dataset":
-    """Actor-pool resize over small batches (large-payload safe)."""
+    """Actor-pool resize over small batches (large-payload safe).
+    ``out_format='jpeg'`` re-encodes through the baseline JPEG encoder
+    (4:2:0) — the realistic thumbnail-pipeline output."""
     from tbl_ray.stages.encode import _default_pool
 
     return ds.map_batches(
         ImageResize,
         fn_constructor_args=(out_w, out_h),
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={
+            "strict": strict,
+            "out_format": out_format,
+            "jpeg_quality": jpeg_quality,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

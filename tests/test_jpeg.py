@@ -143,6 +143,25 @@ def test_decode_image_dispatches_jpeg():
     assert np.abs(out.astype(int) - 200).max() <= 1
 
 
+def test_resize_to_jpeg_roundtrip(ray_session):
+    """resize_images(out_format='jpeg'): payloads come back as decodable
+    JPEGs at the target dimensions."""
+    import ray.data
+
+    from tbl_ray.stages.multimodal import formula_image_table, resize_images
+
+    ds = ray.data.from_arrow(formula_image_table(8)).repartition(2)
+    out = resize_images(
+        ds, 20, 14, strict=True, out_format="jpeg", concurrency=2
+    ).take_all()
+    assert len(out) == 8
+    for r in out:
+        assert r["payload"][:2] == b"\xff\xd8"
+        px = decode_jpeg(r["payload"])
+        assert px.shape == (14, 20, 3)
+        assert (r["width"], r["height"]) == (20, 14)
+
+
 def test_image_decode_stage_with_jpeg_payloads(ray_session):
     """The actor-pool decode stage handles real JPEG media rows in
     strict mode (no checksum-fake fallback)."""
