@@ -284,6 +284,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # baseline files are near-universally single-scan
+                # interleaved; a partial scan (non-interleaved, one
+                # component per SOS) has different MCU geometry — raise
+                # rather than silently decode one plane
+                raise ValueError(
+                    "unsupported JPEG: non-interleaved scan"
+                    f" ({ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]

@@ -129,6 +129,22 @@ def test_progressive_rejected():
         decode_jpeg(bytes(data))
 
 
+def test_non_interleaved_scan_rejected():
+    """A 3-component frame with a 1-component SOS (non-interleaved
+    baseline) must raise, not silently decode a single plane."""
+    rng = np.random.default_rng(4)
+    data = bytearray(
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8))
+    )
+    idx = bytes(data).find(b"\xff\xda")
+    # rewrite the SOS to name only component 1
+    seglen = struct.unpack_from(">H", data, idx + 2)[0]
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    data[idx : idx + 2 + seglen] = new_sos
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+
+
 def test_truncated_and_garbage():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
