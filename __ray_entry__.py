@@ -970,12 +970,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
             schema=MEDIA_SCHEMA,
         )
+        # pool sized to leave CPUs for upstream repartition tasks: at
+        # concurrency == num_cpus the actor pool holds every slot and the
+        # producer starves (observed deadlock in the 4-CPU test session)
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        cc = max(2, min(4, avail // 2))
         out = decode_images(
-            ray.data.from_arrow(t).repartition(4),
+            ray.data.from_arrow(t).repartition(2 * cc),
             strict=True,
             emit_sum=True,
-            batch_size=16,
-            concurrency=2,
+            batch_size=8,
+            concurrency=cc,
         ).take_all()
         recs = []
         for r in sorted(out, key=lambda r: r["media_id"]):

@@ -18,6 +18,8 @@ import argparse
 import os
 import sys
 
+from tbl_ray.formats import format_bytes, format_with_commas
+
 
 def _build_ls_parser() -> argparse.ArgumentParser:
     ls = argparse.ArgumentParser(prog="tbl-ray ls")
@@ -267,7 +269,7 @@ def _summary(mode, in_paths, out_paths, spec) -> None:
             n_bytes += os.path.getsize(p)
         except OSError:
             pass
-    _bullet("n_input_bytes", f"{n_bytes:,}")
+    _bullet("n_input_bytes", f"{n_bytes:,} ({format_bytes(n_bytes)})")
     _bullet("n_input_files", f"{len(in_paths):,}")
     for p in in_paths[:10]:
         _bullet(p, indent=4)
@@ -346,8 +348,9 @@ def _ls_encoded(out_dir: str, args) -> int:
     for e in ok[:cap]:
         name = e["out_path"] if args.absolute else os.path.basename(e["out_path"])
         print(
-            f"{name}  {e['num_rows']} rows  in={e['input_bytes']}"
-            f"  disk={e['file_bytes']}"
+            f"{name}  {format_with_commas(e['num_rows'])} rows"
+            f"  in={format_bytes(e['input_bytes'])}"
+            f"  disk={format_bytes(e['file_bytes'])}"
         )
     if len(ok) > cap:
         print(f"... {len(ok) - cap} more partitions")
@@ -356,8 +359,8 @@ def _ls_encoded(out_dir: str, args) -> int:
     ratio = tot_file / max(tot_in, 1)
     tail = f", {len(failed)} FAILED (partial job)" if failed else ""
     print(
-        f"{len(ok)} encoded partitions, {tot_rows} rows, "
-        f"{tot_file} bytes on disk ({ratio:.3f}x of input){tail}"
+        f"{len(ok)} encoded partitions, {format_with_commas(tot_rows)} rows, "
+        f"{format_bytes(tot_file)} on disk ({ratio:.3f}x of input){tail}"
     )
     return 0
 
@@ -377,10 +380,16 @@ def _ls(args) -> int:
         total_rows += s.n_rows
         total_bytes += s.n_bytes_compressed
         name = p if args.absolute else os.path.basename(p)
-        print(f"{name}  {s.n_rows} rows  {s.n_bytes_compressed} bytes")
+        print(
+            f"{name}  {format_with_commas(s.n_rows)} rows  "
+            f"{format_bytes(s.n_bytes_compressed)}"
+        )
     if len(paths) > cap:
         print(f"... {len(paths) - cap} more files")
-    print(f"{len(paths)} files, {total_rows} rows, {total_bytes} bytes")
+    print(
+        f"{len(paths)} files, {format_with_commas(total_rows)} rows, "
+        f"{format_bytes(total_bytes)} ({total_bytes:,} bytes)"
+    )
     return 0
 
 
@@ -434,8 +443,9 @@ def _schema(args) -> int:
                 100.0 * col.compressed_bytes / max(summ.n_bytes_compressed, 1)
             )
             print(
-                f"  {name}: {col.dtype}  disk={col.compressed_bytes}"
-                f"  full={col.uncompressed_bytes}  ({pct:.1f}% of disk)"
+                f"  {name}: {col.dtype}  disk={format_bytes(col.compressed_bytes)}"
+                f"  full={format_bytes(col.uncompressed_bytes)}"
+                f"  ({pct:.1f}% of disk)"
             )
     return 0
 

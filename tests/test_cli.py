@@ -101,6 +101,20 @@ def test_cli_output_dir(tmp_path):
     assert files == ["nation_v2.parquet", "region_v2.parquet"]
 
 
+def test_format_bytes():
+    from tbl_ray.formats import format_bytes, format_with_commas
+
+    # reference semantics (formats.rs:4): /1024 steps, 2 decimals
+    assert format_bytes(0) == "0.00 B"
+    assert format_bytes(1023) == "1023.00 B"
+    assert format_bytes(1024) == "1.00 KB"
+    assert format_bytes(1536) == "1.50 KB"
+    assert format_bytes(5 * 1024**3) == "5.00 GB"
+    assert format_bytes(1024**7) == "1024.00 EB"  # clamps at EB
+    assert format_with_commas(1234567) == "1,234,567"
+    assert format_with_commas(7) == "7"
+
+
 def test_interactive_codegen():
     from tbl_ray.python_repl import interactive_code
 
