@@ -1074,6 +1074,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["jpeg_progressive"] = jpeg_progressive
 
+    def url_canon_dedup(sf_dir: str):
+        """URL canonicalization + exact dedup by canonical form — the
+        normalize-before-dedup step of a crawl pipeline. Three messy
+        variants of each logical page (case/www/default-port/trackers/
+        fragment differences) are built deterministically from
+        o_orderkey; canonicalization collapses them and the fingerprint
+        dedup keeps the min key per canonical URL. Oracle: the same URL
+        construction in SQL and the same RE2 rule chain via
+        `canon_sql_expr` (both engines are RE2), then min-per-group."""
+        import pyarrow.compute as pc
+        import ray.data  # noqa: F401
+
+        from tbl_ray.functions.dedup import exact_dedup
+        from tbl_ray.functions.urls import url_canonicalize
+        from tbl_ray.sources import read_table
+
+        ds = read_table(os.path.join(sf_dir, "orders.parquet")).select_columns(
+            ["o_orderkey"]
+        )
+
+        def build(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey")
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            def _mod(x, n):  # pyarrow.compute has no mod kernel
+                return pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+
+            m = pc.divide(k, 3)
+            s = pc.cast(_mod(m, 97), pa.string())
+            ms = pc.cast(m, pa.string())
+            j = pc.binary_join_element_wise
+            v0 = j("http://site", s, ".example.com/p/", ms, "?id=", ms, "")
+            v1 = j(
+                "HTTP://WWW.SITE", s, ".EXAMPLE.COM:80/p/", ms,
+                "?utm_source=feed&id=", ms, "#top", "",
+            )
+            v2 = j(
+                "http://site", s, ".example.com:80/p/", ms, "?id=", ms,
+                "&utm_campaign=x&gclid=1", "",
+            )
+            r = _mod(k, 3)
+            url = pc.if_else(
+                pc.equal(r, 0), v0, pc.if_else(pc.equal(r, 1), v1, v2)
+            )
+            return t.append_column("url", url)
+
+        ds = ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+        ds = url_canonicalize(ds)
+        kept = exact_dedup(ds, "url_canon", "o_orderkey")
+        return kept.select_columns(["o_orderkey", "url_canon"])
+
+    q["url_canon_dedup"] = url_canon_dedup
+
     def encode_roundtrip(sf_dir: str):
         """Codec round-trip, oracle-checked: documents is encoded with
         the full per-column codec engine (dict/rle/fsst/bitpack/for
@@ -2129,6 +2182,31 @@ def _wave4_oracles() -> dict[str, str]:
         " CAST(16 + (i * 29) % 48 AS BIGINT) AS width,"
         " CAST(16 + (i * 41) % 48 AS BIGINT) AS height,"
         " TRUE AS fidelity_ok FROM v"
+    )
+    # URL canonicalization: the SAME url construction in SQL and the
+    # SAME RE2 rule chain (canon_sql_expr folds CANON_RULES verbatim —
+    # DuckDB and Arrow both run RE2), then min-key-per-canonical-group
+    from tbl_ray.functions.urls import canon_sql_expr as _canon_sql
+
+    out["url_canon_dedup"] = (
+        "WITH u AS (SELECT o_orderkey AS k,"
+        " CASE CAST(o_orderkey % 3 AS INT)"
+        " WHEN 0 THEN 'http://site' || CAST((o_orderkey // 3) % 97 AS VARCHAR)"
+        "   || '.example.com/p/' || CAST(o_orderkey // 3 AS VARCHAR)"
+        "   || '?id=' || CAST(o_orderkey // 3 AS VARCHAR)"
+        " WHEN 1 THEN 'HTTP://WWW.SITE' || CAST((o_orderkey // 3) % 97 AS VARCHAR)"
+        "   || '.EXAMPLE.COM:80/p/' || CAST(o_orderkey // 3 AS VARCHAR)"
+        "   || '?utm_source=feed&id=' || CAST(o_orderkey // 3 AS VARCHAR)"
+        "   || '#top'"
+        " ELSE 'http://site' || CAST((o_orderkey // 3) % 97 AS VARCHAR)"
+        "   || '.example.com:80/p/' || CAST(o_orderkey // 3 AS VARCHAR)"
+        "   || '?id=' || CAST(o_orderkey // 3 AS VARCHAR)"
+        "   || '&utm_campaign=x&gclid=1'"
+        " END AS url FROM orders),"
+        f" c AS (SELECT k, {_canon_sql('url')} AS url_canon FROM u),"
+        " m AS (SELECT k AS o_orderkey, url_canon,"
+        " min(k) OVER (PARTITION BY url_canon) AS mn FROM c)"
+        " SELECT o_orderkey, url_canon FROM m WHERE o_orderkey = mn"
     )
     # progressive JPEG: dims from the generating formulas; the
     # progressive stream carries the same quantized coefficients as the

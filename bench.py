@@ -196,11 +196,12 @@ QUERY_GROUPS: list[list[str]] = [
     ["chain", "filter_eq", "value_counts", "sort_topk", "dedup_exact",
      "dedup_minhash", "token_count", "langid", "fingerprint"],
     ["ann_topk", "ann_ivf_index", "image_decode", "jpeg_decode",
-     "audio_decode", "group_agg", "top_vocab", "sample_uniform",
-     "join_broadcast", "dedup_lines", "chunk_fixed"],
+     "jpeg_progressive", "audio_decode", "group_agg", "top_vocab",
+     "sample_uniform", "join_broadcast", "dedup_lines", "chunk_fixed"],
     ["pack_sequences", "shuffle_head", "top_ngrams", "url_parts",
-     "histogram", "join_shuffle", "join_anti_large", "curate_webtext",
-     "encode_roundtrip", "encode_prune", "dedup_incremental"],
+     "url_canon_dedup", "histogram", "join_shuffle", "join_anti_large",
+     "curate_webtext", "encode_roundtrip", "encode_prune",
+     "dedup_incremental"],
     ["window_fns", "rolling_window", "explode", "q3_revenue",
      "grouped_quantiles", "range_join", "term_stats", "split_assign",
      "sample_weighted", "kmeans", "rollup", "dedup_ngram",

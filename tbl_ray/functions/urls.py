@@ -87,3 +87,97 @@ def url_parts(ds: "ray.data.Dataset", url_col: str = "url") -> "ray.data.Dataset
         return url_parts_batch(t, url_col=url_col)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the normalize-before-dedup step of a web-crawl
+# pipeline: the same page is fetched as HTTP://WWW.Site.com:80/a#top and
+# http://site.com/a?utm_source=x, and exact URL dedup only works after
+# both collapse to one canonical form.
+#
+# The whole transform is a chain of RE2 substitutions shared VERBATIM
+# with the DuckDB oracle (`canon_sql_expr` folds the same rules into
+# nested regexp_replace calls), so canonicalization is value-checkable
+# end to end.  Known approximation, documented: a literal '&utm_...='
+# inside the PATH would also be stripped (RE2 has no lookbehind to pin
+# the match after '?'); tracker runs longer than 3 consecutive params
+# survive (the fixpoint is unrolled 3x — global regex replacement does
+# not rescan rewritten text).
+# ---------------------------------------------------------------------------
+
+_TRACKER = r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)"
+
+# (pattern, replacement), applied in order, each with GLOBAL replacement
+# (pyarrow replace_substring_regex semantics == DuckDB 'g' flag)
+CANON_RULES: list[tuple[str, str]] = (
+    [
+        (r"#.*$", ""),  # fragment never reaches the server
+        (r"^(https?://)www\.", r"\1"),  # host-alias collapse
+        (r"^(http://[^/?#:]*):80([/?#].*)?$", r"\1\2"),  # default ports
+        (r"^(https://[^/?#:]*):443([/?#].*)?$", r"\1\2"),
+    ]
+    # tracker params: leading-with-successor keeps '?', '&'-prefixed
+    # drops outright, lone leading drops with its '?'; unrolled 3x
+    # because global replacement never rescans its own rewrites
+    + [
+        rule
+        for _ in range(3)
+        for rule in [
+            (r"\?" + _TRACKER + r"=[^&#]*&", "?"),
+            (r"&" + _TRACKER + r"=[^&#]*", ""),
+            (r"\?" + _TRACKER + r"=[^&#]*$", ""),
+        ]
+    ]
+    + [
+        (r"\?$", ""),  # empty query left over
+        (r"^(https?://[^/?#]*)\?", r"\1/?"),  # host?query -> host/?query
+        (r"^(https?://[^/?#]*)$", r"\1/"),  # bare host -> host/
+    ]
+)
+
+# scheme://host prefix (lowered as a unit; RFC 3986 says both are
+# case-insensitive, path/query are not)
+_PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+
+
+def canonicalize_batch(t: pa.Table, url_col: str = "url",
+                       out_col: str = "url_canon") -> pa.Table:
+    """Append ``out_col`` = canonical form of ``url_col``; vectorized
+    RE2 kernels only."""
+    u = t.column(url_col)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    pref = _extract(u, _PREFIX_RE)
+    rest = pc.replace_substring_regex(u, pattern=_PREFIX_RE, replacement="")
+    lowered = pc.binary_join_element_wise(pc.utf8_lower(pref), rest, "")
+    cur = pc.if_else(pc.equal(pref, ""), u, lowered)
+    for pat, rep in CANON_RULES:
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=rep)
+    return t.append_column(out_col, cur)
+
+
+def url_canonicalize(
+    ds: "ray.data.Dataset", url_col: str = "url", out_col: str = "url_canon"
+) -> "ray.data.Dataset":
+    def fn(t: pa.Table) -> pa.Table:
+        return canonicalize_batch(t, url_col=url_col, out_col=out_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canon_sql_expr(col: str) -> str:
+    """The DuckDB expression computing EXACTLY ``canonicalize_batch``:
+    the same prefix-lowering and the same ``CANON_RULES`` folded into
+    nested ``regexp_replace(..., 'g')`` calls (both engines are RE2)."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    pref = f"regexp_extract({col}, {lit(_PREFIX_RE)}, 1)"
+    lowered = (
+        f"lower({pref}) || regexp_replace({col}, {lit(_PREFIX_RE)}, '')"
+    )
+    expr = f"CASE WHEN {pref} = '' THEN {col} ELSE {lowered} END"
+    for pat, rep in CANON_RULES:
+        expr = f"regexp_replace({expr}, {lit(pat)}, {lit(rep)}, 'g')"
+    return expr

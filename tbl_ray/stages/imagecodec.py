@@ -5,7 +5,7 @@ decoders for the formats implementable from the public specs alone:
 
 - **BMP** (Windows V3 ``BITMAPINFOHEADER``, uncompressed 24/32-bit,
   bottom-up or top-down) — header parse + one vectorized reshape.
-- **PNG** (8-bit gray / RGB / RGBA, non-interlaced) — chunk walk, stdlib
+- **PNG** (8-bit gray / RGB / RGBA, non-interlaced or Adam7) — chunk walk, stdlib
   ``zlib`` inflate, and all five scanline unfilters. ``Up`` and ``Sub``
   are vectorized (cumsum along the row for ``Sub``); ``Average``/``Paeth``
   fall back to a per-byte row loop (their left-dependency is nonlinear) —
@@ -86,9 +86,19 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
 
+# Adam7 interlace passes (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(H, W) or (H, W, {1,3,4}) uint8 -> 8-bit non-interlaced PNG bytes."""
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W) or (H, W, {1,3,4}) uint8 -> 8-bit PNG bytes.
+
+    ``interlace=True`` emits Adam7 (seven sub-image passes, PNG §8.2) —
+    mainly a correctness oracle for the decoder's interlaced path, since
+    PNG is lossless: decode(encode(img, interlace=True)) == img."""
     if pixels.dtype != np.uint8:
         raise ValueError("encode_png expects uint8")
     if pixels.ndim == 2:
@@ -104,11 +114,28 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 prepended to every scanline
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * c)], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no scanlines at all
+            hp = sub.shape[0]
+            parts.append(
+                np.concatenate(
+                    [np.zeros((hp, 1), np.uint8),
+                     sub.reshape(hp, sub.shape[1] * c)],
+                    axis=1,
+                ).tobytes()
+            )
+        raw = b"".join(parts)
+    else:
+        # filter byte 0 prepended to every scanline
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * c)], axis=1
+        ).tobytes()
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -158,12 +185,14 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """8-bit gray/RGB/RGBA non-interlaced PNG -> (H, W, C) uint8 (C in 1/3/4)."""
+    """8-bit gray/RGB/RGBA PNG (non-interlaced or Adam7) -> (H, W, C)
+    uint8 (C in 1/3/4)."""
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pos = len(PNG_MAGIC)
     w = h = None
     channels = 0
+    interlace = 0
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -174,7 +203,7 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+            if depth != 8 or interlace > 1 or color_type not in _PNG_CHANNELS:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={color_type}, "
                     f"interlace={interlace})"
@@ -186,8 +215,31 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    stride = w * channels
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace:
+        # Adam7: each non-empty pass is an independently-filtered
+        # sub-image; unfilter it, then scatter into the output grid
+        out = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp == 0 or hp == 0:
+                continue
+            stride = wp * channels
+            nbytes = hp * (stride + 1)
+            if off + nbytes > len(raw):
+                raise ValueError("PNG size mismatch after inflate")
+            sub = _unfilter(
+                raw[off : off + nbytes].reshape(hp, stride + 1),
+                hp, stride, channels,
+            )
+            out[y0::dy, x0::dx] = sub.reshape(hp, wp, channels)
+            off += nbytes
+        if off != len(raw):
+            raise ValueError("PNG size mismatch after inflate")
+        return out
+    stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG size mismatch after inflate")
     pixels = _unfilter(raw.reshape(h, stride + 1), h, stride, channels)

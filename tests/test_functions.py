@@ -409,6 +409,69 @@ def test_png_unfilter_all_types():
     assert np.array_equal(decode_png(png), pixels.astype(np.uint8))
 
 
+def test_png_adam7_interlace_roundtrip():
+    # PNG is lossless, so decode(encode(img, interlace=True)) == img is
+    # an exact oracle for the Adam7 pass geometry; sizes below 8px in
+    # either axis make some of the seven passes empty
+    import numpy as np
+
+    from tbl_ray.stages.imagecodec import decode_png, encode_png
+
+    rng = np.random.default_rng(12)
+    for h, w, c in [(1, 1, 1), (2, 3, 3), (5, 5, 4), (7, 13, 3),
+                    (8, 8, 1), (16, 9, 3), (33, 17, 3), (40, 41, 4)]:
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        data = encode_png(img, interlace=True)
+        assert np.array_equal(decode_png(data), img), (h, w, c)
+        # interlaced and plain encodes of the same image decode equal
+        assert np.array_equal(
+            decode_png(data), decode_png(encode_png(img))
+        )
+
+
+def test_png_adam7_with_sub_filtered_passes():
+    # hand-filter every pass row with Sub (type 1) so per-pass unfilter
+    # state (left neighbor WITHIN the pass, prev row WITHIN the pass) is
+    # exercised independently of our encoder's filter-0 choice
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tbl_ray.stages.imagecodec import PNG_MAGIC, decode_png
+
+    rng = np.random.default_rng(13)
+    h, w, c = 11, 10, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = sub.reshape(sub.shape[0], -1).astype(np.int64)
+        for y in range(flat.shape[0]):
+            raw.append(1)  # Sub
+            line = flat[y]
+            for i in range(len(line)):
+                left = line[i - c] if i >= c else 0
+                raw.append(int(line[i] - left) & 0xFF)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    png = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
+
+
 def test_image_resize_stage():
     from tbl_ray.stages.multimodal import resize_images, synthetic_image_table
     from tbl_ray.stages.imagecodec import decode_bmp

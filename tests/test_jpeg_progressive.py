@@ -201,6 +201,64 @@ def test_progressive_malformed_scans_rejected():
     assert decode_jpeg(good).shape == (16, 16, 3)
 
 
+def test_progressive_random_scan_scripts_property():
+    """Adversarial coverage: random spectral-band partitions, random
+    starting precisions, interleaved per-component scan orders — every
+    legal script must reconstruct the exact baseline pixels.
+
+    (Plain randomized rounds rather than hypothesis: the input is a
+    compound structure — image x subsample x script — where shrinking
+    adds little; seeds are fixed for reproducibility.)"""
+    rng = np.random.default_rng(20240818)
+    for round_i in range(12):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        subsample = ["444", "420"][int(rng.integers(0, 2))]
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        ncomp = 3
+
+        # per-component scan chains, then a random legal interleave
+        chains = []
+        dc_al = int(rng.integers(0, 3))
+        dc_chain = [([0, 1, 2], 0, 0, 0, dc_al)]
+        for al in range(dc_al - 1, -1, -1):
+            dc_chain.append(([0, 1, 2], 0, 0, al + 1, al))
+        chains.append(dc_chain)
+        for ci in range(ncomp):
+            # random contiguous partition of 1..63
+            n_splits = int(rng.integers(0, 3))
+            cuts = sorted(
+                set(rng.integers(2, 63, size=n_splits).tolist())
+            )
+            bounds = [1] + cuts + [64]
+            chain = []
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                al0 = int(rng.integers(0, 3))
+                chain.append(([ci], b0, b1 - 1, 0, al0))
+                for al in range(al0 - 1, -1, -1):
+                    chain.append(([ci], b0, b1 - 1, al + 1, al))
+            chains.append(chain)
+        # random merge preserving each chain's internal order
+        script = []
+        idx = [0] * len(chains)
+        while any(i < len(c) for i, c in zip(idx, chains)):
+            live = [j for j, c in enumerate(chains) if idx[j] < len(c)]
+            j = live[int(rng.integers(0, len(live)))]
+            script.append(chains[j][idx[j]])
+            idx[j] += 1
+
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsample=subsample))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=80, subsample=subsample, scans=script
+            )
+        )
+        assert np.array_equal(prog, base), (
+            f"round {round_i}: h={h} w={w} sub={subsample} "
+            f"script={script}"
+        )
+
+
 def test_progressive_dispatches_through_decode_image():
     from tbl_ray.stages.imagecodec import decode_image
 
