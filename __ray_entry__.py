@@ -1826,15 +1826,17 @@ _WINDOW_FIRST = [
     "nullify", "replace",
     "filter_eq", "filter_ne", "filter_lt", "filter_le", "filter_gt",
     "filter_ge", "filter_is_null", "filter_not_null",
-    "value_counts", "head", "tail",
+    "value_counts", "head",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
     "token_count", "sample_uniform", "sample_stratified",
     "ann_topk", "group_agg",
     # round-4 engine additions: co-bucketed large-right anti join,
     # baseline + progressive JPEG decode through the strict actor-pool
-    # stage ("offset_head" cycled out to stay within the 50-row window;
-    # its semantics are covered by the in-window "head"/"tail" rows)
+    # stage, URL canonicalization + canonical-URL dedup ("offset_head"
+    # and "tail" cycled out to stay within the 50-row window; their
+    # semantics are covered by the in-window "head" row and the suite)
     "join_anti_large", "jpeg_decode", "jpeg_progressive",
+    "url_canon_dedup",
 ]
 
 
