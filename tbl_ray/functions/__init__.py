@@ -69,7 +69,7 @@ from tbl_ray.functions.text import (
     top_ngrams,
     top_vocab,
 )
-from tbl_ray.functions.urls import url_parts
+from tbl_ray.functions.urls import url_canonicalize, url_parts
 from tbl_ray.functions.windows import session_counts, tumbling_window
 from tbl_ray.functions.winfns import rolling_range_agg, window_functions
 
@@ -129,5 +129,6 @@ __all__ = [
     "top_ngrams",
     "top_vocab",
     "tumbling_window",
+    "url_canonicalize",
     "url_parts",
 ]

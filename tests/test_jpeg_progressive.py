@@ -268,3 +268,57 @@ def test_progressive_dispatches_through_decode_image():
     assert np.array_equal(
         out, decode_jpeg(encode_jpeg(img, quality=90))
     )
+
+
+def test_mixed_format_batch_through_decode_stage(ray_session):
+    """One media table mixing BMP, plain + Adam7 PNG, and baseline +
+    progressive JPEG rows, decoded strictly through the Ray actor-pool
+    stage — per-row magic-sniff dispatch must get every format right
+    in the same batch."""
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.imagecodec import encode_bmp, encode_png
+    from tbl_ray.stages.multimodal import MEDIA_SCHEMA, decode_images
+
+    rng = np.random.default_rng(21)
+    payloads, mimes, dims = [], [], []
+    for i in range(20):
+        h, w = int(rng.integers(9, 30)), int(rng.integers(9, 30))
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        kind = i % 5
+        if kind == 0:
+            payloads.append(encode_bmp(img))
+            mimes.append("image/bmp")
+        elif kind == 1:
+            payloads.append(encode_png(img))
+            mimes.append("image/png")
+        elif kind == 2:
+            payloads.append(encode_png(img, interlace=True))
+            mimes.append("image/png")
+        elif kind == 3:
+            payloads.append(encode_jpeg(img, quality=90))
+            mimes.append("image/jpeg")
+        else:
+            payloads.append(encode_jpeg_progressive(img, quality=90))
+            mimes.append("image/jpeg")
+        dims.append((w, h))
+    t = pa.table(
+        {
+            "media_id": pa.array(range(20), pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(mimes),
+            "meta": pa.array(["{}"] * 20),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = decode_images(
+        ray.data.from_arrow(t).repartition(4),
+        strict=True,
+        batch_size=5,
+        concurrency=2,
+    ).take_all()
+    assert len(out) == 20
+    for r in sorted(out, key=lambda r: r["media_id"]):
+        w, h = dims[r["media_id"]]
+        assert (r["width"], r["height"]) == (w, h), r["media_id"]
