@@ -791,6 +791,88 @@ def _code_map(bits: list[int], vals: list[int]) -> dict:
     return {sym: (code, ln) for sym, code, ln in _canonical_codes(bits, vals)}
 
 
+class _CountingMap:
+    """Stand-in for a code map during the statistics pass of two-pass
+    (optimized-table) encoding: every symbol lookup is tallied and
+    answered with a zero-length code, so the EXACT emission logic runs
+    unchanged while only counting."""
+
+    def __init__(self):
+        self.counts: dict[int, int] = {}
+
+    def __getitem__(self, sym: int):
+        self.counts[sym] = self.counts.get(sym, 0) + 1
+        return (0, 0)
+
+
+def _optimal_table(counts: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Length-limited Huffman table from symbol frequencies per T.81
+    Annex K.2 (the classic two-least-merge with an extra pseudo-symbol
+    reserving the all-ones code, then the >16-bit adjustment).  Returns
+    (bits[1..16], vals) for a DHT segment."""
+    if not counts:
+        # table declared but never used (e.g. a scan script with no
+        # DC-first scan): any 1-entry table is valid
+        return [1] + [0] * 15, [0]
+    freq = [0] * 257
+    for s, f in counts.items():
+        freq[s] = f
+    freq[256] = 1  # pseudo-symbol: keeps the all-ones code unassigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # two smallest nonzero frequencies; ties -> larger symbol value
+        # (matches the Annex K.2 figure; any tie-break yields a valid
+        # table, a fixed one keeps encoding deterministic)
+        c1 = c2 = -1
+        v = None
+        for i in range(257):
+            if freq[i] and (v is None or freq[i] <= v):
+                v = freq[i]
+                c1 = i
+        v = None
+        for i in range(257):
+            if freq[i] and i != c1 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # fold lengths beyond 16 back (K.2 adjustment)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the pseudo-symbol's code (longest, all-ones end)
+    vals = [
+        s for s in sorted(range(256), key=lambda s: (codesize[s], s))
+        if codesize[s]
+    ]
+    return bits[1:17], vals
+
+
 def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     ph = (plane.shape[0] + mult - 1) // mult * mult
     pw = (plane.shape[1] + mult - 1) // mult * mult
@@ -890,17 +972,48 @@ def encode_jpeg(
     quality: int = 85,
     subsample: str = "444",
     restart_interval: int = 0,
+    optimize: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) gray -> baseline JFIF
     bytes. ``subsample``: '444' or '420' (color only).
     ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off)
     — restart points bound error propagation and allow a decoder to
-    parallelize segments."""
+    parallelize segments. ``optimize``: two-pass per-image Huffman
+    tables (T.81 K.2) instead of the Annex K.3 typical tables — smaller
+    files for ~2x entropy-pass cost; the quantized coefficients (and
+    therefore the decoded pixels) are identical either way."""
     plan = _plan_blocks(pixels, quality, subsample)
     gray, h, w = plan["gray"], plan["h"], plan["w"]
     ql, qc = plan["ql"], plan["qc"]
     blocks, orders = plan["blocks"], plan["orders"]
     comps_sof, scan_comp = plan["comps_sof"], plan["scan_comp"]
+
+    if optimize:
+        # statistics pass: identical emission logic, counting code maps
+        cdc_l, cac_l = _CountingMap(), _CountingMap()
+        cdc_c, cac_c = _CountingMap(), _CountingMap()
+        if gray:
+            cdcs, cacs = [cdc_l], [cac_l]
+        else:
+            cdcs = [cdc_l, cdc_c, cdc_c]
+            cacs = [cac_l, cac_c, cac_c]
+        sink = _BitWriter()
+        preds0 = [0] * len(blocks)
+        for mi, order in enumerate(orders):
+            _encode_blocks(sink, blocks, order, cdcs, cacs, preds0)
+            if restart_interval and (mi + 1) % restart_interval == 0:
+                preds0 = [0] * len(blocks)
+        dc_l_tab = _optimal_table(cdc_l.counts)
+        ac_l_tab = _optimal_table(cac_l.counts)
+        if not gray:
+            dc_c_tab = _optimal_table(cdc_c.counts)
+            ac_c_tab = _optimal_table(cac_c.counts)
+    else:
+        dc_l_tab = (DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l_tab = (AC_LUMA_BITS, AC_LUMA_VALS)
+        if not gray:
+            dc_c_tab = (DC_CHROMA_BITS, DC_CHROMA_VALS)
+            ac_c_tab = (AC_CHROMA_BITS, AC_CHROMA_VALS)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF
@@ -924,11 +1037,11 @@ def encode_jpeg(
         payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += dht(0, 0, *dc_l_tab)
+    out += dht(1, 0, *ac_l_tab)
     if not gray:
-        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += dht(0, 1, *dc_c_tab)
+        out += dht(1, 1, *ac_c_tab)
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -938,13 +1051,13 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    dc_l = _code_map(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _code_map(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_l = _code_map(*dc_l_tab)
+    ac_l = _code_map(*ac_l_tab)
     if gray:
         dcs, acs = [dc_l], [ac_l]
     else:
-        dc_c = _code_map(DC_CHROMA_BITS, DC_CHROMA_VALS)
-        ac_c = _code_map(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        dc_c = _code_map(*dc_c_tab)
+        ac_c = _code_map(*ac_c_tab)
         dcs, acs = [dc_l, dc_c, dc_c], [ac_l, ac_c, ac_c]
 
     writer = _BitWriter()
@@ -1106,11 +1219,69 @@ def _emit_ac_refine_block(
             _flush_eobrun(writer, ac_codes, state)
 
 
+def _emit_progressive_scan(
+    writer: _BitWriter, scan_desc, blocks, orders, grids,
+    dc_codes, ac_codes,
+) -> None:
+    """Entropy data for one progressive scan. ``dc_codes``/``ac_codes``
+    may be real code maps or ``_CountingMap`` shims (statistics pass)."""
+    comp_list, ss, se, ah, al = scan_desc
+    if ss == 0:
+        # interleaved over MCUs when multi-component, else the
+        # component's real block grid (matching the decoder's
+        # non-interleaved geometry)
+        if len(comp_list) > 1:
+            units = [
+                [(ci, bi) for ci, bi in order if ci in comp_list]
+                for order in orders
+            ]
+        else:
+            ci = comp_list[0]
+            rbw, rbh, stride = grids[ci]
+            units = [
+                [(ci, row * stride + col)]
+                for row in range(rbh)
+                for col in range(rbw)
+            ]
+        if ah == 0:
+            preds = {ci: 0 for ci in comp_list}
+            for unit in units:
+                for ci, bi in unit:
+                    v = int(blocks[ci][bi][0]) >> al  # arithmetic
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _category(diff)
+                    code, ln = dc_codes[t]
+                    writer.write(code, ln)
+                    writer.write(_mag_bits(diff, t), t)
+        else:
+            for unit in units:
+                for ci, bi in unit:
+                    writer.write((int(blocks[ci][bi][0]) >> al) & 1, 1)
+    else:
+        ci = comp_list[0]
+        rbw, rbh, stride = grids[ci]
+        state = {"eobrun": 0, "bits": []}
+        for row in range(rbh):
+            for col in range(rbw):
+                coefs = blocks[ci][row * stride + col]
+                if ah == 0:
+                    _emit_ac_first_block(
+                        writer, coefs, ss, se, al, ac_codes, state
+                    )
+                else:
+                    _emit_ac_refine_block(
+                        writer, coefs, ss, se, al, ac_codes, state
+                    )
+        _flush_eobrun(writer, ac_codes, state)
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     quality: int = 85,
     subsample: str = "444",
     scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    optimize: bool = True,
 ) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) gray -> progressive
     (SOF2) JFIF bytes.  Same color/subsample/quantization pipeline as
@@ -1120,12 +1291,33 @@ def encode_jpeg_progressive(
     ``scans``: optional scan script as (comp_indices, Ss, Se, Ah, Al)
     tuples; the default is the common DC-first + per-component AC-band +
     refinement script.  A partial script (e.g. DC-only) is legal and
-    decodes to the matching coarse preview."""
+    decodes to the matching coarse preview.
+
+    ``optimize`` (default True, as in common tooling for progressive):
+    two-pass per-image Huffman tables via T.81 K.2.  ``False`` keeps the
+    simple flat tables — every symbol representable, but ~9 bits each."""
     plan = _plan_blocks(pixels, quality, subsample)
     gray, h, w = plan["gray"], plan["h"], plan["w"]
     blocks, orders, grids = plan["blocks"], plan["orders"], plan["grids"]
     if scans is None:
         scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    for comp_list, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan requires Se=0")
+        if ss > 0 and len(comp_list) != 1:
+            raise ValueError("AC scans must be single-component")
+
+    if optimize:
+        cdc, cac = _CountingMap(), _CountingMap()
+        for scan_desc in scans:
+            _emit_progressive_scan(
+                _BitWriter(), scan_desc, blocks, orders, grids, cdc, cac
+            )
+        dc_tab = _optimal_table(cdc.counts)
+        ac_tab = _optimal_table(cac.counts)
+    else:
+        dc_tab = (DC_PROG_BITS, DC_PROG_VALS)
+        ac_tab = (AC_PROG_BITS, AC_PROG_VALS)
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1141,74 +1333,26 @@ def encode_jpeg_progressive(
     for cid, hv, tq in plan["comps_sof"]:
         sof += struct.pack(">BBB", cid, hv, tq)
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
-    dht_dc = bytes([0x00]) + bytes(DC_PROG_BITS) + bytes(DC_PROG_VALS)
+    dht_dc = bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1])
     out += b"\xff\xc4" + struct.pack(">H", len(dht_dc) + 2) + dht_dc
-    dht_ac = bytes([0x10]) + bytes(AC_PROG_BITS) + bytes(AC_PROG_VALS)
+    dht_ac = bytes([0x10]) + bytes(ac_tab[0]) + bytes(ac_tab[1])
     out += b"\xff\xc4" + struct.pack(">H", len(dht_ac) + 2) + dht_ac
 
-    dc_codes = _code_map(DC_PROG_BITS, DC_PROG_VALS)
-    ac_codes = _code_map(AC_PROG_BITS, AC_PROG_VALS)
+    dc_codes = _code_map(*dc_tab)
+    ac_codes = _code_map(*ac_tab)
     comp_ids = [cid for cid, _, _ in plan["comps_sof"]]
 
-    for comp_list, ss, se, ah, al in scans:
-        if ss == 0 and se != 0:
-            raise ValueError("DC scan requires Se=0")
-        if ss > 0 and len(comp_list) != 1:
-            raise ValueError("AC scans must be single-component")
+    for scan_desc in scans:
+        comp_list, ss, se, ah, al = scan_desc
         sos = bytes([len(comp_list)])
         for ci in comp_list:
             sos += bytes([comp_ids[ci], 0x00])  # Td=0, Ta=0
         sos += bytes([ss, se, (ah << 4) | al])
         out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
         writer = _BitWriter()
-        if ss == 0:
-            # interleaved over MCUs when multi-component, else the
-            # component's real block grid (matching the decoder's
-            # non-interleaved geometry)
-            if len(comp_list) > 1:
-                units = [
-                    [(ci, bi) for ci, bi in order if ci in comp_list]
-                    for order in orders
-                ]
-            else:
-                ci = comp_list[0]
-                rbw, rbh, stride = grids[ci]
-                units = [
-                    [(ci, row * stride + col)]
-                    for row in range(rbh)
-                    for col in range(rbw)
-                ]
-            if ah == 0:
-                preds = {ci: 0 for ci in comp_list}
-                for unit in units:
-                    for ci, bi in unit:
-                        v = int(blocks[ci][bi][0]) >> al  # arithmetic
-                        diff = v - preds[ci]
-                        preds[ci] = v
-                        t = _category(diff)
-                        code, ln = dc_codes[t]
-                        writer.write(code, ln)
-                        writer.write(_mag_bits(diff, t), t)
-            else:
-                for unit in units:
-                    for ci, bi in unit:
-                        writer.write((int(blocks[ci][bi][0]) >> al) & 1, 1)
-        else:
-            ci = comp_list[0]
-            rbw, rbh, stride = grids[ci]
-            state = {"eobrun": 0, "bits": []}
-            for row in range(rbh):
-                for col in range(rbw):
-                    coefs = blocks[ci][row * stride + col]
-                    if ah == 0:
-                        _emit_ac_first_block(
-                            writer, coefs, ss, se, al, ac_codes, state
-                        )
-                    else:
-                        _emit_ac_refine_block(
-                            writer, coefs, ss, se, al, ac_codes, state
-                        )
-            _flush_eobrun(writer, ac_codes, state)
+        _emit_progressive_scan(
+            writer, scan_desc, blocks, orders, grids, dc_codes, ac_codes
+        )
         writer.flush()
         out += writer.out
     out += b"\xff\xd9"

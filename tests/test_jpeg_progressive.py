@@ -270,6 +270,58 @@ def test_progressive_dispatches_through_decode_image():
     )
 
 
+def test_optimized_huffman_tables():
+    """Two-pass optimal tables (T.81 K.2): same quantized coefficients,
+    so decode equality holds; the stream must shrink vs the fixed
+    Annex K tables (baseline) and the flat tables (progressive)."""
+    rng = np.random.default_rng(6)
+    for shape, kw in [((48, 40, 3), {"subsample": "420"}),
+                      ((33, 17, 3), {"subsample": "444"}),
+                      ((24, 24), {})]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        b0 = encode_jpeg(img, quality=85, **kw)
+        b1 = encode_jpeg(img, quality=85, optimize=True, **kw)
+        p0 = encode_jpeg_progressive(img, quality=85, optimize=False, **kw)
+        p1 = encode_jpeg_progressive(img, quality=85, **kw)  # default on
+        d0 = decode_jpeg(b0)
+        assert np.array_equal(decode_jpeg(b1), d0)
+        assert np.array_equal(decode_jpeg(p0), d0)
+        assert np.array_equal(decode_jpeg(p1), d0)
+        assert len(b1) < len(b0)
+        assert len(p1) < 0.7 * len(p0)
+    # restart markers + optimization together
+    img = rng.integers(0, 256, (48, 48, 3), np.uint8)
+    r = encode_jpeg(img, quality=85, subsample="420",
+                    restart_interval=2, optimize=True)
+    assert np.array_equal(
+        decode_jpeg(r),
+        decode_jpeg(encode_jpeg(img, quality=85, subsample="420")),
+    )
+
+
+def test_optimal_table_edge_distributions():
+    """Single-symbol and empty frequency maps must yield valid tables
+    (the all-ones code stays unassigned per T.81)."""
+    from tbl_ray.stages.jpegcodec import _optimal_table
+
+    bits, vals = _optimal_table({5: 1000})
+    assert sum(bits) == 1 and vals == [5]
+    bits, vals = _optimal_table({})
+    assert sum(bits) == len(vals) == 1
+    # highly skewed: many symbols, one dominant
+    counts = {i: 1 for i in range(200)}
+    counts[3] = 10**9
+    bits, vals = _optimal_table(counts)
+    assert sum(bits) == 200 and sorted(vals) == sorted(counts)
+    assert all(0 <= b <= 255 for b in bits) and len(bits) == 16
+    # flat image end-to-end: EOB-run dominated tables
+    img = np.full((32, 32, 3), 130, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, subsample="420")),
+        decode_jpeg(encode_jpeg(img, subsample="420")),
+    )
+
+
 def test_mixed_format_batch_through_decode_stage(ray_session):
     """One media table mixing BMP, plain + Adam7 PNG, and baseline +
     progressive JPEG rows, decoded strictly through the Ray actor-pool
