@@ -210,10 +210,12 @@ class ImageResize:
             if self.out_format == "jpeg":
                 # encode_jpeg imported at module scope: this runs in Ray
                 # workers, where late `from tbl_ray...` imports break
-                # under a foreign driver cwd
+                # under a foreign driver cwd.  optimize=True: at corpus
+                # scale the 13-25% smaller payloads dominate the ~2x
+                # entropy-pass cost (entropy is a minor share of encode)
                 out_payloads.append(
                     encode_jpeg(resized, quality=self.jpeg_quality,
-                                subsample="420")
+                                subsample="420", optimize=True)
                 )
             else:
                 out_payloads.append(encode_bmp(resized))
