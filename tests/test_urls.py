@@ -112,3 +112,6 @@ def test_url_canonicalize_matches_duckdb_rule_for_rule():
         ).fetchall()
     ]
     assert got == want
+    # canonicalization is idempotent: a canonical URL is a fixed point
+    t2 = pa.table({"url": pa.array(got, pa.string())})
+    assert canonicalize_batch(t2).column("url_canon").to_pylist() == got
