@@ -374,3 +374,34 @@ def test_mixed_format_batch_through_decode_stage(ray_session):
     for r in sorted(out, key=lambda r: r["media_id"]):
         w, h = dims[r["media_id"]]
         assert (r["width"], r["height"]) == (w, h), r["media_id"]
+
+
+def test_progressive_dc_scan_with_restart_markers():
+    """RSTn inside a progressive DC scan: the DC predictor must reset
+    per restart segment (T.81 G.1.1).  Two 8x8 gray blocks, DRI=1:
+    block 1 codes diff=+5, then RST0, then block 2 codes diff=+2
+    against a RESET predictor -> DC values 5 and 2 (not 5 and 7).
+    DQT=16: pixels round(DC*16/8)+128 = 138 and 132."""
+    import struct as _struct
+
+    dqt = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([16] * 64)
+    # 8 rows x 16 cols, 1 component -> 2 MCUs
+    sof = bytes([0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x08, 0x00, 0x10,
+                 0x01, 0x01, 0x11, 0x00])
+    bits = [1, 1, 1, 1] + [0] * 12  # cat0='0' cat1='10' cat2='110' cat3='1110'
+    vals = [0, 1, 2, 3]
+    dht = bytes([0xFF, 0xC4, 0x00, 2 + 17 + 4, 0x00]) + bytes(bits) + bytes(
+        vals
+    )
+    dri = bytes([0xFF, 0xDD]) + _struct.pack(">HH", 4, 1)
+    sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,
+                 0x00, 0x00, 0x00])  # DC first, Al=0
+    ecs1 = bytes([0b1110101_0])  # cat3 '1110' + '101' (+5), pad 0
+    rst0 = bytes([0xFF, 0xD0])
+    ecs2 = bytes([0b110_10_000])  # cat2 '110' + '10' (+2), pad 0s
+    data = (b"\xff\xd8" + dqt + sof + dht + dri + sos + ecs1 + rst0 + ecs2
+            + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (8, 16, 1)
+    assert (out[:, :8] == 138).all()   # DC 5 -> 10 + 128
+    assert (out[:, 8:] == 132).all()   # DC 2 (predictor reset) -> 4 + 128
