@@ -253,14 +253,27 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-sniffing decode -> (H, W, C) uint8. BMP, 8-bit PNG and
-    baseline JPEG (tbl_ray.stages.jpegcodec, pure-numpy ITU T.81) are
-    decoded for real; anything else raises ValueError."""
-    if data[:2] == BMP_MAGIC:
-        return decode_bmp(data)
-    if data[:8] == PNG_MAGIC:
-        return decode_png(data)
-    if data[:2] == JPEG_MAGIC:
-        return decode_jpeg(data)
+    baseline/progressive JPEG (tbl_ray.stages.jpegcodec, pure-numpy
+    ITU T.81) are decoded for real; anything else raises ValueError.
+
+    Every parse failure surfaces as ``ValueError`` — crawled corpora
+    contain truncated/corrupt payloads whose garbage can trip any
+    exception inside a decoder (short reads, bad zlib streams, out-of-
+    range table indices), and error policies key on ValueError."""
+    try:
+        if data[:2] == BMP_MAGIC:
+            return decode_bmp(data)
+        if data[:8] == PNG_MAGIC:
+            return decode_png(data)
+        if data[:2] == JPEG_MAGIC:
+            return decode_jpeg(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, StopIteration,
+            struct.error, zlib.error) as e:
+        raise ValueError(
+            f"corrupt image payload ({type(e).__name__}: {e})"
+        ) from e
     raise ValueError("unknown image format (supported: BMP, PNG, JPEG)")
 
 

@@ -135,11 +135,19 @@ _A = _dct_matrix()
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, int]]:
-    """(symbol, code, length) triples per T.81 Annex C code assignment."""
+    """(symbol, code, length) triples per T.81 Annex C code assignment.
+
+    Validates the table shape — corrupt DHT segments (random bytes are
+    a fact of crawled corpora) must surface as ``ValueError`` so decode
+    error policies can catch them, not as an IndexError."""
+    if len(bits) < 16 or sum(bits[:16]) > len(vals):
+        raise ValueError("corrupt JPEG Huffman table (bits/values mismatch)")
     out = []
     code = 0
     k = 0
     for length in range(1, 17):
+        if code + bits[length - 1] > (1 << length):
+            raise ValueError("corrupt JPEG Huffman table (code overflow)")
         for _ in range(bits[length - 1]):
             out.append((vals[k], code, length))
             code += 1

@@ -69,11 +69,17 @@ class ImageDecode:
     width/height come from the actual pixel grid and ``features`` is a
     16-float [channel means, luma std, luma histogram] vector.
 
-    Formats this environment cannot decode (MP3-in-image columns,
-    arithmetic-coded JPEG & co.): ``strict=True`` raises ``ValueError``
-    naming the payload; ``strict=False`` falls back to a deterministic
-    checksum-derived fake for those rows only, keeping the plumbing
-    testable with arbitrary bytes.
+    Undecodable payloads (corrupt bytes — common in real crawls — or
+    formats this environment cannot decode, e.g. arithmetic-coded
+    JPEG): ``on_error`` picks the policy —
+
+    - ``"raise"``: fail the task (``strict=True`` shorthand);
+    - ``"fake"``: deterministic checksum-derived fake dims/features
+      (``strict=False`` shorthand — plumbing-test mode);
+    - ``"null"``: the production policy — width/height/features/sum_px
+      are NULL for the bad rows and a ``decode_error`` string column
+      carries the per-row reason, so a 100 TB decode job neither dies
+      on one corrupt payload nor fabricates data.
     """
 
     FEATURE_DIM = 16
@@ -84,8 +90,13 @@ class ImageDecode:
         strict: bool = False,
         payload_col: str = "payload",
         emit_sum: bool = False,
+        on_error: str | None = None,
     ):
-        self.strict = strict
+        if on_error is None:
+            on_error = "raise" if strict else "fake"
+        if on_error not in ("raise", "fake", "null"):
+            raise ValueError(f"unsupported on_error {on_error!r}")
+        self.on_error = on_error
         self.payload_col = payload_col
         # exact int64 sum of all decoded channel values — an
         # independently-computable pixel checksum (the driver oracle
@@ -101,14 +112,20 @@ class ImageDecode:
         height = np.zeros(n, np.int32)
         sum_px = np.zeros(n, np.int64)
         feat = np.zeros((n, self.FEATURE_DIM), dtype=np.float32)
+        bad = np.zeros(n, bool)
+        errs: list[str | None] = [None] * n
         for i in range(n):
             data = payloads[i].as_py() or b""
             try:
                 pixels = decode_image(data)
-            except ValueError:
-                if self.strict:
+            except ValueError as e:
+                if self.on_error == "raise":
                     raise
-                # unknown format: deterministic checksum-derived fake
+                if self.on_error == "null":
+                    bad[i] = True
+                    errs[i] = str(e)
+                    continue
+                # "fake": deterministic checksum-derived dims/features
                 width[i] = int(checksum[i] % np.uint64(1920)) + 1
                 height[i] = int((checksum[i] >> np.uint64(17)) % np.uint64(1080)) + 1
                 for j in range(self.FEATURE_DIM):
@@ -120,16 +137,25 @@ class ImageDecode:
             if self.emit_sum:
                 sum_px[i] = int(pixels.astype(np.int64).sum())
             feat[i] = image_features(pixels, self.FEATURE_DIM)
+        nullable = self.on_error == "null"
+        mask = bad if nullable else None
         out = {
-            "width": pa.array(width),
-            "height": pa.array(height),
+            "width": pa.array(width, mask=mask),
+            "height": pa.array(height, mask=mask),
             "n_bytes": pa.array(lens, type=pa.int64()),
-            "features": pa.FixedSizeListArray.from_arrays(
+            "features": pa.array(
+                [None if bad[i] else feat[i].tolist() for i in range(n)],
+                type=pa.list_(pa.float32(), self.FEATURE_DIM),
+            )
+            if nullable
+            else pa.FixedSizeListArray.from_arrays(
                 pa.array(feat.ravel()), self.FEATURE_DIM
             ),
         }
         if self.emit_sum:
-            out["sum_px"] = pa.array(sum_px, type=pa.int64())
+            out["sum_px"] = pa.array(sum_px, type=pa.int64(), mask=mask)
+        if nullable:
+            out["decode_error"] = pa.array(errs, type=pa.string())
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -148,13 +174,22 @@ def decode_images(
     emit_sum: bool = False,
     batch_size: int = 64,
     concurrency=None,
+    on_error: str | None = None,
 ) -> "ray.data.Dataset":
-    """Actor-pool image decode over small batches (large-payload safe)."""
+    """Actor-pool image decode over small batches (large-payload safe).
+
+    ``on_error="null"`` is the production corrupt-corpus policy: bad
+    payloads yield NULL dims/features plus a ``decode_error`` column
+    instead of failing the job or fabricating values."""
     from tbl_ray.stages.encode import _default_pool
 
     return ds.map_batches(
         ImageDecode,
-        fn_constructor_kwargs={"strict": strict, "emit_sum": emit_sum},
+        fn_constructor_kwargs={
+            "strict": strict,
+            "emit_sum": emit_sum,
+            "on_error": on_error,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

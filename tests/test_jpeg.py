@@ -224,3 +224,22 @@ def test_image_decode_stage_with_jpeg_payloads(ray_session):
     assert len(out) == 12
     for i, r in enumerate(sorted(out, key=lambda r: r["media_id"])):
         assert (r["width"], r["height"]) == (16 + i, 24 + i)
+
+
+def test_decode_image_never_escapes_valueerror_on_garbage():
+    """Crawled corpora contain truncated/corrupt media: random bytes
+    behind each supported magic must either decode or raise ValueError
+    — never IndexError/struct.error/zlib.error, which would bypass the
+    decode-stage error policies (on_error='null'/'fake')."""
+    from tbl_ray.stages.imagecodec import decode_image
+
+    rng = np.random.default_rng(99)
+    magics = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"BM"]
+    for trial in range(400):
+        m = magics[trial % 3]
+        n = int(rng.integers(0, 160))
+        data = m + bytes(rng.integers(0, 256, n).tolist())
+        try:
+            decode_image(data)
+        except ValueError:
+            pass

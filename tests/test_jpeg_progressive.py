@@ -405,3 +405,56 @@ def test_progressive_dc_scan_with_restart_markers():
     assert out.shape == (8, 16, 1)
     assert (out[:, :8] == 138).all()   # DC 5 -> 10 + 128
     assert (out[:, 8:] == 132).all()   # DC 2 (predictor reset) -> 4 + 128
+
+
+def test_decode_images_on_error_null_policy(ray_session):
+    """on_error='null': corrupt payloads yield NULL dims/features plus a
+    decode_error reason; good rows in the same batch decode normally —
+    the corrupt-corpus policy (neither job death nor fabricated data)."""
+    import pyarrow as pa
+    import ray.data
+
+    from tbl_ray.stages.multimodal import MEDIA_SCHEMA, decode_images
+
+    rng = np.random.default_rng(31)
+    payloads, good_dims = [], {}
+    for i in range(12):
+        if i % 3 == 2:
+            payloads.append(b"\xff\xd8\xff" + bytes(rng.integers(0, 256, 40).tolist()))
+        else:
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            payloads.append(encode_jpeg(rng.integers(0, 256, (h, w, 3), np.uint8)))
+            good_dims[i] = (w, h)
+    t = pa.table(
+        {
+            "media_id": pa.array(range(12), pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/jpeg"] * 12),
+            "meta": pa.array(["{}"] * 12),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = decode_images(
+        ray.data.from_arrow(t), on_error="null", emit_sum=True,
+        batch_size=4, concurrency=2,
+    ).take_all()
+    assert len(out) == 12
+    for r in sorted(out, key=lambda r: r["media_id"]):
+        i = r["media_id"]
+        if i in good_dims:
+            assert (r["width"], r["height"]) == good_dims[i]
+            assert r["decode_error"] is None and r["sum_px"] is not None
+        else:
+            assert r["width"] is None and r["height"] is None
+            assert r["sum_px"] is None and r["features"] is None
+            assert r["decode_error"]  # non-empty reason
+
+    # invalid policy rejected; strict shorthand still raises
+    from tbl_ray.stages.multimodal import ImageDecode
+
+    with pytest.raises(ValueError, match="on_error"):
+        ImageDecode(on_error="bogus")
+    with pytest.raises(Exception):
+        decode_images(
+            ray.data.from_arrow(t), strict=True, batch_size=4, concurrency=2
+        ).take_all()
