@@ -346,6 +346,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         payload = data[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks pad to even offsets
         if tag == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("corrupt WAV (truncated fmt chunk)")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload
             )
@@ -353,10 +355,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     f"unsupported WAV (fmt={audio_fmt}, bits={bits}); PCM16 only"
                 )
+            if channels < 1:
+                raise ValueError("corrupt WAV (0 channels)")
         elif tag == b"data":
-            pcm = np.frombuffer(payload, dtype="<i2")
+            pcm = np.frombuffer(payload[: len(payload) & ~1], dtype="<i2")
     if sample_rate is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(pcm) % channels:
+        raise ValueError("corrupt WAV (data not divisible by channels)")
     return pcm.reshape(-1, channels), sample_rate
 
 

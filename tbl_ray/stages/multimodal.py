@@ -551,11 +551,13 @@ def unpack_frame(data: bytes, index: int) -> bytes:
     """O(1)-seek extract of one frame — skipped frames are never touched."""
     import struct as _struct
 
-    if data[:4] != FRAMES_MAGIC:
+    if data[:4] != FRAMES_MAGIC or len(data) < 8:
         raise ValueError("not a frame container")
     (count,) = _struct.unpack_from("<I", data, 4)
     if not 0 <= index < count:
         raise IndexError(f"frame {index} of {count}")
+    if len(data) < 8 + 4 * count:
+        raise ValueError("corrupt frame container (truncated length table)")
     lens = _struct.unpack_from(f"<{count}I", data, 8)
     start = 8 + 4 * count + sum(lens[:index])
     return data[start : start + lens[index]]
@@ -589,7 +591,7 @@ class FrameSample:
         out_feat = []
         for i in range(t.num_rows):
             data = payloads[i].as_py() or b""
-            if data[:4] != FRAMES_MAGIC:
+            if data[:4] != FRAMES_MAGIC or len(data) < 8:
                 if self.strict:
                     raise ValueError("not a frame container")
                 continue
@@ -598,10 +600,12 @@ class FrameSample:
                 {int(j * count / max(self.n_sample, 1)) for j in range(self.n_sample)}
             ) if count else []
             for fi in picks:
-                frame = unpack_frame(data, fi)
                 try:
+                    frame = unpack_frame(data, fi)
                     pixels = decode_image(frame)
                 except ValueError:
+                    # corrupt container or frame: strict raises, default
+                    # skips the row (crawled corpora contain both)
                     if self.strict:
                         raise
                     continue
@@ -617,7 +621,7 @@ class FrameSample:
         )
         return pa.table(
             {
-                self.id_col: pa.array(out_id, pa.int64()),
+                self.id_col: pa.array(out_id, t.schema.field(self.id_col).type),
                 "frame_index": pa.array(out_fi, pa.int64()),
                 "width": pa.array(out_w, pa.int32()),
                 "height": pa.array(out_h, pa.int32()),

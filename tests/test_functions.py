@@ -1524,3 +1524,49 @@ def test_broadcast_join_rename_does_not_collide_with_existing_suffix(
     names = out.column_names
     assert len(names) == len(set(names)), names  # no silent duplicates
     assert "v_r_r" in names  # the rename stepped past the taken suffix
+
+
+def test_wav_and_frame_container_corrupt_payloads_raise_valueerror():
+    """Symmetric to the image-side guarantee: corrupt audio/video
+    payloads must surface as ValueError (never struct.error/IndexError
+    escaping the stage error policies)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from tbl_ray.stages.imagecodec import decode_wav
+    from tbl_ray.stages.multimodal import FRAMES_MAGIC, unpack_frame
+
+    # targeted: truncated fmt chunk, zero channels, odd data length
+    short_fmt = (b"RIFF" + b"\x00" * 4 + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(short_fmt)
+    zero_ch = (b"RIFF" + b"\x00" * 4 + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+               + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="0 channels"):
+        decode_wav(zero_ch)
+
+    # targeted: frame container with a huge count / truncated table
+    bogus = FRAMES_MAGIC + struct.pack("<I", 2**31) + b"\x00" * 16
+    with pytest.raises(ValueError, match="truncated length table"):
+        unpack_frame(bogus, 0)
+    with pytest.raises(ValueError):
+        unpack_frame(FRAMES_MAGIC, 0)  # only the magic, no count
+
+    # fuzz: random bytes behind each magic
+    rng = np.random.default_rng(17)
+    for trial in range(400):
+        n = int(rng.integers(0, 100))
+        tail = bytes(rng.integers(0, 256, n).tolist())
+        try:
+            decode_wav(b"RIFF" + tail)
+        except ValueError:
+            pass
+        try:
+            unpack_frame(FRAMES_MAGIC + tail, 0)
+        except (ValueError, IndexError):
+            pass  # IndexError only from the in-range API check
