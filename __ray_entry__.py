@@ -43,6 +43,32 @@ def _docs(sf_dir: str):
     return read_table(os.path.join(sf_dir, "documents.parquet"))
 
 
+_ASCII_LIMIT = 160
+
+
+def _ascii_docs(sf_dir: str):
+    """(doc_id, text) with text reduced to printable ASCII and truncated
+    to _ASCII_LIMIT chars — the byte==character regime where DuckDB's
+    character-level string functions replay the engine's byte-level
+    hashing exactly (both regex engines are RE2, so the sanitize step
+    itself is identical). Used by the minhash_sig / simhash oracles."""
+    from tbl_ray.sources import read_table
+
+    ds = read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def prep(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as _pc
+
+        s = _pc.fill_null(t.column("text"), "")
+        s = _pc.replace_substring_regex(s, "[^ -~]", "")
+        s = _pc.utf8_slice_codeunits(s, 0, _ASCII_LIMIT)
+        return t.set_column(t.schema.get_field_index("text"), "text", s)
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _spec_query(table_fn, **spec_kwargs):
     def run(sf_dir: str):
         from tbl_ray import TransformSpec, apply_transforms
@@ -260,11 +286,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash"] = dedup_minhash
 
     def simhash_col(sf_dir: str):
+        """SimHash with the SQL-replayable polynomial word hash over
+        ASCII-sanitized text: the oracle replays tokenization (RE2
+        ``\\s+`` split in both engines), the byte-polynomial + splitmix64
+        word hash, the per-bit ±1 votes and the sign rule — so the
+        64-bit simhash values themselves are value-hash-verified."""
         from tbl_ray.functions.dedup import simhash
 
-        return simhash(_docs(sf_dir)).select_columns(["doc_id", "simhash"])
+        return simhash(
+            _ascii_docs(sf_dir), word_hasher="poly"
+        ).select_columns(["doc_id", "simhash"])
 
     q["simhash"] = simhash_col
+
+    def minhash_sig(sf_dir: str):
+        """Long-format MinHash signatures over ASCII-sanitized text —
+        the value-level driver check for the MinHash kernel (the same
+        ``minhash_signatures`` the LSH dedup builds on; native C and
+        numpy paths are parity-tested bit-identical)."""
+        import pyarrow.compute as _pc
+
+        from tbl_ray.functions.dedup import minhash_signature_rows
+
+        def long_enough(t: pa.Table) -> pa.Table:
+            return t.filter(
+                _pc.greater_equal(_pc.utf8_length(t.column("text")), 8)
+            )
+
+        ds = _ascii_docs(sf_dir).map_batches(
+            long_enough, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return minhash_signature_rows(ds, "text", "doc_id", n_hashes=12, seed=7)
+
+    q["minhash_sig"] = minhash_sig
 
     def dedup_ngram(sf_dir: str):
         """Exact n-gram-Jaccard near-dedup: MinHash LSH proposes
@@ -1824,8 +1878,12 @@ _WINDOW_FIRST = [
     # after this round's exchange/zone-map/oracle changes
     "select", "drop", "rename", "cast", "with_column", "set_column",
     "nullify", "replace",
-    "filter_eq", "filter_ne", "filter_lt", "filter_le", "filter_gt",
+    # filter_ne / filter_le cycled out for the minhash_sig / simhash
+    # oracle conversions — all eight forms share one dispatch path
+    # (tbl_ray/filters.py) and six sibling forms stay in-window
+    "filter_eq", "filter_lt", "filter_gt",
     "filter_ge", "filter_is_null", "filter_not_null",
+    "minhash_sig", "simhash",
     "value_counts", "head",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
     "token_count", "sample_uniform", "sample_stratified",
@@ -1893,6 +1951,91 @@ def _splitmix_ctes(prefix: str, src: str) -> str:
         f" {prefix}3 AS (SELECT *, xor(z2, z2 >> 27) AS x2 FROM {prefix}2),"
         f" {prefix}4 AS (SELECT *, {_mm64('x2', c2)} AS y2 FROM {prefix}3),"
         f" {prefix}h AS (SELECT *, xor(y2, y2 >> 31) AS h FROM {prefix}4)"
+    )
+
+
+#: SQL mirror of __ray_entry__._ascii_docs: printable-ASCII sanitize
+#: (both regex engines are RE2) + truncation, the byte==char regime
+#: where DuckDB character functions replay the engine's byte hashing
+_ASCII_SQL = (
+    "substring(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 160)"
+)
+
+
+def _minhash_sig_sql(n_hashes: int = 12, seed: int = 7) -> str:
+    """Exact replay of tbl_ray.functions.dedup.minhash_signatures over
+    ASCII text: hex(8-byte window) IS the big-endian shingle u64
+    (dedup.py:_window_hashes views windows as '>u8'), splitmix64 via the
+    shared CTE chain, then min over ``a_i*h+b_i mod 2^64`` per row. The
+    a/b constants replicate np.random.default_rng(seed) exactly."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=n_hashes, dtype=_np.uint64) * _np.uint64(
+        2
+    ) + _np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_hashes, dtype=_np.uint64)
+    params = ", ".join(
+        f"({i}, CAST({a[i]} AS UBIGINT), CAST({b[i]} AS UBIGINT))"
+        for i in range(n_hashes)
+    )
+    return (
+        f"WITH docs0 AS (SELECT doc_id, {_ASCII_SQL} AS s FROM documents),"
+        " docs AS (SELECT doc_id, s FROM docs0 WHERE length(s) >= 8),"
+        " w AS (SELECT doc_id,"
+        " unnest(generate_series(1, length(s) - 7)) AS p, s FROM docs),"
+        " v0 AS (SELECT doc_id,"
+        " CAST('0x' || hex(encode(substring(s, p, 8))) AS UBIGINT) AS v"
+        f" FROM w), {_splitmix_ctes('m', 'v0')},"
+        f" params(i, pa_, pb_) AS (VALUES {params}),"
+        " perm AS (SELECT doc_id, i,"
+        f" CAST((CAST({_mm64('pa_', 'h')} AS HUGEINT)"
+        f" + CAST(pb_ AS HUGEINT)) % {_M64} AS UBIGINT) AS ph"
+        " FROM mh CROSS JOIN params)"
+        " SELECT doc_id, CAST(i AS BIGINT) AS hash_index, min(ph) AS sig"
+        " FROM perm GROUP BY doc_id, i"
+    )
+
+
+def _simhash_sql(seed: int = 11) -> str:
+    """Exact replay of simhash_batch(word_hasher='poly') over ASCII text:
+    RE2 \\s+ split (empty edge tokens INCLUDED, verified identical
+    between Arrow and DuckDB), byte-polynomial word hash
+    sum(byte_j * P^j) mod 2^64 -> splitmix64(h + seed), per-bit ±1
+    votes over every word occurrence, bit set iff votes > 0."""
+    P = 1099511628211  # tbl_ray.functions.dedup._POLY_P
+    pw, pows = 1, []
+    for j in range(1, 161):
+        pows.append(f"({j}, CAST({pw} AS UBIGINT))")
+        pw = (pw * P) % (1 << 64)
+    split = "regexp_split_to_array(s, '\\s+')"
+    return (
+        f"WITH docs AS (SELECT doc_id, {_ASCII_SQL} AS s FROM documents),"
+        f" wl AS (SELECT doc_id, unnest({split}) AS w,"
+        f" generate_subscripts({split}, 1) AS wi FROM docs),"
+        " ch AS (SELECT doc_id, wi, w,"
+        " unnest(generate_series(1, length(w))) AS j FROM wl),"
+        f" pows(j, pw) AS (VALUES {', '.join(pows)}),"
+        " terms AS (SELECT doc_id, wi,"
+        " (CAST(ascii(substring(w, ch.j, 1)) AS HUGEINT)"
+        f" * CAST(pw AS HUGEINT)) % {_M64} AS term"
+        " FROM ch JOIN pows ON pows.j = ch.j),"
+        " wsum AS (SELECT doc_id, wi,"
+        f" CAST(sum(term) % {_M64} AS UBIGINT) AS hsum"
+        " FROM terms GROUP BY doc_id, wi),"
+        " wh0 AS (SELECT wl.doc_id, wl.wi,"
+        f" CAST((CAST(coalesce(ws.hsum, 0) AS HUGEINT) + {seed}) % {_M64}"
+        " AS UBIGINT) AS v FROM wl LEFT JOIN wsum ws"
+        " ON ws.doc_id = wl.doc_id AND ws.wi = wl.wi),"
+        f" {_splitmix_ctes('m', 'wh0')},"
+        " bits AS (SELECT unnest(generate_series(0, 63)) AS b),"
+        " votes AS (SELECT doc_id, b,"
+        " sum(CASE WHEN (h >> b) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)"
+        " THEN 1 ELSE -1 END) AS v_ FROM mh CROSS JOIN bits"
+        " GROUP BY doc_id, b)"
+        " SELECT doc_id, CAST(sum(CASE WHEN v_ > 0"
+        " THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END)"
+        " AS UBIGINT) AS simhash FROM votes GROUP BY doc_id"
     )
 
 
@@ -2252,6 +2395,8 @@ def _wave4_oracles() -> dict[str, str]:
         " SELECT d.doc_id, d.lang, d.n_chars FROM documents d"
         " JOIN lab ON lab.id = d.doc_id AND lab.root = d.doc_id"
     )
+    out["minhash_sig"] = _minhash_sig_sql(n_hashes=12, seed=7)
+    out["simhash"] = _simhash_sql(seed=11)
     return out
 
 
@@ -2687,11 +2832,12 @@ def oracle_sql() -> dict[str, str]:
             " SELECT * FROM documents"
             " WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"
         ),
-        # dedup_minhash / simhash / ann_ivf_index / webtable_invariant:
-        # genuinely non-SQL-expressible (sketch-probabilistic results,
-        # partial-probe approximate search, in-process synthetic input)
-        # -> rows-only checks. Everything else has an oracle (the wave-4
-        # conversions live in _wave4_oracles).
+        # dedup_minhash / ann_ivf_index / webtable_invariant: genuinely
+        # non-SQL-expressible (LSH-bucketed pair generation, partial-probe
+        # approximate search, in-process synthetic input) -> rows-only
+        # checks; dedup_minhash's MinHash kernel is value-verified by the
+        # minhash_sig oracle row. Everything else has an oracle (the
+        # wave-4 conversions live in _wave4_oracles).
     }
     out.update(_wave4_oracles())
     return out

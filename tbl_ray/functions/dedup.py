@@ -319,6 +319,40 @@ def minhash_signatures(col: pa.Array, n_hashes: int = 32, seed: int = 7) -> np.n
     return sig
 
 
+def minhash_signature_rows(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Long-format ``(id, hash_index, sig)`` MinHash signatures.
+
+    The driver-checked oracle surface for the MinHash kernel: given
+    ASCII text, every step (8-byte big-endian shingle, splitmix64 mix,
+    ``a_i*h+b_i mod 2^64`` permutations, per-row min) is exactly
+    replayable in ANSI SQL, so the signature values themselves get a
+    value-hash-verified driver row (``minhash_sig`` in __ray_entry__)."""
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks()
+        sig = minhash_signatures(col, n_hashes=n_hashes, seed=seed)
+        n = len(col)
+        ids = t.column(id_col).combine_chunks()
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_hashes))
+        return pa.table(
+            {
+                id_col: ids.take(rep_idx),
+                "hash_index": pa.array(
+                    np.tile(np.arange(n_hashes, dtype=np.int64), n)
+                ),
+                "sig": pa.array(sig.ravel(), type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     """(n_rows, bands) uint64 LSH bucket keys (chained mix over the band)."""
     n, n_hashes = sig.shape
@@ -489,12 +523,46 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash_batch(col: pa.Array, seed: int = 11) -> np.ndarray:
+#: odd multiplier for the SQL-replayable polynomial word hash (FNV-1a's
+#: 64-bit prime; any odd constant works — it only has to match the oracle)
+_POLY_P = np.uint64(1099511628211)
+
+
+def _poly_word_hashes(words: pa.Array, seed: int) -> np.ndarray:
+    """splitmix64(sum(byte_j * P^j mod 2^64) + seed) per word — vectorized
+    over the Arrow buffers and exactly replayable in ANSI SQL (byte values
+    via ``ascii(substring(...))`` on ASCII text, powers as a literal
+    table, HUGEINT modular arithmetic). Empty words hash to _mix(seed)."""
+    offsets, data = binary_parts(words)
+    lens = np.diff(offsets)
+    with np.errstate(over="ignore"):
+        if len(data) == 0:
+            h = np.zeros(len(words), np.uint64)
+        else:
+            pows = np.empty(int(lens.max()), dtype=np.uint64)
+            pows[0] = 1
+            for j in range(1, len(pows)):
+                pows[j] = pows[j - 1] * _POLY_P
+            pos = np.arange(len(data), dtype=np.int64) - np.repeat(
+                offsets[:-1], lens
+            )
+            terms = data.astype(np.uint64) * pows[pos]
+            h = segment_reduceat(np.add, terms, offsets, np.uint64(0))
+        return _mix(h + np.uint64(seed))
+
+
+def simhash_batch(
+    col: pa.Array, seed: int = 11, word_hasher: str = "crc"
+) -> np.ndarray:
     """64-bit SimHash per row over word tokens.
 
     Tokens split with an Arrow kernel; only *batch-unique* words are hashed
     in Python (dictionary-encode first); the ±1 bit accumulation is
-    ``np.add.reduceat`` per bit — vectorized over all words."""
+    ``np.add.reduceat`` per bit — vectorized over all words.
+
+    ``word_hasher``: ``"crc"`` (default, crc32|adler32<<32 then splitmix)
+    or ``"poly"`` (byte-polynomial then splitmix — slightly weaker but
+    exactly replayable in SQL, used by the driver-checked oracle row)."""
     if col.null_count:
         col = pc.fill_null(col, "")
     words = pc.split_pattern_regex(col, r"\s+")
@@ -506,14 +574,17 @@ def simhash_batch(col: pa.Array, seed: int = 11) -> np.ndarray:
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     denc = flat.dictionary_encode()
-    uniq = denc.dictionary.to_pylist()
-    import zlib
+    if word_hasher == "poly":
+        uh = _poly_word_hashes(denc.dictionary, seed)
+    else:
+        import zlib
 
-    uh = np.array(
-        [zlib.crc32(w.encode()) | (zlib.adler32(w.encode()) << 32) for w in uniq],
-        dtype=np.uint64,
-    )
-    uh = _mix(uh + np.uint64(seed))
+        uniq = denc.dictionary.to_pylist()
+        uh = np.array(
+            [zlib.crc32(w.encode()) | (zlib.adler32(w.encode()) << 32) for w in uniq],
+            dtype=np.uint64,
+        )
+        uh = _mix(uh + np.uint64(seed))
     wh = uh[np.asarray(denc.indices)]
     word_offsets = np.concatenate(([0], np.cumsum(counts)))
     out = np.zeros(n, dtype=np.uint64)
@@ -525,12 +596,14 @@ def simhash_batch(col: pa.Array, seed: int = 11) -> np.ndarray:
 
 
 def simhash(
-    ds: "ray.data.Dataset", text_col: str = "text"
+    ds: "ray.data.Dataset", text_col: str = "text", word_hasher: str = "crc"
 ) -> "ray.data.Dataset":
     """Append a ``simhash`` uint64 column."""
 
     def add(t: pa.Table) -> pa.Table:
-        h = simhash_batch(t.column(text_col).combine_chunks())
+        h = simhash_batch(
+            t.column(text_col).combine_chunks(), word_hasher=word_hasher
+        )
         return t.append_column("simhash", pa.array(h, type=pa.uint64()))
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)

@@ -157,6 +157,58 @@ def test_simhash_dup_pairs():
     assert {(0, 1), (4, 5), (8, 9)} <= found
 
 
+def test_poly_word_hashes_match_brute_force():
+    from tbl_ray.functions.dedup import _POLY_P, _poly_word_hashes
+    from tbl_ray.webtable import _mix
+
+    words = ["", "a", "hello", "x" * 160, "punct!~#", "aa", "ab", "ba"]
+    got = _poly_word_hashes(pa.array(words), 11)
+    for w, g in zip(words, got):
+        h, p = 0, 1
+        for byte in w.encode():
+            h = (h + byte * p) % (1 << 64)
+            p = (p * int(_POLY_P)) % (1 << 64)
+        want = int(_mix(np.array([h], np.uint64) + np.uint64(11))[0])
+        assert int(g) == want, w
+    # order sensitivity (pure sums would collide on anagrams)
+    assert got[6] != got[7]
+
+
+def test_simhash_poly_variant():
+    a = "the quick brown fox jumps over the lazy dog near the river today"
+    col = pa.array([a, a, a + " ok", "totally different words entirely", None])
+    h = simhash_batch(col, word_hasher="poly")
+    assert h.dtype == np.uint64
+    assert h[0] == h[1]  # deterministic
+    d_near = bin(int(h[0]) ^ int(h[2])).count("1")
+    d_far = bin(int(h[0]) ^ int(h[3])).count("1")
+    assert d_near < d_far
+    # a different hash family than the default crc path
+    assert not np.array_equal(h, simhash_batch(col))
+
+
+def test_minhash_signature_rows_long_format():
+    from tbl_ray.functions.dedup import minhash_signature_rows
+
+    t = pa.table(
+        {"doc_id": [10, 20, 30], "text": ["abcdefghij", "abcdefghij", "qrstuvwxyz"]}
+    )
+    out = pa.Table.from_pylist(
+        minhash_signature_rows(
+            ray.data.from_arrow(t), "text", "doc_id", n_hashes=6, seed=7
+        ).take_all()
+    )
+    assert out.num_rows == 18
+    sig = minhash_signatures(pa.array(t.column("text").to_pylist()), 6, seed=7)
+    by_key = {
+        (r["doc_id"], r["hash_index"]): r["sig"] for r in out.to_pylist()
+    }
+    ids = t.column("doc_id").to_pylist()
+    for r in range(3):
+        for i in range(6):
+            assert by_key[(ids[r], i)] == int(sig[r, i])
+
+
 def test_ngram_jaccard():
     assert ngram_jaccard("abcdef", "abcdef") == 1.0
     assert ngram_jaccard("abcdef", "zzzzzz") == 0.0
