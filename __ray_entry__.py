@@ -279,9 +279,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprint"] = fingerprint
 
     def dedup_minhash(sf_dir: str):
+        """MinHash LSH near-dedup, driver-verifiable configuration: with
+        one-hash bands (bands == n_hashes) the bucket key is a bijection
+        of the signature value, so candidate recall is exact for every
+        pair sharing >= 1 signature position — and pair verification is
+        the deterministic agreement fraction (est >= 0.85 <=> k >= 11 of
+        12). The result is an exact function of the signatures, which
+        the oracle replays from first principles (same SQL signature
+        core as minhash_sig, pairwise position join, min-label connected
+        components)."""
         from tbl_ray.functions.dedup import minhash_dedup
 
-        return minhash_dedup(_docs(sf_dir), "text", "doc_id", threshold=0.85)
+        return minhash_dedup(
+            _ascii_docs(sf_dir), "text", "doc_id",
+            n_hashes=12, bands=12, threshold=0.85,
+        )
 
     q["dedup_minhash"] = dedup_minhash
 
@@ -1876,14 +1888,15 @@ _WINDOW_FIRST = [
     "pack_sequences", "curate_webtext", "kmeans", "dedup_ngram",
     # core rows last green in r01/r02 — cycled back through the driver
     # after this round's exchange/zone-map/oracle changes
-    "select", "drop", "rename", "cast", "with_column", "set_column",
+    "select", "rename", "cast", "with_column", "set_column",
     "nullify", "replace",
-    # filter_ne / filter_le cycled out for the minhash_sig / simhash
-    # oracle conversions — all eight forms share one dispatch path
-    # (tbl_ray/filters.py) and six sibling forms stay in-window
+    # filter_ne / filter_le / drop cycled out for the minhash_sig /
+    # simhash / dedup_minhash oracle conversions — the filter forms
+    # share one dispatch path (tbl_ray/filters.py) with six siblings
+    # in-window, and drop's projection machinery is covered by select
     "filter_eq", "filter_lt", "filter_gt",
     "filter_ge", "filter_is_null", "filter_not_null",
-    "minhash_sig", "simhash",
+    "minhash_sig", "simhash", "dedup_minhash",
     "value_counts", "head",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
     "token_count", "sample_uniform", "sample_stratified",
@@ -1962,12 +1975,16 @@ _ASCII_SQL = (
 )
 
 
-def _minhash_sig_sql(n_hashes: int = 12, seed: int = 7) -> str:
+def _minhash_sig_ctes(n_hashes: int = 12, seed: int = 7) -> str:
     """Exact replay of tbl_ray.functions.dedup.minhash_signatures over
     ASCII text: hex(8-byte window) IS the big-endian shingle u64
     (dedup.py:_window_hashes views windows as '>u8'), splitmix64 via the
     shared CTE chain, then min over ``a_i*h+b_i mod 2^64`` per row. The
-    a/b constants replicate np.random.default_rng(seed) exactly."""
+    a/b constants replicate np.random.default_rng(seed) exactly.
+
+    Returns a WITH-body chain ending in ``sigs(doc_id, i, sig)`` for the
+    docs with >= 1 shingle window (sanitized length >= 8); ``docs0``
+    (doc_id, s) carries every doc for consumers that need the rest."""
     import numpy as _np
 
     rng = _np.random.default_rng(seed)
@@ -1980,7 +1997,7 @@ def _minhash_sig_sql(n_hashes: int = 12, seed: int = 7) -> str:
         for i in range(n_hashes)
     )
     return (
-        f"WITH docs0 AS (SELECT doc_id, {_ASCII_SQL} AS s FROM documents),"
+        f"docs0 AS (SELECT doc_id, {_ASCII_SQL} AS s FROM documents),"
         " docs AS (SELECT doc_id, s FROM docs0 WHERE length(s) >= 8),"
         " w AS (SELECT doc_id,"
         " unnest(generate_series(1, length(s) - 7)) AS p, s FROM docs),"
@@ -1991,9 +2008,50 @@ def _minhash_sig_sql(n_hashes: int = 12, seed: int = 7) -> str:
         " perm AS (SELECT doc_id, i,"
         f" CAST((CAST({_mm64('pa_', 'h')} AS HUGEINT)"
         f" + CAST(pb_ AS HUGEINT)) % {_M64} AS UBIGINT) AS ph"
-        " FROM mh CROSS JOIN params)"
-        " SELECT doc_id, CAST(i AS BIGINT) AS hash_index, min(ph) AS sig"
-        " FROM perm GROUP BY doc_id, i"
+        " FROM mh CROSS JOIN params),"
+        " sigs AS (SELECT doc_id, i, min(ph) AS sig"
+        " FROM perm GROUP BY doc_id, i)"
+    )
+
+
+def _minhash_sig_sql(n_hashes: int = 12, seed: int = 7) -> str:
+    return (
+        f"WITH {_minhash_sig_ctes(n_hashes, seed)}"
+        " SELECT doc_id, CAST(i AS BIGINT) AS hash_index, sig FROM sigs"
+    )
+
+
+def _dedup_minhash_sql(
+    n_hashes: int = 12, seed: int = 7, min_agree: int = 11
+) -> str:
+    """Replay of minhash_dedup with one-hash bands: docs missing from
+    ``sigs`` (no shingle window) carry the engine's all-U64_MAX
+    signature; candidate pairs are position-value matches (exactly the
+    one-hash-band buckets, since the bucket key is a bijection of the
+    signature value); edges need >= min_agree agreeing positions
+    (est >= threshold as an exact integer compare); components resolve
+    to their min id, matching the driver union-find's union-by-min."""
+    u64max = "CAST(18446744073709551615 AS UBIGINT)"
+    return (
+        f"WITH {_minhash_sig_ctes(n_hashes, seed)},"
+        f" idxs AS (SELECT unnest(generate_series(0, {n_hashes - 1})) AS i),"
+        " allsig AS (SELECT d.doc_id, idxs.i,"
+        f" coalesce(sg.sig, {u64max}) AS sig"
+        " FROM docs0 d CROSS JOIN idxs LEFT JOIN sigs sg"
+        " ON sg.doc_id = d.doc_id AND sg.i = idxs.i),"
+        " edges AS (SELECT a.doc_id AS ia, b.doc_id AS ib"
+        " FROM allsig a JOIN allsig b"
+        " ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id"
+        f" GROUP BY ia, ib HAVING count(*) >= {min_agree}),"
+        " sym AS (SELECT ia AS x, ib AS y FROM edges"
+        " UNION ALL SELECT ib, ia FROM edges),"
+        " lab AS (WITH RECURSIVE l(id, lo) AS ("
+        " SELECT doc_id, doc_id FROM docs0 UNION"
+        " SELECT s.y, l.lo FROM l JOIN sym s ON s.x = l.id"
+        " WHERE l.lo < s.y)"
+        " SELECT id, min(lo) AS root FROM l GROUP BY id)"
+        " SELECT d.doc_id, d.s AS text FROM docs0 d"
+        " JOIN lab ON lab.id = d.doc_id AND lab.root = d.doc_id"
     )
 
 
@@ -2397,6 +2455,8 @@ def _wave4_oracles() -> dict[str, str]:
     )
     out["minhash_sig"] = _minhash_sig_sql(n_hashes=12, seed=7)
     out["simhash"] = _simhash_sql(seed=11)
+    # threshold 0.85 over 12 hashes <=> k >= ceil(0.85 * 12) = 11
+    out["dedup_minhash"] = _dedup_minhash_sql(n_hashes=12, seed=7, min_agree=11)
     return out
 
 
@@ -2832,12 +2892,12 @@ def oracle_sql() -> dict[str, str]:
             " SELECT * FROM documents"
             " WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"
         ),
-        # dedup_minhash / ann_ivf_index / webtable_invariant: genuinely
-        # non-SQL-expressible (LSH-bucketed pair generation, partial-probe
-        # approximate search, in-process synthetic input) -> rows-only
-        # checks; dedup_minhash's MinHash kernel is value-verified by the
-        # minhash_sig oracle row. Everything else has an oracle (the
-        # wave-4 conversions live in _wave4_oracles).
+        # ann_ivf_index / webtable_invariant: genuinely
+        # non-SQL-expressible (partial-probe approximate search,
+        # in-process synthetic input) -> rows-only checks. Everything
+        # else has an oracle (the wave-4 conversions live in
+        # _wave4_oracles), including dedup_minhash: with one-hash bands
+        # the LSH result is an exact function of the signatures.
     }
     out.update(_wave4_oracles())
     return out
