@@ -416,8 +416,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_ivf_index(sf_dir: str):
         """Persisted IVF index: build once into /tmp (hive-partitioned one
-        dir per cluster), then answer from ONLY the probed clusters'
-        parquet files — file-level pruning, not per-batch filtering."""
+        dir per cluster), then answer from the clusters' parquet files.
+        Probe-all makes the answer EXACT top-k — so the brute cosine SQL
+        is a true oracle for the whole build -> hive write -> file-level
+        read-back path (a different code path from the in-memory
+        ann_ivf). Partial probing — the approximate mode, where the scan
+        opens only the probed clusters' files — is covered by the recall
+        tests (tests/test_functions.py) since approximation quality has
+        no exact oracle."""
         import shutil
         import tempfile
 
@@ -430,7 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx_dir = tempfile.mkdtemp(prefix="tbl_ray_ivf_")
         try:
             build_ivf_index(ds, idx_dir, n_clusters=8, sample_rows=2000)
-            res = knn_ivf_index(idx_dir, qv, k=10, n_probe=4)
+            res = knn_ivf_index(idx_dir, qv, k=10, n_probe=8)
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
         return pa.table({"vec_id": pa.array([r["id"] for r in res[0]], pa.int64())})
@@ -1899,8 +1905,11 @@ _WINDOW_FIRST = [
     "minhash_sig", "simhash", "dedup_minhash",
     "value_counts", "head",
     "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
-    "token_count", "sample_uniform", "sample_stratified",
-    "ann_topk", "group_agg",
+    # sample_stratified cycled out for ann_ivf_index (persisted-index
+    # exact-oracle conversion); sample_uniform keeps the shared
+    # deterministic-hash-key sampling path in-window
+    "token_count", "sample_uniform",
+    "ann_topk", "ann_ivf_index", "group_agg",
     # round-4 engine additions: co-bucketed large-right anti join,
     # baseline + progressive JPEG decode through the strict actor-pool
     # stage, URL canonicalization + canonical-URL dedup ("offset_head"
@@ -2892,12 +2901,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT * FROM documents"
             " WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"
         ),
-        # ann_ivf_index / webtable_invariant: genuinely
-        # non-SQL-expressible (partial-probe approximate search,
-        # in-process synthetic input) -> rows-only checks. Everything
-        # else has an oracle (the wave-4 conversions live in
-        # _wave4_oracles), including dedup_minhash: with one-hash bands
-        # the LSH result is an exact function of the signatures.
+        # webtable_invariant: genuinely non-SQL-expressible (in-process
+        # synthetic input) -> rows-only self-verifying booleans. Every
+        # other query has an oracle (the wave-4 conversions live in
+        # _wave4_oracles): dedup_minhash via one-hash bands (the LSH
+        # result is an exact function of the signatures), ann_ivf_index
+        # via probe-all (exact top-k through the persisted-index path;
+        # partial-probe recall is pytest-covered, approximation quality
+        # has no exact oracle).
+        "ann_ivf_index": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)"
+            " SELECT e.vec_id FROM embeddings e, q"
+            " ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,"
+            " e.vec_id LIMIT 10"
+        ),
     }
     out.update(_wave4_oracles())
     return out
