@@ -804,8 +804,14 @@ def embedding_dup_pairs(
     per table (groupby of small sketch rows), exact cosine verification
     inside buckets, pair dedup across tables."""
     if dim is None:
-        first = ds.take_batch(1, batch_format="pyarrow")
-        dim = len(first.column(vec_col)[0].as_py())
+        first = ds.take_batch(16, batch_format="pyarrow")
+        valid = first.column(vec_col).combine_chunks().drop_null()
+        if len(valid) == 0:
+            raise ValueError(
+                f"could not infer dim: first rows of {vec_col!r} are all "
+                "null — pass dim= explicitly"
+            )
+        dim = len(valid[0].as_py())
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float32)
     planes_ref = ray.put(planes)
@@ -815,8 +821,26 @@ def embedding_dup_pairs(
             self.planes = ray.get(planes_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(vec_col).combine_chunks()
+            if col.null_count:
+                # a null embedding cannot be a near-duplicate of anything:
+                # drop the row rather than crash (crawled corpora contain
+                # them) — mirrors jaccard_dedup's null-text policy
+                t = t.filter(pc.is_valid(col))
+                col = t.column(vec_col).combine_chunks()
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "table": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.uint64()),
+                        "vec": pa.FixedSizeListArray.from_arrays(
+                            pa.array([], pa.float32()), dim
+                        ),
+                    }
+                )
             vecs = np.stack(
-                [np.asarray(v.values, dtype=np.float32) for v in t.column(vec_col).combine_chunks()]
+                [np.asarray(v.values, dtype=np.float32) for v in col]
             )
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             unit = vecs / np.maximum(norms, 1e-12)

@@ -24,12 +24,26 @@ def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
     col = t.column(vec_col).combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # fail loud: a null slot has no values in a ListArray's backing
+        # buffer, so reshaping around it silently attributes every later
+        # row's vector to the WRONG id (and FixedSizeList nulls read as
+        # garbage) — misaligned similarities are worse than an error
+        raise ValueError(
+            f"{vec_col!r} contains {col.null_count} null embeddings; "
+            "filter them out (pc.is_valid) before similarity ops"
+        )
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
         return np.asarray(col.values, dtype=np.float32).reshape(-1, dim)
     # variable list<float>: offsets are uniform for embedding tables
     lens = np.diff(col.offsets)
-    dim = int(lens[0])
+    dim = int(lens[0]) if len(lens) else 0
+    if len(lens) and int(lens.min()) != int(lens.max()):
+        raise ValueError(
+            f"{vec_col!r} is ragged (lengths {int(lens.min())}.."
+            f"{int(lens.max())}); embeddings must be fixed-dimension"
+        )
     return np.asarray(col.values, dtype=np.float32).reshape(-1, dim)
 
 

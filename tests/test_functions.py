@@ -157,6 +157,51 @@ def test_simhash_dup_pairs():
     assert {(0, 1), (4, 5), (8, 9)} <= found
 
 
+def test_null_embeddings_drop_in_dedup_and_raise_in_similarity():
+    """Null embeddings: near-dup drops the row (a null can't be a
+    near-duplicate); similarity ops fail LOUD — a ListArray null slot
+    has no backing values, so reshaping around it silently misaligns
+    every later row's vector with the wrong id."""
+    import pytest
+
+    from tbl_ray.functions.dedup import embedding_dup_pairs
+    from tbl_ray.functions.similarity import _vec_matrix, knn_brute
+
+    v = [0.6, 0.8, 0.0]
+    t = pa.table(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": pa.array(
+                [v, v, None, [0.0, 0.0, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pairs = embedding_dup_pairs(
+        ray.data.from_arrow(t), "embedding", "vec_id", threshold=0.99
+    )
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
+
+    with pytest.raises(ValueError, match="null embeddings"):
+        _vec_matrix(t, "embedding")
+    with pytest.raises(Exception):  # surfaces from the Ray task
+        knn_brute(ray.data.from_arrow(t), np.array([v]), k=2)
+    ragged = pa.table(
+        {"vec_id": [0, 1], "embedding": [[1.0, 2.0], [1.0, 2.0, 3.0]]}
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _vec_matrix(ragged, "embedding")
+
+    # all-null head: dim inference must fail with guidance, not len(None)
+    allnull = pa.table(
+        {
+            "vec_id": list(range(20)),
+            "embedding": pa.array([None] * 20, pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="pass dim"):
+        embedding_dup_pairs(ray.data.from_arrow(allnull), "embedding", "vec_id")
+
+
 def test_poly_word_hashes_match_brute_force():
     from tbl_ray.functions.dedup import _POLY_P, _poly_word_hashes
     from tbl_ray.webtable import _mix
