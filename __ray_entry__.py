@@ -1046,7 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # concurrency == num_cpus the actor pool holds every slot and the
         # producer starves (observed deadlock in the 4-CPU test session)
         avail = int(ray.cluster_resources().get("CPU", 8))
-        cc = max(2, min(4, avail // 2))
+        cc = max(1, min(4, avail // 2))
         out = decode_images(
             ray.data.from_arrow(t).repartition(2 * cc),
             strict=True,
@@ -1112,7 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             schema=MEDIA_SCHEMA,
         )
         avail = int(ray.cluster_resources().get("CPU", 8))
-        cc = max(2, min(4, avail // 2))
+        cc = max(1, min(4, avail // 2))
         out = decode_images(
             ray.data.from_arrow(t).repartition(2 * cc),
             strict=True,

@@ -400,27 +400,74 @@ class _MinhashSketch:
 
 
 def _bucket_pairs(threshold: float, id_col: str):
-    """map_groups over one (band, bucket): verified candidate pairs."""
+    """map_groups over one (band, bucket): verified candidate pairs.
+
+    Buckets up to ``TBL_RAY_MAX_BUCKET`` rows (default 1000) compare all
+    pairs. Larger buckets — a duplicate-dense cluster, or thousands of
+    empty/identical texts whose signatures coincide — collapse to UNIQUE
+    signatures first: members sharing a signature pair to their min-id
+    representative with ``est_jaccard`` exactly 1.0 (identical signatures
+    agree at every position), and the representatives compare pairwise.
+    The signature estimate is a function of the two signatures alone, so
+    the union-find components (and therefore the near-dedup output) are
+    IDENTICAL to all-pairs; only the emitted pair *list* is smaller
+    (star-per-group instead of a clique), which exact-verify consumers
+    like ``jaccard_dedup`` should note (they verify the reduced list).
+    A bucket whose unique-signature count still exceeds the cap is a
+    degenerate hash (shingle space too small, bands misconfigured) and
+    raises with remedies instead of silently dropping pairs."""
+
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64())}
+    )
+
+    def _pair_table(a: np.ndarray, b: np.ndarray, est: np.ndarray) -> pa.Table:
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
+             "est_jaccard": est.astype(np.float64)}
+        )
 
     def pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        if n < 2 or n > 1000:  # oversized bucket = degenerate hash; skip
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
+        if n < 2:
+            return empty
+        cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
         ids = np.asarray(t.column(id_col))
         sig = np.stack(
             [np.asarray(v.values) for v in t.column("sig").combine_chunks()]
         ).astype(np.uint64)
-        ia, ib = np.triu_indices(n, k=1)
-        est = (sig[ia] == sig[ib]).mean(axis=1)
+        if n <= cap:
+            ia, ib = np.triu_indices(n, k=1)
+            est = (sig[ia] == sig[ib]).mean(axis=1)
+            keep = est >= threshold
+            return _pair_table(ids[ia[keep]], ids[ib[keep]], est[keep])
+        uniq, inverse = np.unique(sig, axis=0, return_inverse=True)
+        u = len(uniq)
+        if u > cap:
+            raise ValueError(
+                f"LSH bucket holds {u} distinct signatures (> cap {cap}):"
+                " degenerate banding — raise n_hashes/bands so buckets"
+                " discriminate, pre-filter empty/boilerplate texts, or"
+                " raise TBL_RAY_MAX_BUCKET if the corpus genuinely has"
+                " this many near-identical distinct documents"
+            )
+        inverse = inverse.reshape(-1)
+        reps = np.full(u, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(reps, inverse, ids.astype(np.int64))
+        member_rep = reps[inverse]
+        m = ids != member_rep
+        star_a, star_b = member_rep[m], ids[m]
+        star_est = np.ones(star_a.shape[0], dtype=np.float64)
+        star_keep = star_est >= threshold  # threshold > 1.0 drops exacts too
+        ia, ib = np.triu_indices(u, k=1)
+        est = (uniq[ia] == uniq[ib]).mean(axis=1)
         keep = est >= threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table(
-            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
-             "est_jaccard": est[keep]}
+        return _pair_table(
+            np.concatenate([star_a[star_keep], reps[ia[keep]]]),
+            np.concatenate([star_b[star_keep], reps[ib[keep]]]),
+            np.concatenate([star_est[star_keep], est[keep]]),
         )
 
     return pairs
@@ -723,7 +770,11 @@ def jaccard_dedup(
     per band) to make candidate recall effectively exhaustive — every
     band-bucket cohabitant is exactly verified, so the result equals a
     brute-force pairwise Jaccard dedup up to a ~1e-7/pair LSH miss
-    probability. The driver oracle relies on this mode.
+    probability. The driver oracle relies on this mode. One bound:
+    buckets past ``TBL_RAY_MAX_BUCKET`` rows collapse to unique
+    signatures before pairing (see :func:`_bucket_pairs`), so in such a
+    bucket only (min-id representative, member) candidate pairs reach
+    exact verification rather than the full clique.
 
     This is the standard production split: the sketch pass never ships
     documents (only the banded signature), and exact verification

@@ -339,8 +339,21 @@ def _shuffle_join_plan(
                 # the first execution, duplicating or losing join rows.
                 hot_idx = np.flatnonzero(hot_np)
                 if len(hot_idx):
-                    first = out.column(keys[0])[int(hot_idx[0])].as_py()
-                    h = zlib.crc32(repr((first, n, int(hot_idx[0]))).encode())
+                    # hash EVERY column's buffers, not just a first hot
+                    # value/position: regular layouts (the hot key at the
+                    # same offset of every fixed-size block, cold keys
+                    # constant) make any value/position hash identical
+                    # across batches, collapsing every batch's hot rows
+                    # into one salt sub-bucket. Payload columns (ids,
+                    # docs) differ between batches, so a full-content
+                    # hash decorrelates them; only batches that are
+                    # byte-identical in every column share a salt (their
+                    # rows are indistinguishable anyway)
+                    h = 0
+                    for name in out.schema.names:
+                        for buf in out.column(name).combine_chunks().buffers():
+                            if buf is not None:
+                                h = zlib.crc32(buf, h)
                     salt[hot_idx] = (h + np.arange(len(hot_idx))) % skew_salt
                 return out.append_column("__salt__", pa.array(salt))
             # build side: every hot row must meet every salt sub-bucket
@@ -586,11 +599,12 @@ def join_auto(
     ``right_on`` exists so a key rename never costs the broadcast.
 
     ``semi``/``anti`` return the filter form (left rows kept/dropped by
-    key membership, no right columns). The big-side ``anti`` has no
-    shuffle plan here — an anti join of two huge sides wants the
-    fingerprint/co-bucket design of
-    ``tbl_ray.functions.dedup.exact_dedup_bucketed``; raising beats
-    silently hiding an all-to-all.
+    key membership, no right columns). A right side too big to broadcast
+    routes to a co-bucketed shuffle plan: ``anti`` to
+    ``shuffle_anti_join`` (one keyed exchange of both sides, per-bucket
+    membership filter — the same design as
+    ``tbl_ray.functions.dedup.exact_dedup_bucketed``), ``semi`` to an
+    inner ``shuffle_join`` against the right side's distinct keys.
     """
     from tbl_ray.sizing import collect_local, fits_local
 

@@ -306,6 +306,10 @@ def _planned_for(
         tuple((f.name, str(f.type)) for f in pschema),
         effort,
         tuple(sorted((codecs or {}).items())),
+        # on_error shapes the plan (skip tolerates corrupt sample
+        # partitions that raise would surface) — a plan computed under
+        # one policy must never be served to a job requesting another
+        on_error,
     )
     planned = _PLAN_CACHE.get(pkey)
     if planned is None:
@@ -325,6 +329,7 @@ def warm_plan_cache(
     *,
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
+    on_error: str = "raise",
 ) -> tuple[dict[str, str], dict[str, list]]:
     """Compute the job plan for ``paths`` and prime the plan cache so a
     following :func:`run_encode_job` over the same input set reuses it.
@@ -338,7 +343,10 @@ def warm_plan_cache(
     corrupts N-vs-4N scaling ratios (the round-4 4->16 'regression'
     was exactly this)."""
     return _planned_for(
-        sorted(dict.fromkeys(paths)), codecs=codecs, effort=effort
+        sorted(dict.fromkeys(paths)),
+        codecs=codecs,
+        effort=effort,
+        on_error=on_error,
     )
 
 

@@ -31,6 +31,7 @@ the same signature.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -292,6 +293,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 + 3 * i)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            # validate BEFORE any allocation sized from these fields: a
+            # corrupt header must funnel to ValueError (the on_error
+            # policy catch), never ZeroDivisionError (h/v = 0) or an
+            # attacker-sized MemoryError (65535x65535 coefficient planes)
+            if not comps:
+                raise ValueError("JPEG SOF with zero components")
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                    raise ValueError(
+                        f"bad JPEG sampling factor {c['h']}x{c['v']}"
+                    )
+            if w == 0 or h == 0:
+                raise ValueError("JPEG SOF with zero dimensions")
+            max_px = int(
+                os.environ.get("TBL_RAY_MAX_JPEG_PIXELS", "50000000")
+            )
+            if w * h > max_px:
+                raise ValueError(
+                    f"JPEG {w}x{h} exceeds pixel budget {max_px}"
+                    " (TBL_RAY_MAX_JPEG_PIXELS)"
                 )
             frame = {
                 "h": h, "w": w, "comps": comps,

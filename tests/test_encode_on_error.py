@@ -93,3 +93,19 @@ def test_skip_mode_records_partition_level_failure(ray_session, tmp_path):
 def test_on_error_validated():
     with pytest.raises(ValueError):
         run_encode_job([SRC], "/tmp/never", on_error="ignore")
+
+
+def test_plan_cache_keys_on_error_policy(ray_session, tmp_path):
+    """A plan computed under on_error='skip' must never be served to a
+    job requesting on_error='raise' (and vice versa): the cache key
+    carries the policy. Regression: the skip-derived plan tolerated the
+    corrupt shard, so a later raise-mode job cache-hit it and proceeded
+    instead of raising."""
+    src, paths = _shards(tmp_path)
+    with open(paths[1], "wb") as fh:
+        fh.write(b"not a parquet file")
+    from tbl_ray.pipelines.encode_job import warm_plan_cache
+
+    warm_plan_cache(paths, on_error="skip")  # caches the skip plan
+    with pytest.raises(Exception):
+        run_encode_job(paths, str(tmp_path / "enc"))  # raise-mode job

@@ -1667,3 +1667,72 @@ def test_wav_and_frame_container_corrupt_payloads_raise_valueerror():
             unpack_frame(FRAMES_MAGIC + tail, 0)
         except (ValueError, IndexError):
             pass  # IndexError only from the in-range API check
+
+
+def _uf_components(tbl):
+    from tbl_ray.functions.dedup import union_find
+
+    pairs = list(zip(tbl.column("id_a").to_pylist(), tbl.column("id_b").to_pylist()))
+    root = union_find(pairs)
+    comp = {}
+    for a, b in pairs:
+        for x in (a, b):
+            comp.setdefault(root.get(x, x), set()).add(x)
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_oversized_bucket_collapses_to_unique_signatures(monkeypatch):
+    """Buckets past TBL_RAY_MAX_BUCKET no longer silently drop pairs:
+    they collapse to unique signatures, and the union-find components
+    (what near-dedup actually consumes) are IDENTICAL to all-pairs."""
+    import pyarrow as pa
+    import numpy as np
+
+    from tbl_ray.functions.dedup import _bucket_pairs
+
+    rng = np.random.default_rng(5)
+    # 40 docs, 4 distinct signatures; sigs 0/1 agree on 3 of 4 positions
+    base = np.array(
+        [[1, 2, 3, 4], [1, 2, 3, 9], [7, 7, 7, 7], [8, 9, 10, 11]],
+        dtype=np.uint64,
+    )
+    groups = rng.integers(0, 4, 40)
+    sig = base[groups]
+    ids = np.arange(100, 140, dtype=np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "sig": pa.array([list(map(int, s)) for s in sig], pa.list_(pa.uint64())),
+        }
+    )
+    fn = _bucket_pairs(0.7, "doc_id")
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "1000")
+    full = fn(t)
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "10")
+    collapsed = fn(t)
+    assert collapsed.num_rows < full.num_rows  # star+reps, not a clique
+    assert _uf_components(full) == _uf_components(collapsed)
+    # est values on the cross-group pairs are preserved exactly
+    assert set(collapsed.column("est_jaccard").to_pylist()) <= set(
+        full.column("est_jaccard").to_pylist()
+    )
+
+
+def test_oversized_bucket_with_degenerate_hash_raises(monkeypatch):
+    import pyarrow as pa
+    import numpy as np
+    import pytest
+
+    from tbl_ray.functions.dedup import _bucket_pairs
+
+    n = 30
+    sig = np.arange(n * 4, dtype=np.uint64).reshape(n, 4)  # all distinct
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "sig": pa.array([list(map(int, s)) for s in sig], pa.list_(pa.uint64())),
+        }
+    )
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "10")
+    with pytest.raises(ValueError, match="distinct signatures"):
+        _bucket_pairs(0.7, "doc_id")(t)

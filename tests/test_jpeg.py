@@ -243,3 +243,60 @@ def test_decode_image_never_escapes_valueerror_on_garbage():
             decode_image(data)
         except ValueError:
             pass
+
+
+def test_corrupt_sof_zero_sampling_factor_is_valueerror():
+    """A flipped hv byte (h or v = 0) must funnel to ValueError — the
+    on_error decode policies catch ValueError, and a ZeroDivisionError
+    would kill the task instead of nulling the row."""
+    rng = np.random.default_rng(7)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    assert idx >= 0
+    # SOF0: marker(2) len(2), payload prec(1) h(2) w(2) nc(1), comp (id hv tq)
+    hv_off = idx + 4 + 6 + 1
+    for bad in (0x00, 0x10, 0x01):
+        patched = bytearray(data)
+        patched[hv_off] = bad
+        with pytest.raises(ValueError, match="sampling factor"):
+            decode_jpeg(bytes(patched))
+
+
+def test_corrupt_sof_zero_dims_is_valueerror():
+    rng = np.random.default_rng(8)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (8, 8, 3), np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    patched = bytearray(data)
+    struct.pack_into(">H", patched, idx + 5, 0)  # h = 0
+    with pytest.raises(ValueError, match="zero dimensions"):
+        decode_jpeg(bytes(patched))
+
+
+def test_sof_pixel_budget_guard(monkeypatch):
+    """Header-claimed dimensions are validated BEFORE any allocation —
+    a corrupt 65535x65535 header must raise, not OOM the worker."""
+    rng = np.random.default_rng(9)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8)))
+    monkeypatch.setenv("TBL_RAY_MAX_JPEG_PIXELS", "100")
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_jpeg(bytes(data))
+    monkeypatch.delenv("TBL_RAY_MAX_JPEG_PIXELS")
+    idx = bytes(data).find(b"\xff\xc0")
+    patched = bytearray(data)
+    struct.pack_into(">HH", patched, idx + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="pixel budget"):
+        decode_jpeg(bytes(patched))
+
+
+def test_corrupt_sof_null_policy_emits_null_row():
+    """The full funnel: a zero-sampling-factor JPEG under
+    on_error="null" produces a null row with decode_error set, never a
+    task-killing exception."""
+    from tbl_ray.stages.imagecodec import decode_image
+
+    rng = np.random.default_rng(10)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 4 + 6 + 1] = 0x00
+    with pytest.raises(ValueError):
+        decode_image(bytes(data))

@@ -121,3 +121,34 @@ def test_skew_salting_balances_buckets():
     mean = salted.sum() / len(salted)
     assert salted.max() <= 2 * mean, (salted.max(), mean, sorted(salted))
     assert salted.sum() == left.num_rows  # fan-out never duplicates probes
+
+
+def test_skew_salting_spreads_regular_layout_hot_key():
+    """Adversarial REGULAR layout: the hot key at position 0 of every
+    fixed-size block, cold keys constant. A salt offset derived from the
+    first hot value/position is identical across batches here and the
+    fan-out silently collapses; the full-content hash keeps spreading
+    because the payload column differs per block."""
+    n = 4000
+    block = 40
+    keys = np.array(["cold.net"] * n, dtype=object)
+    keys[::block] = "hot.example.com"  # same offset in every block
+    left = pa.table({"domain": pa.array(keys.tolist()),
+                     "doc": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({"domain": pa.array(["hot.example.com", "cold.net"]),
+                      "rank": pa.array([0, 1], pa.int64())})
+    u, _ = _shuffle_join_plan(
+        ray.data.from_arrow(left).repartition(n // block),
+        ray.data.from_arrow(right),
+        "domain",
+        join_type="inner", rsuffix="_r", n_buckets=64,
+        skew_keys=["hot.example.com"], skew_salt=8,
+    )
+    t = pa.table(u.to_pandas())
+    probe = t.filter(pa.compute.equal(t.column("__side__"), 0))
+    hot_rows = probe.filter(
+        pa.compute.equal(probe.column("domain"), "hot.example.com")
+    )
+    buckets = np.asarray(hot_rows.column("__bucket__"))
+    n_sub = len(np.unique(buckets))
+    assert n_sub >= 6, f"hot key used only {n_sub} of 8 sub-buckets"
