@@ -680,26 +680,57 @@ def simhash_dup_pairs(
         }
         return pa.table(rows)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n < 2 or n > 1000:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        ids = np.asarray(t.column(id_col))
-        h = np.asarray(t.column("simhash")).astype(np.uint64)
-        ia, ib = np.triu_indices(n, k=1)
-        x = h[ia] ^ h[ib]
-        ham = np.bitwise_count(x.astype(np.uint64)) if hasattr(np, "bitwise_count") else np.array(
-            [bin(int(v)).count("1") for v in x]
-        )
-        keep = ham <= max_hamming
-        a, b = ids[ia[keep]], ids[ib[keep]]
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        if hasattr(np, "bitwise_count"):
+            return np.bitwise_count(x.astype(np.uint64))
+        return np.array([bin(int(v)).count("1") for v in x])
+
+    def _pair_table(a: np.ndarray, b: np.ndarray, ham: np.ndarray) -> pa.Table:
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
-             "hamming": ham[keep].astype(np.int64)}
+             "hamming": ham.astype(np.int64)}
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        # oversized buckets collapse to UNIQUE simhash values — hamming
+        # is a function of the two 64-bit values alone, so components
+        # are identical to all-pairs (same scheme as _bucket_pairs)
+        n = t.num_rows
+        if n < 2:
+            return _pair_table(
+                np.array([], np.int64), np.array([], np.int64),
+                np.array([], np.int64),
+            )
+        cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
+        ids = np.asarray(t.column(id_col))
+        h = np.asarray(t.column("simhash")).astype(np.uint64)
+        if n <= cap:
+            ia, ib = np.triu_indices(n, k=1)
+            ham = _popcount(h[ia] ^ h[ib])
+            keep = ham <= max_hamming
+            return _pair_table(ids[ia[keep]], ids[ib[keep]], ham[keep])
+        uniq, inverse = np.unique(h, return_inverse=True)
+        u = len(uniq)
+        if u > cap:
+            raise ValueError(
+                f"SimHash bucket holds {u} distinct values (> cap {cap}):"
+                " degenerate banding — pre-filter empty/boilerplate texts"
+                " or raise TBL_RAY_MAX_BUCKET"
+            )
+        reps = np.full(u, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(reps, inverse.reshape(-1), ids.astype(np.int64))
+        member_rep = reps[inverse.reshape(-1)]
+        m = ids != member_rep
+        star_a, star_b = member_rep[m], ids[m]
+        star_ham = np.zeros(star_a.shape[0], dtype=np.int64)
+        ia, ib = np.triu_indices(u, k=1)
+        ham = _popcount(uniq[ia] ^ uniq[ib])
+        keep = ham <= max_hamming
+        return _pair_table(
+            np.concatenate([star_a, reps[ia[keep]]]),
+            np.concatenate([star_b, reps[ib[keep]]]),
+            np.concatenate([star_ham, ham[keep].astype(np.int64)]),
         )
 
     sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)

@@ -1736,3 +1736,46 @@ def test_oversized_bucket_with_degenerate_hash_raises(monkeypatch):
     monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "10")
     with pytest.raises(ValueError, match="distinct signatures"):
         _bucket_pairs(0.7, "doc_id")(t)
+
+
+def test_simhash_oversized_bucket_collapses(monkeypatch):
+    """simhash_dup_pairs' in-bucket pairer: oversized buckets collapse
+    to unique simhash values with components identical to all-pairs."""
+    import pyarrow as pa
+    import numpy as np
+
+    from tbl_ray.functions import dedup as dd
+
+    # reach the inner pairs fn through the public API with tiny docs is
+    # slow; instead replicate its construction: 30 rows, 3 unique hashes,
+    # two within hamming 2 of each other, one far away
+    texts = ["alpha beta gamma"] * 12 + ["alpha beta gamm"] * 10 + ["zzz qqq"] * 8
+    ids = list(range(30))
+    import ray
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in zip(ids, texts)]
+    )
+    full = {
+        (p["id_a"], p["id_b"])
+        for p in dd.simhash_dup_pairs(ds, max_hamming=8)
+    }
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "5")
+    collapsed = {
+        (p["id_a"], p["id_b"])
+        for p in dd.simhash_dup_pairs(ds, max_hamming=8)
+    }
+    monkeypatch.delenv("TBL_RAY_MAX_BUCKET")
+
+    from tbl_ray.functions.dedup import union_find
+
+    def comps(pairs):
+        root = union_find(list(pairs))
+        out = {}
+        for a, b in pairs:
+            for x in (a, b):
+                out.setdefault(root.get(x, x), set()).add(x)
+        return {frozenset(v) for v in out.values()}
+
+    assert comps(full) == comps(collapsed)
+    assert len(collapsed) <= len(full)
