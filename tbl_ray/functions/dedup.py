@@ -429,11 +429,14 @@ def _bucket_pairs(threshold: float, id_col: str):
              "est_jaccard": est.astype(np.float64)}
         )
 
+    # resolved at closure-creation time ON THE DRIVER and captured by
+    # cloudpickle: map_groups workers do not see driver-set env vars
+    cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
+
     def pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n < 2:
             return empty
-        cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
         ids = np.asarray(t.column(id_col))
         sig = np.stack(
             [np.asarray(v.values) for v in t.column("sig").combine_chunks()]
@@ -680,6 +683,9 @@ def simhash_dup_pairs(
         }
         return pa.table(rows)
 
+    # driver-side resolution: workers do not see driver-set env vars
+    cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
+
     def _popcount(x: np.ndarray) -> np.ndarray:
         if hasattr(np, "bitwise_count"):
             return np.bitwise_count(x.astype(np.uint64))
@@ -702,7 +708,6 @@ def simhash_dup_pairs(
                 np.array([], np.int64), np.array([], np.int64),
                 np.array([], np.int64),
             )
-        cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
         ids = np.asarray(t.column(id_col))
         h = np.asarray(t.column("simhash")).astype(np.uint64)
         if n <= cap:
@@ -949,25 +954,62 @@ def embedding_dup_pairs(
                 }
             )
 
+    # driver-side resolution: workers do not see driver-set env vars
+    cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "2000"))
+
+    def _pair_table(a: np.ndarray, b: np.ndarray, cos: np.ndarray) -> pa.Table:
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
+             "cosine": cos.astype(np.float64)}
+        )
+
     def pairs(t: pa.Table) -> pa.Table:
+        # oversized buckets collapse to bit-identical unit vectors first
+        # (the common degenerate cause: thousands of byte-identical
+        # embeddings from duplicated docs); cosine depends only on the
+        # two vectors, so components match all-pairs exactly. A bucket
+        # with more DISTINCT vectors than the cap is a degenerate LSH
+        # region and raises instead of silently dropping pairs.
         n = t.num_rows
-        if n < 2 or n > 2000:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
+        if n < 2:
+            return _pair_table(
+                np.array([], np.int64), np.array([], np.int64),
+                np.array([], np.float64),
             )
         ids = np.asarray(t.column(id_col))
         vecs = np.stack([np.asarray(v.values) for v in t.column("vec").combine_chunks()])
+        if n > cap:
+            uniq, inverse = np.unique(vecs, axis=0, return_inverse=True)
+            u = len(uniq)
+            if u > cap:
+                raise ValueError(
+                    f"embedding LSH bucket holds {u} distinct vectors"
+                    f" (> cap {cap}): degenerate hyperplane region — add"
+                    " LSH bits, pre-filter zero/constant embeddings, or"
+                    " raise TBL_RAY_MAX_BUCKET"
+                )
+            inverse = inverse.reshape(-1)
+            reps = np.full(u, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(reps, inverse, ids.astype(np.int64))
+            member_rep = reps[inverse]
+            m = ids != member_rep
+            star_a, star_b = member_rep[m], ids[m]
+            star_cos = np.ones(star_a.shape[0], dtype=np.float64)
+            star_keep = star_cos >= threshold
+            ia, ib = np.triu_indices(u, k=1)
+            s = (uniq @ uniq.T)[ia, ib]
+            keep = s >= threshold
+            return _pair_table(
+                np.concatenate([star_a[star_keep], reps[ia[keep]]]),
+                np.concatenate([star_b[star_keep], reps[ib[keep]]]),
+                np.concatenate([star_cos[star_keep], s[keep]]),
+            )
         sims = vecs @ vecs.T
         ia, ib = np.triu_indices(n, k=1)
         s = sims[ia, ib]
         keep = s >= threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table(
-            {"id_a": lo.astype(np.int64), "id_b": hi.astype(np.int64),
-             "cosine": s[keep].astype(np.float64)}
-        )
+        return _pair_table(ids[ia[keep]], ids[ib[keep]], s[keep])
 
     sk = ds.map_batches(Sketch, batch_format="pyarrow", concurrency=_default_pool())
     pair_ds = sk.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")

@@ -1705,11 +1705,11 @@ def test_oversized_bucket_collapses_to_unique_signatures(monkeypatch):
             "sig": pa.array([list(map(int, s)) for s in sig], pa.list_(pa.uint64())),
         }
     )
-    fn = _bucket_pairs(0.7, "doc_id")
     monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "1000")
-    full = fn(t)
+    full = _bucket_pairs(0.7, "doc_id")(t)
+    # the cap resolves at closure creation (driver side), so rebuild
     monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "10")
-    collapsed = fn(t)
+    collapsed = _bucket_pairs(0.7, "doc_id")(t)
     assert collapsed.num_rows < full.num_rows  # star+reps, not a clique
     assert _uf_components(full) == _uf_components(collapsed)
     # est values on the cross-group pairs are preserved exactly
@@ -1779,3 +1779,52 @@ def test_simhash_oversized_bucket_collapses(monkeypatch):
 
     assert comps(full) == comps(collapsed)
     assert len(collapsed) <= len(full)
+
+
+def test_embedding_oversized_bucket_collapses(monkeypatch):
+    """embedding_dup_pairs: oversized buckets collapse to bit-identical
+    vectors; components match all-pairs, degenerate distinct counts raise."""
+    import numpy as np
+    import ray
+    import pytest
+
+    from tbl_ray.functions.dedup import embedding_dup_pairs, union_find
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(3, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 24 docs over 3 distinct embeddings (bit-identical within a group)
+    groups = rng.integers(0, 3, 24)
+    rows = [
+        {"doc_id": int(i), "emb": base[g].tolist()}
+        for i, g in enumerate(groups)
+    ]
+    ds = ray.data.from_items(rows)
+    full = {(p["id_a"], p["id_b"]) for p in embedding_dup_pairs(ds, "emb", "doc_id", threshold=0.95)}
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "5")
+    collapsed = {(p["id_a"], p["id_b"]) for p in embedding_dup_pairs(ds, "emb", "doc_id", threshold=0.95)}
+
+    def comps(pairs):
+        root = union_find(list(pairs))
+        out = {}
+        for a, b in pairs:
+            for x in (a, b):
+                out.setdefault(root.get(x, x), set()).add(x)
+        return {frozenset(v) for v in out.values()}
+
+    assert comps(full) == comps(collapsed)
+
+    # degenerate: 24 distinct vectors in one bucket region
+    distinct = rng.normal(size=(24, 8))
+    distinct /= np.linalg.norm(distinct, axis=1, keepdims=True)
+    # force them into one bucket by making them nearly identical but
+    # bit-distinct (tiny distinct perturbations of one vector)
+    v = distinct[0]
+    rows2 = [
+        {"doc_id": int(i), "emb": (v + 1e-4 * distinct[i]).tolist()}
+        for i in range(24)
+    ]
+    ds2 = ray.data.from_items(rows2)
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "5")
+    with pytest.raises(Exception, match="distinct vectors"):
+        embedding_dup_pairs(ds2, "emb", "doc_id", threshold=0.95)
