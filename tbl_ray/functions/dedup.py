@@ -399,23 +399,93 @@ class _MinhashSketch:
         )
 
 
+# per-byte popcount table for the numpy-1.x (no np.bitwise_count) path
+_POPCOUNT8 = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.uint8
+)
+
+
+def _bucket_cap(kind: str, default: int) -> int:
+    """Per-sketch bucket cap: ``TBL_RAY_MAX_BUCKET_<KIND>`` overrides the
+    shared ``TBL_RAY_MAX_BUCKET`` fallback, which overrides ``default``.
+    Distinct names so tuning one sketch does not silently retune the
+    others (they have different natural bucket densities). Resolved at
+    closure-creation time ON THE DRIVER — map_groups workers do not see
+    driver-set env vars."""
+    v = os.environ.get(f"TBL_RAY_MAX_BUCKET_{kind.upper()}")
+    if v is None:
+        v = os.environ.get("TBL_RAY_MAX_BUCKET", str(default))
+    return int(v)
+
+
+def _hard_bucket_cap() -> int:
+    """Absolute per-bucket unique-item bound past which the tiled pairwise
+    pass refuses to run (``TBL_RAY_HARD_BUCKET``, default 50k ≈ 1.25e9
+    pair comparisons — tens of seconds of vectorized work in one task).
+    Beyond this the banding is degenerate enough that grinding through
+    O(u^2) inside a single bucket would stall the job silently; raising
+    loudly with remedies is the safer failure."""
+    return int(os.environ.get("TBL_RAY_HARD_BUCKET", "50000"))
+
+
+def _tiled_pairwise(u: int, sim_block, keep_mask, tile: int):
+    """All-pairs over ``u`` unique items in ``tile`` x ``tile`` blocks so
+    peak memory is O(tile^2 * item_width) regardless of bucket size.
+
+    ``sim_block(i0, i1, j0, j1)`` returns the (i1-i0, j1-j0) similarity
+    matrix between item ranges; ``keep_mask(sim)`` the boolean keep
+    matrix. Returns global ``(i_idx, j_idx, sim)`` arrays with i < j
+    (strict upper triangle) — the pair set is identical to a monolithic
+    ``triu_indices`` pass, only the evaluation order differs."""
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for i0 in range(0, u, tile):
+        i1 = min(i0 + tile, u)
+        for j0 in range(i0, u, tile):
+            j1 = min(j0 + tile, u)
+            sim = sim_block(i0, i1, j0, j1)
+            mask = np.asarray(keep_mask(sim))
+            if i0 == j0:
+                mask = mask & np.triu(np.ones(sim.shape, dtype=bool), k=1)
+            ii, jj = np.nonzero(mask)
+            if ii.size:
+                out_i.append(ii + i0)
+                out_j.append(jj + j0)
+                out_s.append(np.asarray(sim)[ii, jj])
+    if not out_i:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), np.array([], dtype=np.float64)
+    return (
+        np.concatenate(out_i),
+        np.concatenate(out_j),
+        np.concatenate(out_s),
+    )
+
+
 def _bucket_pairs(threshold: float, id_col: str):
     """map_groups over one (band, bucket): verified candidate pairs.
 
-    Buckets up to ``TBL_RAY_MAX_BUCKET`` rows (default 1000) compare all
+    Buckets up to the minhash cap (``TBL_RAY_MAX_BUCKET_MINHASH``,
+    fallback ``TBL_RAY_MAX_BUCKET``, default 1000) rows compare all
     pairs. Larger buckets — a duplicate-dense cluster, or thousands of
     empty/identical texts whose signatures coincide — collapse to UNIQUE
     signatures first: members sharing a signature pair to their min-id
     representative with ``est_jaccard`` exactly 1.0 (identical signatures
-    agree at every position), and the representatives compare pairwise.
-    The signature estimate is a function of the two signatures alone, so
-    the union-find components (and therefore the near-dedup output) are
-    IDENTICAL to all-pairs; only the emitted pair *list* is smaller
-    (star-per-group instead of a clique), which exact-verify consumers
-    like ``jaccard_dedup`` should note (they verify the reduced list).
-    A bucket whose unique-signature count still exceeds the cap is a
-    degenerate hash (shingle space too small, bands misconfigured) and
-    raises with remedies instead of silently dropping pairs."""
+    agree at every position), and the representatives compare pairwise —
+    in bounded row tiles (:func:`_tiled_pairwise`) when the unique count
+    itself exceeds the cap, so a boilerplate-heavy crawl computes instead
+    of crashing. The signature estimate is a function of the two
+    signatures alone, so the union-find components (and therefore the
+    near-dedup output) are IDENTICAL to all-pairs; only the emitted pair
+    *list* is smaller (star-per-group instead of a clique), which
+    exact-verify consumers like ``jaccard_dedup`` must note: identical
+    signatures do NOT imply identical documents, so when exact
+    verification rejects a (rep, member) star pair the collapsed output
+    can differ from brute force (see jaccard_dedup's star re-expansion).
+    Only past :func:`_hard_bucket_cap` unique signatures (default 50k)
+    does the task still raise, with remedies, instead of grinding O(u^2)
+    in one task."""
 
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -429,9 +499,8 @@ def _bucket_pairs(threshold: float, id_col: str):
              "est_jaccard": est.astype(np.float64)}
         )
 
-    # resolved at closure-creation time ON THE DRIVER and captured by
-    # cloudpickle: map_groups workers do not see driver-set env vars
-    cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
+    cap = _bucket_cap("minhash", 1000)
+    hard = _hard_bucket_cap()
 
     def pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -448,13 +517,14 @@ def _bucket_pairs(threshold: float, id_col: str):
             return _pair_table(ids[ia[keep]], ids[ib[keep]], est[keep])
         uniq, inverse = np.unique(sig, axis=0, return_inverse=True)
         u = len(uniq)
-        if u > cap:
+        if u > hard:
             raise ValueError(
-                f"LSH bucket holds {u} distinct signatures (> cap {cap}):"
-                " degenerate banding — raise n_hashes/bands so buckets"
-                " discriminate, pre-filter empty/boilerplate texts, or"
-                " raise TBL_RAY_MAX_BUCKET if the corpus genuinely has"
-                " this many near-identical distinct documents"
+                f"LSH bucket holds {u} distinct signatures (> hard cap"
+                f" {hard}): degenerate banding — raise n_hashes/bands so"
+                " buckets discriminate, pre-filter empty/boilerplate"
+                " texts, or raise TBL_RAY_HARD_BUCKET if the corpus"
+                " genuinely has this many near-identical distinct"
+                " documents"
             )
         inverse = inverse.reshape(-1)
         reps = np.full(u, np.iinfo(np.int64).max, dtype=np.int64)
@@ -464,13 +534,28 @@ def _bucket_pairs(threshold: float, id_col: str):
         star_a, star_b = member_rep[m], ids[m]
         star_est = np.ones(star_a.shape[0], dtype=np.float64)
         star_keep = star_est >= threshold  # threshold > 1.0 drops exacts too
-        ia, ib = np.triu_indices(u, k=1)
-        est = (uniq[ia] == uniq[ib]).mean(axis=1)
-        keep = est >= threshold
+        if u <= cap:
+            ia, ib = np.triu_indices(u, k=1)
+            est = (uniq[ia] == uniq[ib]).mean(axis=1)
+            keep = est >= threshold
+            ua, ub, uest = reps[ia[keep]], reps[ib[keep]], est[keep]
+        else:
+            # tiled pairwise over the unique signatures: same pair set as
+            # a monolithic triu pass, memory bounded to tile^2 * n_hashes
+            tile = min(cap, 1024)
+            gi, gj, uest = _tiled_pairwise(
+                u,
+                lambda i0, i1, j0, j1: (
+                    uniq[i0:i1, None, :] == uniq[None, j0:j1, :]
+                ).mean(axis=2),
+                lambda s: s >= threshold,
+                tile,
+            )
+            ua, ub = reps[gi], reps[gj]
         return _pair_table(
-            np.concatenate([star_a[star_keep], reps[ia[keep]]]),
-            np.concatenate([star_b[star_keep], reps[ib[keep]]]),
-            np.concatenate([star_est[star_keep], est[keep]]),
+            np.concatenate([star_a[star_keep], ua]),
+            np.concatenate([star_b[star_keep], ub]),
+            np.concatenate([star_est[star_keep], uest]),
         )
 
     return pairs
@@ -683,13 +768,17 @@ def simhash_dup_pairs(
         }
         return pa.table(rows)
 
-    # driver-side resolution: workers do not see driver-set env vars
-    cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "1000"))
+    cap = _bucket_cap("simhash", 1000)
+    hard = _hard_bucket_cap()
 
     def _popcount(x: np.ndarray) -> np.ndarray:
-        if hasattr(np, "bitwise_count"):
-            return np.bitwise_count(x.astype(np.uint64))
-        return np.array([bin(int(v)).count("1") for v in x])
+        x = np.ascontiguousarray(x, dtype=np.uint64)
+        if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+            return np.bitwise_count(x)
+        # vectorized byte-table fallback, any shape (numpy 1.x)
+        return _POPCOUNT8[x.view(np.uint8).reshape(*x.shape, 8)].sum(
+            axis=-1, dtype=np.int64
+        )
 
     def _pair_table(a: np.ndarray, b: np.ndarray, ham: np.ndarray) -> pa.Table:
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -717,11 +806,11 @@ def simhash_dup_pairs(
             return _pair_table(ids[ia[keep]], ids[ib[keep]], ham[keep])
         uniq, inverse = np.unique(h, return_inverse=True)
         u = len(uniq)
-        if u > cap:
+        if u > hard:
             raise ValueError(
-                f"SimHash bucket holds {u} distinct values (> cap {cap}):"
-                " degenerate banding — pre-filter empty/boilerplate texts"
-                " or raise TBL_RAY_MAX_BUCKET"
+                f"SimHash bucket holds {u} distinct values (> hard cap"
+                f" {hard}): degenerate banding — pre-filter empty/"
+                "boilerplate texts or raise TBL_RAY_HARD_BUCKET"
             )
         reps = np.full(u, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(reps, inverse.reshape(-1), ids.astype(np.int64))
@@ -729,13 +818,26 @@ def simhash_dup_pairs(
         m = ids != member_rep
         star_a, star_b = member_rep[m], ids[m]
         star_ham = np.zeros(star_a.shape[0], dtype=np.int64)
-        ia, ib = np.triu_indices(u, k=1)
-        ham = _popcount(uniq[ia] ^ uniq[ib])
-        keep = ham <= max_hamming
+        if u <= cap:
+            ia, ib = np.triu_indices(u, k=1)
+            ham = _popcount(uniq[ia] ^ uniq[ib])
+            keep = ham <= max_hamming
+            ua, ub, uham = reps[ia[keep]], reps[ib[keep]], ham[keep]
+        else:
+            tile = min(cap, 4096)  # tile^2 uint64 xor matrix = 128 MiB max
+            gi, gj, uham = _tiled_pairwise(
+                u,
+                lambda i0, i1, j0, j1: _popcount(
+                    uniq[i0:i1, None] ^ uniq[None, j0:j1]
+                ),
+                lambda s: s <= max_hamming,
+                tile,
+            )
+            ua, ub = reps[gi], reps[gj]
         return _pair_table(
-            np.concatenate([star_a, reps[ia[keep]]]),
-            np.concatenate([star_b, reps[ib[keep]]]),
-            np.concatenate([star_ham, ham[keep].astype(np.int64)]),
+            np.concatenate([star_a, ua]),
+            np.concatenate([star_b, ub]),
+            np.concatenate([star_ham, uham.astype(np.int64)]),
         )
 
     sk = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
@@ -954,8 +1056,8 @@ def embedding_dup_pairs(
                 }
             )
 
-    # driver-side resolution: workers do not see driver-set env vars
-    cap = int(os.environ.get("TBL_RAY_MAX_BUCKET", "2000"))
+    cap = _bucket_cap("emb", 2000)
+    hard = _hard_bucket_cap()
 
     def _pair_table(a: np.ndarray, b: np.ndarray, cos: np.ndarray) -> pa.Table:
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -982,12 +1084,12 @@ def embedding_dup_pairs(
         if n > cap:
             uniq, inverse = np.unique(vecs, axis=0, return_inverse=True)
             u = len(uniq)
-            if u > cap:
+            if u > hard:
                 raise ValueError(
                     f"embedding LSH bucket holds {u} distinct vectors"
-                    f" (> cap {cap}): degenerate hyperplane region — add"
-                    " LSH bits, pre-filter zero/constant embeddings, or"
-                    " raise TBL_RAY_MAX_BUCKET"
+                    f" (> hard cap {hard}): degenerate hyperplane region"
+                    " — add LSH bits, pre-filter zero/constant"
+                    " embeddings, or raise TBL_RAY_HARD_BUCKET"
                 )
             inverse = inverse.reshape(-1)
             reps = np.full(u, np.iinfo(np.int64).max, dtype=np.int64)
@@ -997,13 +1099,24 @@ def embedding_dup_pairs(
             star_a, star_b = member_rep[m], ids[m]
             star_cos = np.ones(star_a.shape[0], dtype=np.float64)
             star_keep = star_cos >= threshold
-            ia, ib = np.triu_indices(u, k=1)
-            s = (uniq @ uniq.T)[ia, ib]
-            keep = s >= threshold
+            if u <= cap:
+                ia, ib = np.triu_indices(u, k=1)
+                s = (uniq @ uniq.T)[ia, ib]
+                keep = s >= threshold
+                ua, ub, us = reps[ia[keep]], reps[ib[keep]], s[keep]
+            else:
+                tile = min(cap, 2048)
+                gi, gj, us = _tiled_pairwise(
+                    u,
+                    lambda i0, i1, j0, j1: uniq[i0:i1] @ uniq[j0:j1].T,
+                    lambda s: s >= threshold,
+                    tile,
+                )
+                ua, ub = reps[gi], reps[gj]
             return _pair_table(
-                np.concatenate([star_a[star_keep], reps[ia[keep]]]),
-                np.concatenate([star_b[star_keep], reps[ib[keep]]]),
-                np.concatenate([star_cos[star_keep], s[keep]]),
+                np.concatenate([star_a[star_keep], ua]),
+                np.concatenate([star_b[star_keep], ub]),
+                np.concatenate([star_cos[star_keep], us]),
             )
         sims = vecs @ vecs.T
         ia, ib = np.triu_indices(n, k=1)

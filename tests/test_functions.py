@@ -1719,6 +1719,8 @@ def test_oversized_bucket_collapses_to_unique_signatures(monkeypatch):
 
 
 def test_oversized_bucket_with_degenerate_hash_raises(monkeypatch):
+    """Only past the HARD cap (TBL_RAY_HARD_BUCKET) does a bucket still
+    raise; between soft cap and hard cap it computes in tiles."""
     import pyarrow as pa
     import numpy as np
     import pytest
@@ -1734,8 +1736,54 @@ def test_oversized_bucket_with_degenerate_hash_raises(monkeypatch):
         }
     )
     monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "10")
+    monkeypatch.setenv("TBL_RAY_HARD_BUCKET", "20")
     with pytest.raises(ValueError, match="distinct signatures"):
         _bucket_pairs(0.7, "doc_id")(t)
+    # same input below the hard cap: computes (all-distinct, no matches
+    # above threshold -> empty pair table), no crash
+    monkeypatch.setenv("TBL_RAY_HARD_BUCKET", "50000")
+    out = _bucket_pairs(0.7, "doc_id")(t)
+    assert out.num_rows == 0
+
+
+def test_oversized_bucket_tiled_pairwise_matches_bruteforce(monkeypatch):
+    """5,000 DISTINCT signatures in one bucket: the tiled pairwise path
+    (unique count > soft cap) emits exactly the brute-force pair set
+    instead of raising — the r04 bench crash mode (2,115 distinct sigs
+    in one bucket at sf0.1 under the one-hash-band config)."""
+    import pyarrow as pa
+    import numpy as np
+
+    from tbl_ray.functions.dedup import _bucket_pairs
+
+    n = 5000
+    rng = np.random.default_rng(7)
+    sig = rng.integers(0, 40, size=(n, 4)).astype(np.uint64)
+    sig[:, 0] = np.arange(n, dtype=np.uint64)  # all signatures distinct
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "sig": pa.array(
+                [list(map(int, s)) for s in sig], pa.list_(pa.uint64())
+            ),
+        }
+    )
+
+    def pair_set(tbl):
+        return set(
+            zip(
+                tbl.column("id_a").to_pylist(),
+                tbl.column("id_b").to_pylist(),
+                tbl.column("est_jaccard").to_pylist(),
+            )
+        )
+
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "100000")
+    brute = pair_set(_bucket_pairs(0.7, "doc_id")(t))  # direct triu path
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "700")  # force tiled path
+    tiled = pair_set(_bucket_pairs(0.7, "doc_id")(t))
+    assert brute  # threshold 0.7 => >=3 of 4 agree; planted collisions exist
+    assert tiled == brute
 
 
 def test_simhash_oversized_bucket_collapses(monkeypatch):
@@ -1814,7 +1862,9 @@ def test_embedding_oversized_bucket_collapses(monkeypatch):
 
     assert comps(full) == comps(collapsed)
 
-    # degenerate: 24 distinct vectors in one bucket region
+    # 24 distinct vectors in one bucket region: between soft cap and
+    # hard cap the tiled pairwise path computes (all near-identical, so
+    # every pair survives threshold); past the hard cap it raises
     distinct = rng.normal(size=(24, 8))
     distinct /= np.linalg.norm(distinct, axis=1, keepdims=True)
     # force them into one bucket by making them nearly identical but
@@ -1826,5 +1876,11 @@ def test_embedding_oversized_bucket_collapses(monkeypatch):
     ]
     ds2 = ray.data.from_items(rows2)
     monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "5")
+    tiled = {
+        (p["id_a"], p["id_b"])
+        for p in embedding_dup_pairs(ds2, "emb", "doc_id", threshold=0.95)
+    }
+    assert len(tiled) == 24 * 23 // 2  # near-identical: full clique survives
+    monkeypatch.setenv("TBL_RAY_HARD_BUCKET", "5")
     with pytest.raises(Exception, match="distinct vectors"):
         embedding_dup_pairs(ds2, "emb", "doc_id", threshold=0.95)
