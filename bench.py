@@ -239,10 +239,20 @@ def bench_query_group(names: list[str]) -> None:
     q = entrymod.queries()
     for name in names:
         t0 = time.monotonic()
-        res = q[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res = res.materialize()
-            _ = res.count()
+        # per-query isolation: one query raising must not lose the
+        # timings of every query after it in the group (r04 lost 3
+        # innocent timings to one dedup_minhash crash)
+        try:
+            res = q[name](SF_DIR)
+            if hasattr(res, "materialize"):
+                res = res.materialize()
+                _ = res.count()
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            dt = round(time.monotonic() - t0, 3)
+            err = f"{type(exc).__name__}: {exc}"[:500]
+            print(json.dumps({"q": name, "err": err, "after_s": dt}), flush=True)
+            log(f"  query {name}: FAILED after {dt}s — {err}")
+            continue
         dt = round(time.monotonic() - t0, 3)
         print(json.dumps({"q": name, "s": dt}), flush=True)
         log(f"  query {name}: {dt}s")
@@ -364,9 +374,11 @@ def orchestrate(headline_only: bool) -> int:
         return 0
 
     queries: dict[str, float] = {}
+    query_errors: dict[str, str] = {}
     failed_groups = []
     for gi, names in enumerate(QUERY_GROUPS):
         got: dict[str, float] = {}
+        errs: dict[str, str] = {}
         for attempt in range(2):
             # stdout is parsed even when the child crashed or timed out:
             # every query that printed its line before the death counts
@@ -376,19 +388,30 @@ def orchestrate(headline_only: bool) -> int:
                     cand = json.loads(line)
                 except (ValueError, TypeError):
                     continue
-                if isinstance(cand, dict) and "q" in cand and "s" in cand:
+                if not (isinstance(cand, dict) and "q" in cand):
+                    continue
+                if "s" in cand:
                     got[cand["q"]] = cand["s"]
+                    errs.pop(cand["q"], None)
+                elif "err" in cand:
+                    errs[cand["q"]] = cand["err"]
             if len(got) == len(names):
                 break
             log(f"group {gi}: {len(got)}/{len(names)} after attempt {attempt}")
         queries.update(got)
+        query_errors.update({n: e for n, e in errs.items() if n not in got})
         missing = [n for n in names if n not in got]
         if missing:
-            failed_groups.append({"group": gi, "missing": missing})
+            entry = {"group": gi, "missing": missing}
+            if errs:
+                entry["errors"] = {n: errs[n] for n in missing if n in errs}
+            failed_groups.append(entry)
             log(f"group {gi} incomplete, missing: {missing}")
 
     final = dict(head_result)
     final["queries"] = queries
+    if query_errors:
+        final["query_errors"] = query_errors
     if failed_groups:
         final["incomplete_query_groups"] = failed_groups
     print(json.dumps(final), flush=True)
