@@ -885,6 +885,81 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _verify_pairs_distributed(
+    texts_ds: "ray.data.Dataset",
+    pair_list: list[tuple[int, int]],
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> set[tuple[int, int]]:
+    """Exact n-gram-Jaccard verification of candidate pairs WITHOUT
+    materializing any text on the driver.
+
+    The tiny (id_a, id_b) pair list co-buckets with the candidate texts
+    via two :func:`tbl_ray.functions.joins.shuffle_join` exchanges
+    (attach text_a, then text_b), and :func:`ngram_jaccard` runs inside
+    ``map_batches`` at worker parallelism; only the verified id pairs
+    come back. Driver memory is O(pairs), never O(pairs x doc size)."""
+    from .joins import shuffle_join
+
+    if not pair_list:
+        return set()
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in pair_list], pa.int64()),
+                "id_b": pa.array([b for _, b in pair_list], pa.int64()),
+            }
+        )
+    )
+
+    def as_side(key: str, out_text: str):
+        def ren(t: pa.Table) -> pa.Table:
+            col = t.column(text_col).combine_chunks()
+            if pa.types.is_null(col.type):
+                col = col.cast(pa.string())
+            return pa.table(
+                {
+                    key: t.column(id_col).cast(pa.int64()),
+                    out_text: pc.fill_null(col, ""),
+                }
+            )
+
+        return ren
+
+    ta = texts_ds.map_batches(
+        as_side("id_a", "__text_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tb = texts_ds.map_batches(
+        as_side("id_b", "__text_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = shuffle_join(shuffle_join(pairs_ds, ta, "id_a"), tb, "id_b")
+
+    def check(t: pa.Table) -> pa.Table:
+        a = t.column("__text_a").to_pylist()
+        b = t.column("__text_b").to_pylist()
+        # per-pair set Jaccard is inherently per-document work; it runs
+        # HERE, spread over the worker pool, not on the driver
+        ok = pa.array(
+            [ngram_jaccard(x or "", y or "", n=n) >= threshold
+             for x, y in zip(a, b)],
+            pa.bool_(),
+        )
+        return pa.table(
+            {"id_a": t.column("id_a").filter(ok), "id_b": t.column("id_b").filter(ok)}
+        )
+
+    out = j.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+    passed: set[tuple[int, int]] = set()
+    for bt in out.iter_batches(batch_format="pyarrow", batch_size=65536):
+        passed.update(
+            zip(bt.column("id_a").to_pylist(), bt.column("id_b").to_pylist())
+        )
+    return passed
+
+
 def jaccard_dedup(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -895,6 +970,7 @@ def jaccard_dedup(
     n_hashes: int = 32,
     bands: int = 8,
     candidate_threshold: float | None = None,
+    verify: str = "auto",
 ) -> "ray.data.Dataset":
     """EXACT character-n-gram-Jaccard near-dedup: MinHash LSH proposes
     candidate pairs (recall), :func:`ngram_jaccard` verifies each pair
@@ -916,10 +992,28 @@ def jaccard_dedup(
 
     This is the standard production split: the sketch pass never ships
     documents (only the banded signature), and exact verification
-    touches ONLY the candidate texts — driver work is bounded by the
+    touches ONLY the candidate texts — work is bounded by the
     candidate-pair count, not the corpus. The candidate threshold is
     relaxed below ``threshold`` so sketch variance cannot lose true
     pairs; exact verification then applies ``threshold`` precisely.
+
+    ``verify`` selects where exact verification runs: ``"driver"``
+    fetches candidate texts to the driver (fast for small corpora, and
+    loudly budget-guarded); ``"distributed"`` co-buckets the tiny pair
+    list with the candidate texts via two shuffle joins and runs
+    :func:`ngram_jaccard` inside ``map_batches`` — nothing larger than
+    the verified id pairs ever reaches the driver, so a duplicate-dense
+    100 TB corpus verifies at worker parallelism. ``"auto"`` (default)
+    picks driver only when the whole input provably fits the local
+    sketch budget (:func:`tbl_ray.sizing.fits_local`; forced distributed
+    by ``TBL_RAY_LOCAL_SKETCH_BYTES=0`` like every other operator).
+
+    Oversized-bucket star collapse (see :func:`_bucket_pairs`) is
+    exact-verify-safe here: when verification REJECTS a star pair whose
+    signatures were identical (``est_jaccard == 1.0``), the member's
+    group is transitively re-expanded — all member-member pairs of that
+    signature group are verified too — so a member is never disconnected
+    merely because its min-id representative happened to fail.
 
     Consumes ``ds`` three times (sketch, candidate-text fetch, filter);
     checkpoint expensive upstreams first, as with :func:`exact_dedup`."""
@@ -936,6 +1030,8 @@ def jaccard_dedup(
     )
     if not cands:
         return ds
+    if verify not in ("auto", "driver", "distributed"):
+        raise ValueError(f"verify must be auto|driver|distributed, got {verify!r}")
     need = sorted({p["id_a"] for p in cands} | {p["id_b"] for p in cands})
     need_arr = np.asarray(need, dtype=np.int64)
     need_ref = ray.put(need_arr)
@@ -948,20 +1044,68 @@ def jaccard_dedup(
              text_col: t.column(text_col).filter(pa.array(keep))}
         )
 
-    picked = ds.map_batches(
-        fetch, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    # coalesce null texts: null-text docs sketch identically, so they DO
-    # arrive as candidates, and ngram_jaccard(None, ...) would raise
-    texts = {r[id_col]: (r[text_col] or "") for r in picked}
-    verified = [
-        (p["id_a"], p["id_b"])
+    use_driver = verify == "driver" or (
+        verify == "auto" and fits_local(ds, amplification=1.0)
+    )
+    if use_driver:
+        picked = ds.map_batches(
+            fetch, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        # coalesce null texts: null-text docs sketch identically, so they
+        # DO arrive as candidates, and ngram_jaccard(None, ...) would raise
+        texts = {r[id_col]: (r[text_col] or "") for r in picked}
+
+        def verify_fn(pair_list):
+            return {
+                (a, b)
+                for a, b in pair_list
+                if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n=n)
+                >= threshold
+            }
+    else:
+        # candidate texts only (a budget-bounded slice of the corpus),
+        # materialized ONCE into the distributed object store — never
+        # onto the driver — and joined twice against the tiny pair list
+        texts_ds = ds.map_batches(
+            fetch, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        def verify_fn(pair_list):
+            return _verify_pairs_distributed(
+                texts_ds, pair_list,
+                id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+            )
+
+    cand_pairs = [(p["id_a"], p["id_b"]) for p in cands]
+    passed = verify_fn(cand_pairs)
+    # star re-expansion (oversized-bucket safety): a rejected pair with
+    # identical signatures (est exactly 1.0, id_a == min-id rep of its
+    # signature group) may sever members whose member-member similarity
+    # still passes — verify those pairs too before union-find
+    rejected_star_reps = {
+        p["id_a"]
         for p in cands
-        if ngram_jaccard(
-            texts.get(p["id_a"], ""), texts.get(p["id_b"], ""), n=n
-        ) >= threshold
-    ]
-    roots = union_find(verified)
+        if p.get("est_jaccard") == 1.0 and (p["id_a"], p["id_b"]) not in passed
+    }
+    if rejected_star_reps:
+        groups: dict[int, set[int]] = {}
+        for p in cands:
+            if p.get("est_jaccard") == 1.0 and p["id_a"] in rejected_star_reps:
+                groups.setdefault(p["id_a"], set()).add(p["id_b"])
+        seen_pairs = set(cand_pairs)
+        extras = []
+        for members in groups.values():
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pr = (ms[i], ms[j])
+                    if pr not in seen_pairs:
+                        extras.append(pr)
+                        seen_pairs.add(pr)
+            _check_pair_budget(len(seen_pairs), "jaccard_dedup star re-expansion")
+        if extras:
+            passed |= verify_fn(extras)
+    roots = union_find(sorted(passed))
     drop = np.sort(
         np.fromiter((x for x, r in roots.items() if x != r), dtype=np.int64)
     )

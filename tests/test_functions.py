@@ -1604,6 +1604,73 @@ def test_jaccard_dedup_rejects_sketch_false_positives(ray_session):
     assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2]
 
 
+def test_jaccard_dedup_distributed_verify_matches_driver(ray_session):
+    """Duplicate-dense corpus: the distributed verification path (pairs
+    co-bucketed with candidate texts, ngram_jaccard in map_batches — no
+    text ever on the driver) keeps exactly the same documents as the
+    driver-side path."""
+    import ray.data
+
+    from tbl_ray.functions.dedup import jaccard_dedup
+
+    rng_words = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+        "theta", "iota", "kappa",
+    ]
+    rows = []
+    for fam in range(40):
+        base = " ".join(rng_words[(fam + k) % 10] for k in range(12)) * 3
+        for m in range(5):  # 5 near-identical members per family
+            rows.append(
+                {"doc_id": fam * 5 + m, "text": base + f" tail{fam}-{m}"}
+            )
+    ds = ray.data.from_items(rows)
+    kw = dict(threshold=0.8, n_hashes=16, bands=8)
+    drv = sorted(
+        r["doc_id"]
+        for r in jaccard_dedup(ds, "text", "doc_id", verify="driver", **kw).take_all()
+    )
+    dist = sorted(
+        r["doc_id"]
+        for r in jaccard_dedup(
+            ds, "text", "doc_id", verify="distributed", **kw
+        ).take_all()
+    )
+    assert drv == dist
+    assert len(drv) < len(rows)  # families actually collapsed
+
+
+def test_jaccard_dedup_star_reexpansion(ray_session, monkeypatch):
+    """When the min-id representative of an identical-signature star
+    group fails exact verification, the member-member pairs are still
+    verified — members near-identical to EACH OTHER stay connected."""
+    import ray.data
+
+    from tbl_ray.functions import dedup as dd
+
+    good = "hello world foo bar baz qux " * 5
+    rows = [
+        {"doc_id": 1, "text": "totally unrelated gibberish zzz qqq vvv"},
+        {"doc_id": 2, "text": good + "tail-a"},
+        {"doc_id": 3, "text": good + "tail-b"},
+    ]
+    ds = ray.data.from_items(rows)
+
+    # craft a star group whose rep (1) fails exact verification against
+    # both members while the members pass against each other — the
+    # oversized-bucket collapse emits exactly this shape
+    fake = [
+        {"id_a": 1, "id_b": 2, "est_jaccard": 1.0},
+        {"id_a": 1, "id_b": 3, "est_jaccard": 1.0},
+    ]
+    monkeypatch.setattr(dd, "minhash_dup_pairs", lambda *a, **k: fake)
+    out = dd.jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    # without re-expansion: rep pairs both rejected -> nothing dropped
+    # with re-expansion: (2, 3) verified and collapses -> 3 dropped
+    assert kept == [1, 2]
+
+
 def test_broadcast_join_rename_does_not_collide_with_existing_suffix(
     ray_session,
 ):
