@@ -15,8 +15,6 @@ should never hide inside an operator).
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -28,6 +26,67 @@ from tbl_ray.stages.exchange import auto_buckets as _auto_buckets
 from tbl_ray.stages.exchange import safe_group_by as _safe_group_by
 
 _JOIN_TYPES = {"inner", "left outer"}
+
+
+def _batch_content_hash(t: pa.Table) -> int:
+    """64-bit hash that is a pure function of the table's LOGICAL values.
+
+    Never hashes raw Arrow buffers: validity-bitmap trailing bits and
+    64-byte padding are unspecified by the Arrow spec, and a zero-copy
+    sliced batch exposes its parent's full buffers — a raw-buffer hash
+    would not be stable across Ray lineage re-execution, which the skew
+    salt's determinism requires. Columns hash per-row (position-mixed so
+    permutations differ) via the same value-pure primitives the keyed
+    exchange uses; nested/exotic types are skipped, degrading the hash's
+    batch-decorrelation, never its determinism."""
+    import numpy as np
+
+    acc = np.uint64(0xCBF29CE484222325)
+    for name in t.schema.names:
+        col = t.column(name).combine_chunks()
+        ty = col.type
+        if pa.types.is_integer(ty) or pa.types.is_temporal(ty) or (
+            pa.types.is_boolean(ty)
+        ):
+            wide = pa.uint64() if pa.types.is_unsigned_integer(ty) else pa.int64()
+            k = (
+                pc.fill_null(pc.cast(col, wide), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+        elif pa.types.is_floating(ty):
+            k = (
+                pc.fill_null(pc.cast(col, pa.float64()), 0.0)
+                .to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+            )
+        elif (
+            pa.types.is_string(ty)
+            or pa.types.is_large_string(ty)
+            or pa.types.is_binary(ty)
+            or pa.types.is_large_binary(ty)
+        ):
+            k, _ = _fingerprint128(col)
+        else:
+            continue
+        pos = np.arange(len(k), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (k + np.uint64(1)) * (
+                pos * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(0xA24BAED4963EE407)
+            )
+            # avalanche the column sum BEFORE folding: the positional sum
+            # is linear in arithmetic row sequences (consecutive id
+            # blocks), which would leave the low bits — the only ones the
+            # mod-skew_salt consumer sees — constant across batches
+            s = h.sum(dtype=np.uint64)
+            s ^= s >> np.uint64(33)
+            s *= np.uint64(0xFF51AFD7ED558CCD)
+            s ^= s >> np.uint64(33)
+            s *= np.uint64(0xC4CEB9FE1A85EC53)
+            s ^= s >> np.uint64(33)
+            acc = (acc * np.uint64(0x100000001B3)) ^ s
+    return int(acc)
 
 
 def broadcast_join(
@@ -339,21 +398,23 @@ def _shuffle_join_plan(
                 # the first execution, duplicating or losing join rows.
                 hot_idx = np.flatnonzero(hot_np)
                 if len(hot_idx):
-                    # hash EVERY column's buffers, not just a first hot
+                    # hash EVERY column's values, not just a first hot
                     # value/position: regular layouts (the hot key at the
                     # same offset of every fixed-size block, cold keys
                     # constant) make any value/position hash identical
                     # across batches, collapsing every batch's hot rows
                     # into one salt sub-bucket. Payload columns (ids,
                     # docs) differ between batches, so a full-content
-                    # hash decorrelates them; only batches that are
-                    # byte-identical in every column share a salt (their
-                    # rows are indistinguishable anyway)
-                    h = 0
-                    for name in out.schema.names:
-                        for buf in out.column(name).combine_chunks().buffers():
-                            if buf is not None:
-                                h = zlib.crc32(buf, h)
+                    # hash decorrelates them; only batches whose logical
+                    # values are identical in every column share a salt
+                    # (their rows are indistinguishable anyway). The hash
+                    # is a pure function of values, never raw buffers —
+                    # see _batch_content_hash
+                    # reduce mod skew_salt BEFORE adding: a full-width
+                    # Python int would make numpy upcast the sum to
+                    # float64 (mantissa loses the low bits -> every row
+                    # the same salt)
+                    h = _batch_content_hash(out) % skew_salt
                     salt[hot_idx] = (h + np.arange(len(hot_idx))) % skew_salt
                 return out.append_column("__salt__", pa.array(salt))
             # build side: every hot row must meet every salt sub-bucket

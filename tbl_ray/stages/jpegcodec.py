@@ -288,6 +288,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if not 1 <= nc <= 4:
+                # JFIF practice: 1 (gray), 3 (YCbCr), 4 (CMYK). A raw
+                # byte allows 255 components x ~8*w*h coefficient bytes
+                # each — without this bound a crafted header passes the
+                # pixel budget yet still requests ~100 GB. Checked before
+                # parsing the per-component triples so a short segment
+                # funnels to ValueError, not struct.error
+                raise ValueError(f"JPEG SOF with {nc} components (1-4 allowed)")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 + 3 * i)
@@ -298,8 +306,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # corrupt header must funnel to ValueError (the on_error
             # policy catch), never ZeroDivisionError (h/v = 0) or an
             # attacker-sized MemoryError (65535x65535 coefficient planes)
-            if not comps:
-                raise ValueError("JPEG SOF with zero components")
             for c in comps:
                 if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
                     raise ValueError(

@@ -272,6 +272,22 @@ def test_corrupt_sof_zero_dims_is_valueerror():
         decode_jpeg(bytes(patched))
 
 
+def test_corrupt_sof_component_count_is_valueerror():
+    """nc is a raw byte: 255 components x ~8*w*h coefficient bytes each
+    would pass the pixel budget yet request ~100 GB — the component
+    count must be bounded to JFIF practice (1-4) before any allocation,
+    and a short segment must funnel to ValueError, not struct.error."""
+    rng = np.random.default_rng(12)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (8, 8, 3), np.uint8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    # SOF0: marker(2) len(2), payload prec(1) h(2) w(2) nc(1)
+    for bad_nc in (0, 5, 255):
+        patched = bytearray(data)
+        patched[idx + 9] = bad_nc
+        with pytest.raises(ValueError, match="components"):
+            decode_jpeg(bytes(patched))
+
+
 def test_sof_pixel_budget_guard(monkeypatch):
     """Header-claimed dimensions are validated BEFORE any allocation —
     a corrupt 65535x65535 header must raise, not OOM the worker."""

@@ -152,3 +152,33 @@ def test_skew_salting_spreads_regular_layout_hot_key():
     buckets = np.asarray(hot_rows.column("__bucket__"))
     n_sub = len(np.unique(buckets))
     assert n_sub >= 6, f"hot key used only {n_sub} of 8 sub-buckets"
+
+
+def test_batch_content_hash_is_value_pure():
+    """The salt hash must be a pure function of LOGICAL values: a
+    zero-copy slice (exposing the parent's full buffers plus offsets)
+    and a deep copy of the same rows must hash identically, with and
+    without nulls (validity-bitmap trailing bits are unspecified)."""
+    from tbl_ray.functions.joins import _batch_content_hash
+
+    big = pa.table({
+        "domain": pa.array(["a", "b", None, "d", "e", "f", "g"]),
+        "doc": pa.array([1, None, 3, 4, 5, 6, 7], pa.int64()),
+        "score": pa.array([0.5, 1.5, None, 3.5, 4.5, 5.5, 6.5]),
+    })
+    sliced = big.slice(2, 4)  # zero-copy: buffers belong to `big`
+    # deep copy via serialization round-trip: fresh, tight buffers
+    import pyarrow as _pa
+    sink = _pa.BufferOutputStream()
+    with _pa.ipc.new_stream(sink, sliced.schema) as w:
+        w.write_table(sliced)
+    copied = _pa.ipc.open_stream(sink.getvalue()).read_all()
+    assert _batch_content_hash(sliced) == _batch_content_hash(copied)
+    # different logical content must (overwhelmingly) hash differently
+    other = copied.set_column(
+        1, "doc", pa.array([30, 40, 50, 61], pa.int64())
+    )
+    assert _batch_content_hash(sliced) != _batch_content_hash(other)
+    # row order matters (position-mixed)
+    perm = copied.take(pa.array([3, 2, 1, 0]))
+    assert _batch_content_hash(sliced) != _batch_content_hash(perm)
