@@ -1883,38 +1883,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # registration code above stays in build order (closures read top to
 # bottom); only dict insertion order changes.
 _WINDOW_FIRST = [
-    # round-3 hash-amber rows, re-checked after the oracle dtype fix
-    # (CAST HUGEINT sums to BIGINT — values verified identical)
+    # round-5 rotation: the 12 rows last green in r03 cycle back in
+    # (sort/slicing, the join family, windows/sessions, date casting,
+    # text-format round-trips, encoded-dir pruning, incremental dedup) so
+    # every contract row is green <= 2 rounds old on current code. The
+    # join_shuffle row also re-exercises this round's skew-salt hash
+    # change through the driver.
+    "sort_topk", "chain", "join_shuffle", "join_semi", "join_asof",
+    "window_agg", "sessions", "cast_date", "csv_roundtrip",
+    "jsonl_roundtrip", "encode_prune", "dedup_incremental",
+    # r04-green anchors kept in-window (high-traffic paths + the
+    # operators this round touched: tiled LSH buckets, distributed
+    # jaccard verify, JPEG SOF guard)
     "window_fns", "q3_revenue", "rolling_window", "pivot_counts",
-    # round-4 oracle conversions (previously rows-only, now full value
-    # oracles: SQL replays of the heuristic / sketch / decode semantics)
     "quality", "langid", "fingerprint", "approx_distinct",
-    "approx_distinct_by", "approx_quantiles", "encode_roundtrip",
-    "ann_ivf", "image_decode", "audio_decode", "frame_sample",
+    "approx_quantiles", "encode_roundtrip",
+    "audio_decode", "image_decode",
     "pack_sequences", "curate_webtext", "kmeans", "dedup_ngram",
-    # core rows last green in r01/r02 — cycled back through the driver
-    # after this round's exchange/zone-map/oracle changes
-    "select", "rename", "cast", "with_column", "set_column",
-    "nullify", "replace",
-    # filter_ne / filter_le / drop cycled out for the minhash_sig /
-    # simhash / dedup_minhash oracle conversions — the filter forms
-    # share one dispatch path (tbl_ray/filters.py) with six siblings
-    # in-window, and drop's projection machinery is covered by select
-    "filter_eq", "filter_lt", "filter_gt",
-    "filter_ge", "filter_is_null", "filter_not_null",
+    # cycled out for the r03 returns (all fully green r04, siblings
+    # cover their paths): rename/nullify/set_column (share the
+    # transforms.py path with select/cast/with_column/replace),
+    # filter_lt/gt/ge/not_null (one dispatch with filter_eq/is_null),
+    # dedup_exact_fast (dedup_exact stays), approx_distinct_by
+    # (approx_distinct stays), frame_sample (formula oracle),
+    # ann_ivf (ann_ivf_index supersets it), token_count (3 text rows stay)
+    "select", "cast", "with_column", "replace",
+    "filter_eq", "filter_is_null",
     "minhash_sig", "simhash", "dedup_minhash",
     "value_counts", "head",
-    "partition_counts", "row_count", "dedup_exact", "dedup_exact_fast",
-    # sample_stratified cycled out for ann_ivf_index (persisted-index
-    # exact-oracle conversion); sample_uniform keeps the shared
-    # deterministic-hash-key sampling path in-window
-    "token_count", "sample_uniform",
+    "partition_counts", "row_count", "dedup_exact",
+    "sample_uniform",
     "ann_topk", "ann_ivf_index", "group_agg",
-    # round-4 engine additions: co-bucketed large-right anti join,
-    # baseline + progressive JPEG decode through the strict actor-pool
-    # stage, URL canonicalization + canonical-URL dedup ("offset_head"
-    # and "tail" cycled out to stay within the 50-row window; their
-    # semantics are covered by the in-window "head" row and the suite)
     "join_anti_large", "jpeg_decode", "jpeg_progressive",
     "url_canon_dedup",
 ]
