@@ -175,3 +175,105 @@ void minhash_sig(const uint8_t *data, const int64_t *offsets, int64_t n_rows,
       sig[r * (int64_t)n_hashes + i] = row_sig[i];
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* JPEG baseline entropy decode (T.81 section F.2) — the per-symbol    */
+/* Huffman walk tbl_ray/stages/jpegcodec.py runs in Python otherwise.  */
+/* Bit-identical to the Python _BitReader/_decode_block pair by        */
+/* construction: MSB-first accumulator over the UNSTUFFED entropy      */
+/* bytes, zero-fill past end of data, 16-bit-prefix LUT lookup, F.12   */
+/* sign extension, identical ZRL/EOB/run-overflow semantics. Written   */
+/* to the public ITU T.81 spec; nothing derives from /root/reference.  */
+
+typedef struct {
+  const uint8_t *d;
+  int64_t n;
+  int64_t pos;
+  uint64_t acc;
+  int nbits;
+} jbits;
+
+static inline void jfill(jbits *r, int need) {
+  while (r->nbits < need) {
+    uint64_t b = (r->pos < r->n) ? r->d[r->pos] : 0;
+    r->pos++;
+    r->acc = (r->acc << 8) | b;
+    r->nbits += 8;
+  }
+}
+
+static inline int64_t jread(jbits *r, int n) {
+  if (n == 0)
+    return 0;
+  jfill(r, n);
+  r->nbits -= n;
+  int64_t v = (int64_t)(r->acc >> r->nbits);
+  r->acc &= (((uint64_t)1 << r->nbits) - 1);
+  return v;
+}
+
+/* T.81 F.12: map a t-bit magnitude to its signed value. */
+static inline int64_t jextend(int64_t v, int t) {
+  if (t == 0)
+    return 0;
+  return (v >= ((int64_t)1 << (t - 1))) ? v : v - ((int64_t)1 << t) + 1;
+}
+
+/* Decode `n_blocks` 8x8 blocks in stream order from one restart
+ * segment. `block_comp[bi]` is the scan-component index of block bi
+ * (the MCU-interleaved schedule, built by the caller); per-component
+ * 16-bit-prefix LUTs are C-contiguous (n_comps, 65536) arrays (symbol
+ * int16, -1 = invalid code; length int8). DC prediction runs across
+ * the segment in `preds` (caller zeroes it per segment). Coefficients
+ * land in zigzag order in `out` (n_blocks * 64, PRE-ZEROED int64).
+ * Returns n_blocks, or -1 (invalid Huffman code) / -2 (AC run past
+ * end of block) matching the Python error cases. */
+int64_t jpeg_decode_blocks(const uint8_t *data, int64_t nbytes,
+                           const int32_t *block_comp, int64_t n_blocks,
+                           const int16_t *dcsym, const int8_t *dclen,
+                           const int16_t *acsym, const int8_t *aclen,
+                           int64_t *preds, int64_t *out) {
+  jbits r = {data, nbytes, 0, 0, 0};
+  for (int64_t bi = 0; bi < n_blocks; bi++) {
+    int64_t ci = block_comp[bi];
+    const int16_t *ds = dcsym + ci * 65536;
+    const int8_t *dl = dclen + ci * 65536;
+    const int16_t *as = acsym + ci * 65536;
+    const int8_t *al = aclen + ci * 65536;
+    int64_t *blk = out + bi * 64;
+    jfill(&r, 16);
+    uint32_t p = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+    int sym = ds[p];
+    if (sym < 0)
+      return -1;
+    r.nbits -= dl[p];
+    r.acc &= (((uint64_t)1 << r.nbits) - 1);
+    int64_t dc = jextend(jread(&r, sym), sym) + preds[ci];
+    preds[ci] = dc;
+    blk[0] = dc;
+    int k = 1;
+    while (k < 64) {
+      jfill(&r, 16);
+      p = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+      sym = as[p];
+      if (sym < 0)
+        return -1;
+      r.nbits -= al[p];
+      r.acc &= (((uint64_t)1 << r.nbits) - 1);
+      int run = sym >> 4, s = sym & 0xF;
+      if (s == 0) {
+        if (run == 15) { /* ZRL: sixteen zeros */
+          k += 16;
+          continue;
+        }
+        break; /* EOB */
+      }
+      k += run;
+      if (k > 63)
+        return -2;
+      blk[k] = jextend(jread(&r, s), s);
+      k++;
+    }
+  }
+  return n_blocks;
+}

@@ -99,6 +99,19 @@ def _build_cdll() -> ctypes.CDLL | None:
         ctypes.c_int32,  # shingle (callers pass 8; see kernel comment)
         ctypes.c_void_p,  # sig out (n_rows * n_hashes) u64
     ]
+    lib.jpeg_decode_blocks.restype = ctypes.c_int64
+    lib.jpeg_decode_blocks.argtypes = [
+        ctypes.c_void_p,  # data (unstuffed entropy bytes)
+        ctypes.c_int64,  # nbytes
+        ctypes.c_void_p,  # block_comp (n_blocks,) i32
+        ctypes.c_int64,  # n_blocks
+        ctypes.c_void_p,  # dcsym (n_comps, 65536) i16
+        ctypes.c_void_p,  # dclen (n_comps, 65536) i8
+        ctypes.c_void_p,  # acsym (n_comps, 65536) i16
+        ctypes.c_void_p,  # aclen (n_comps, 65536) i8
+        ctypes.c_void_p,  # preds (n_comps,) i64, zeroed per segment
+        ctypes.c_void_p,  # out (n_blocks * 64,) i64, pre-zeroed
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,  # enc

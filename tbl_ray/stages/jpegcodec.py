@@ -22,19 +22,26 @@ carries a real baseline-profile codec rather than a checksum fake:
   progressive paths are verified against baseline round-trips of the
   same quantized coefficients), not ratio.
 
-Throughput note: DCT/quant/color are vectorized numpy; the entropy pass
-is a per-symbol Python loop (Huffman bitstreams are inherently serial).
-That is fine for the actor-pool decode stages this backs — a production
-deployment would swap ``decode_jpeg`` for libjpeg-turbo bindings behind
+Throughput note: DCT/quant/color are vectorized numpy; the baseline
+entropy pass runs in the compile-on-demand C kernel
+(``codecs/_fsst_native.c:jpeg_decode_blocks`` — same loader as the FSST
+walk, bit-identical to the Python ``_BitReader``/``_decode_block`` pair
+which remains the fallback when no compiler is available or
+``TBL_RAY_NO_NATIVE=1``). Progressive scans still walk per symbol in
+Python (many small scan types, rarely the corpus bulk); a production
+deployment could swap ``decode_jpeg`` for libjpeg-turbo bindings behind
 the same signature.
 """
 
 from __future__ import annotations
 
+import ctypes
 import os
 import struct
 
 import numpy as np
+
+from tbl_ray.codecs.native import lib as _native_lib
 
 SOI, EOI, SOS, DQT, DHT, DRI, COM = 0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xFE
 SOF0 = 0xC0  # baseline sequential
@@ -169,8 +176,11 @@ class _HuffDecoder:
             hi = lo + (1 << (16 - length))
             lut_sym[lo:hi] = sym
             lut_len[lo:hi] = length
+        # contiguous numpy luts feed the C kernel directly
+        self.sym_np = lut_sym
+        self.len_np = lut_len
         # plain lists: per-symbol numpy indexing costs more interpreter
-        # overhead than the decode math itself
+        # overhead than the decode math itself (Python fallback path)
         self.lut_sym = lut_sym.tolist()
         self.lut_len = lut_len.tolist()
 
@@ -344,13 +354,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             # entropy-coded data runs until the next non-RST marker
-            end = pos
-            while end < len(data) - 1:
-                if data[end] == 0xFF and data[end + 1] not in (0x00,) and not (
-                    0xD0 <= data[end + 1] <= 0xD7
-                ):
-                    break
-                end += 1
+            # (vectorized: the per-byte Python walk dominated whole-image
+            # decode once the entropy loop moved to C)
+            buf = np.frombuffer(data, dtype=np.uint8)
+            ffs = np.flatnonzero(buf[pos:-1] == 0xFF)
+            if ffs.size:
+                nxt = buf[pos + ffs + 1]
+                stop = (nxt != 0x00) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+                hits = ffs[stop]
+                end = pos + int(hits[0]) if hits.size else len(data) - 1
+            else:
+                end = len(data) - 1
             ecs = data[pos:end]
             if not frame["progressive"]:
                 if ns != len(frame["comps"]):
@@ -391,43 +405,48 @@ def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: in
         bw, bh = mcux * c["h"], mcuy * c["v"]
         planes.append(np.zeros((bh * bw, 64), dtype=np.int64))
     # split on restart markers; each segment decodes restart_interval MCUs
-    segments = []
-    start = 0
-    i = 0
-    while i < len(ecs) - 1:
-        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
-            segments.append(ecs[start:i])
-            start = i + 2
-            i += 2
-        else:
-            i += 1
-    segments.append(ecs[start:])
+    segments = _split_restarts(ecs)
+    # MCU-interleaved block schedule: for each MCU, each scan component
+    # contributes v*h blocks in (by, bx) raster order
+    pattern = [
+        ci for ci, (c, _, _) in enumerate(scan)
+        for _ in range(c["v"] * c["h"])
+    ]
+    native = _native_lib()
     mcu_idx = 0
     for seg in segments:
-        reader = _BitReader(_unstuff(seg))
-        preds = [0] * len(scan)
+        unstuffed = _unstuff(seg)
         limit = (
             min(mcu_idx + restart_interval, n_mcu)
             if restart_interval
             else n_mcu
         )
-        while mcu_idx < limit:
-            my, mx = divmod(mcu_idx, mcux)
-            for ci, (c, dc_id, ac_id) in enumerate(scan):
-                dct = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coefs = _decode_block(
-                            reader,
-                            htables[(0, dc_id)],
-                            htables[(1, ac_id)],
-                        )
-                        coefs[0] += preds[ci]
-                        preds[ci] = coefs[0]
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        planes[ci][row * (mcux * c["h"]) + col] = coefs * dct
-            mcu_idx += 1
+        if native is not None:
+            _decode_segment_native(
+                native, unstuffed, scan, htables, qtables, planes,
+                pattern, mcu_idx, limit, mcux,
+            )
+            mcu_idx = limit
+        else:
+            reader = _BitReader(unstuffed)
+            preds = [0] * len(scan)
+            while mcu_idx < limit:
+                my, mx = divmod(mcu_idx, mcux)
+                for ci, (c, dc_id, ac_id) in enumerate(scan):
+                    dct = qtables[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coefs = _decode_block(
+                                reader,
+                                htables[(0, dc_id)],
+                                htables[(1, ac_id)],
+                            )
+                            coefs[0] += preds[ci]
+                            preds[ci] = coefs[0]
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            planes[ci][row * (mcux * c["h"]) + col] = coefs * dct
+                mcu_idx += 1
         if mcu_idx >= n_mcu:
             break
     # IDCT all blocks per component, assemble planes, upsample, convert
@@ -450,6 +469,70 @@ def _planes_to_pixels(out_planes: list[np.ndarray]) -> np.ndarray:
         return out_planes[0][:, :, None].astype(np.uint8)
     ycc = np.stack(out_planes, axis=2).astype(np.float64)
     return _ycbcr_to_rgb(ycc)
+
+
+def _decode_segment_native(
+    native, unstuffed: bytes, scan, htables, qtables, planes,
+    pattern: list[int], mcu_idx: int, limit: int, mcux: int,
+) -> None:
+    """One restart segment through the C entropy kernel
+    (``_fsst_native.c:jpeg_decode_blocks`` — bit-identical to the Python
+    ``_decode_block`` loop, parity-pinned by tests), then a vectorized
+    dequantize + scatter into the per-component coefficient planes."""
+    count = limit - mcu_idx
+    if count <= 0:
+        return
+    n_blocks = count * len(pattern)
+    block_comp = np.ascontiguousarray(
+        np.tile(np.asarray(pattern, dtype=np.int32), count)
+    )
+    dcsym = np.ascontiguousarray(
+        np.stack([htables[(0, dc_id)].sym_np for (_, dc_id, _) in scan])
+    )
+    dclen = np.ascontiguousarray(
+        np.stack([htables[(0, dc_id)].len_np for (_, dc_id, _) in scan])
+    )
+    acsym = np.ascontiguousarray(
+        np.stack([htables[(1, ac_id)].sym_np for (_, _, ac_id) in scan])
+    )
+    aclen = np.ascontiguousarray(
+        np.stack([htables[(1, ac_id)].len_np for (_, _, ac_id) in scan])
+    )
+    preds = np.zeros(len(scan), dtype=np.int64)
+    out = np.zeros(n_blocks * 64, dtype=np.int64)
+    buf = np.frombuffer(unstuffed, dtype=np.uint8)
+    rc = native.jpeg_decode_blocks(
+        buf.ctypes.data_as(ctypes.c_void_p) if len(buf) else None,
+        len(buf),
+        block_comp.ctypes.data_as(ctypes.c_void_p),
+        n_blocks,
+        dcsym.ctypes.data_as(ctypes.c_void_p),
+        dclen.ctypes.data_as(ctypes.c_void_p),
+        acsym.ctypes.data_as(ctypes.c_void_p),
+        aclen.ctypes.data_as(ctypes.c_void_p),
+        preds.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -1:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    if rc == -2:
+        raise ValueError("JPEG AC run past end of block")
+    coefs = out.reshape(count, len(pattern), 64)
+    g = np.arange(mcu_idx, limit, dtype=np.int64)
+    my, mx = np.divmod(g, mcux)
+    pat = np.asarray(pattern)
+    pos = 0
+    for ci, (c, _, _) in enumerate(scan):
+        nb = c["v"] * c["h"]  # this component's blocks per MCU (raster)
+        by = np.repeat(np.arange(c["v"], dtype=np.int64), c["h"])
+        bx = np.tile(np.arange(c["h"], dtype=np.int64), c["v"])
+        rows = my[:, None] * c["v"] + by[None, :]
+        cols = mx[:, None] * c["h"] + bx[None, :]
+        dest = (rows * (mcux * c["h"]) + cols).ravel()
+        vals = coefs[:, pos:pos + nb, :].reshape(-1, 64)
+        planes[ci][dest] = vals * np.asarray(qtables[c["tq"]])[None, :]
+        pos += nb
+    assert pos == len(pat)
 
 
 def _decode_block(reader: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
@@ -501,17 +584,23 @@ class _ProgressiveState:
 
 
 def _split_restarts(ecs: bytes) -> list[bytes]:
-    """Split an entropy-coded segment on RSTn markers."""
+    """Split an entropy-coded segment on RSTn markers.
+
+    Vectorized: RST matches cannot overlap (a match's second byte is
+    0xD0-0xD7, never 0xFF), so every candidate position is a real split
+    — identical to a sequential skip-2 walk."""
     segments = []
+    buf = np.frombuffer(ecs, dtype=np.uint8)
+    if len(ecs) > 1:
+        cand = np.flatnonzero(
+            (buf[:-1] == 0xFF) & (buf[1:] >= 0xD0) & (buf[1:] <= 0xD7)
+        )
+    else:
+        cand = np.array([], dtype=np.int64)
     start = 0
-    i = 0
-    while i < len(ecs) - 1:
-        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
-            segments.append(ecs[start:i])
-            start = i + 2
-            i += 2
-        else:
-            i += 1
+    for i in map(int, cand):
+        segments.append(ecs[start:i])
+        start = i + 2
     segments.append(ecs[start:])
     return segments
 

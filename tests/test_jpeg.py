@@ -316,3 +316,35 @@ def test_corrupt_sof_null_policy_emits_null_row():
     data[idx + 4 + 6 + 1] = 0x00
     with pytest.raises(ValueError):
         decode_image(bytes(data))
+
+
+def test_native_entropy_parity_large_image(monkeypatch):
+    """The C entropy kernel must produce byte-identical pixels to the
+    pure-Python _BitReader/_decode_block walk — photo-like 100KB+
+    fixture, 4:2:0 subsampling, restart markers, optimized Huffman."""
+    from tbl_ray.stages import jpegcodec
+
+    if jpegcodec._native_lib() is None:
+        pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(21)
+    y, x = np.mgrid[0:360, 0:560]
+    img = np.stack(
+        [
+            (127 + 80 * np.sin(x / 37) + rng.normal(0, 14, x.shape)).clip(0, 255),
+            (127 + 60 * np.cos(y / 23) + rng.normal(0, 14, x.shape)).clip(0, 255),
+            (127 + 70 * np.sin((x + y) / 41) + rng.normal(0, 14, x.shape)).clip(0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for kw in (
+        dict(quality=85),
+        dict(quality=70, subsample="420", restart_interval=5),
+        dict(quality=90, optimize=True),
+    ):
+        data = jpegcodec.encode_jpeg(img, **kw)
+        assert len(data) > 100_000 or kw.get("subsample") == "420"
+        native_px = jpegcodec.decode_jpeg(data)
+        monkeypatch.setattr(jpegcodec, "_native_lib", lambda: None)
+        python_px = jpegcodec.decode_jpeg(data)
+        monkeypatch.undo()
+        assert np.array_equal(native_px, python_px), kw
