@@ -7,9 +7,12 @@ are REAL for the formats implementable from public specs with numpy alone:
 BMP + 8-bit PNG images (:mod:`tbl_ray.stages.imagecodec`), baseline AND
 progressive JPEG (:mod:`tbl_ray.stages.jpegcodec`, ITU-T T.81 incl.
 Annex G), RIFF/PCM16 WAV audio, and a length-prefixed frame container
-for video sampling. Formats still needing external codecs (MP3/H.264)
-raise in strict mode or fall back to a deterministic checksum fake per
-row (plumbing-test mode).
+for video sampling. Formats needing external codecs (MP3/AAC/H.264)
+plug in through :mod:`tbl_ray.stages.mediaplugins` — the decode stages
+probe the registered chain before the built-ins, so a libmpg123/pyav
+binding slots in without forking any stage; payloads no decoder claims
+raise in strict mode or fall back per the ``on_error`` policy (the
+checksum fake lives ONLY behind ``on_error="fake"``).
 
 Batch-size note (SURVEY.md §4 memory row): multi-MB payloads need small
 row-count batches; callers size ``batch_size`` so
@@ -34,6 +37,11 @@ from tbl_ray.stages.imagecodec import (
     image_features,
     resize_nearest,
 )
+from tbl_ray.stages.mediaplugins import (
+    MediaDecoder,
+    pick_decoder,
+    registered_decoders,
+)
 from tbl_ray.webtable import _mix
 
 MEDIA_SCHEMA = pa.schema(
@@ -44,6 +52,49 @@ MEDIA_SCHEMA = pa.schema(
         pa.field("meta", pa.string()),  # json sidecar metadata
     ]
 )
+
+
+def unpack_all_frames(data: bytes) -> list[bytes]:
+    """All frames of a frame-container payload (the builtin video
+    'decode' for the plugin chain; samplers that skip frames use
+    :func:`unpack_frame` for O(1) seeks instead)."""
+    import struct as _struct
+
+    if data[:4] != FRAMES_MAGIC or len(data) < 8:
+        raise ValueError("not a frame container")
+    (count,) = _struct.unpack_from("<I", data, 4)
+    return [unpack_frame(data, i) for i in range(count)]
+
+
+def resolve_media_decoders(kind: str) -> list[MediaDecoder]:
+    """Full decoder chain for ``kind``: env plugins + registrations
+    (:func:`tbl_ray.stages.mediaplugins.registered_decoders`) first, the
+    pure-numpy built-ins last — so an external binding (libjpeg-turbo,
+    libmpg123, pyav) takes over its format without forking a stage.
+    Resolve on the DRIVER (the stage wrappers do) and ship the list via
+    actor constructor args; worker processes never re-read plugin env."""
+    chain = list(registered_decoders(kind))
+    if kind == "image":
+        chain.append(
+            # decode_image sniffs BMP/PNG/JPEG itself and raises
+            # ValueError for anything else — same on_error funnel
+            MediaDecoder("builtin-image", "image", lambda d, m: True, decode_image)
+        )
+    elif kind == "audio":
+        chain.append(
+            MediaDecoder(
+                "builtin-wav", "audio",
+                lambda d, m: d[:4] == b"RIFF", decode_wav,
+            )
+        )
+    elif kind == "video":
+        chain.append(
+            MediaDecoder(
+                "builtin-frames", "video",
+                lambda d, m: d[:4] == FRAMES_MAGIC, unpack_all_frames,
+            )
+        )
+    return chain
 
 
 def _payload_stats(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -91,6 +142,7 @@ class ImageDecode:
         payload_col: str = "payload",
         emit_sum: bool = False,
         on_error: str | None = None,
+        decoders=None,
     ):
         if on_error is None:
             on_error = "raise" if strict else "fake"
@@ -102,10 +154,19 @@ class ImageDecode:
         # independently-computable pixel checksum (the driver oracle
         # replays it analytically for formula-generated images)
         self.emit_sum = emit_sum
+        # pluggable decoder chain (stages/mediaplugins.py): wrappers
+        # resolve it on the DRIVER and pass it here; resolving in this
+        # constructor is the direct-use fallback (this __init__ runs on
+        # the actor, where plugin env vars may not exist)
+        if decoders is None:
+            decoders = resolve_media_decoders("image")
+        self.decoders = decoders
         # per-actor init: nothing heavy for the numpy codecs; a real
         # model/codec handle (PIL/libvips/ffmpeg) would load ONCE here
 
-    def _decode(self, payloads: pa.Array) -> dict[str, pa.Array]:
+    def _decode(
+        self, payloads: pa.Array, mimes: "list | None" = None
+    ) -> dict[str, pa.Array]:
         checksum, lens = _payload_stats(payloads)
         n = len(lens)
         width = np.zeros(n, np.int32)
@@ -117,7 +178,8 @@ class ImageDecode:
         for i in range(n):
             data = payloads[i].as_py() or b""
             try:
-                pixels = decode_image(data)
+                mime = mimes[i] if mimes is not None else None
+                pixels = pick_decoder(self.decoders, data, mime).decode(data)
             except ValueError as e:
                 if self.on_error == "raise":
                     raise
@@ -160,7 +222,10 @@ class ImageDecode:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.payload_col).combine_chunks()
-        cols = self._decode(payloads)
+        mimes = (
+            t.column("mime").to_pylist() if "mime" in t.schema.names else None
+        )
+        cols = self._decode(payloads, mimes)
         out = t.drop_columns([self.payload_col])
         for name, arr in cols.items():
             out = out.append_column(name, arr)
@@ -175,12 +240,15 @@ def decode_images(
     batch_size: int = 64,
     concurrency=None,
     on_error: str | None = None,
+    decoders: "list[MediaDecoder] | None" = None,
 ) -> "ray.data.Dataset":
     """Actor-pool image decode over small batches (large-payload safe).
 
     ``on_error="null"`` is the production corrupt-corpus policy: bad
     payloads yield NULL dims/features plus a ``decode_error`` column
-    instead of failing the job or fabricating values."""
+    instead of failing the job or fabricating values. ``decoders``
+    overrides the plugin chain (default: driver-side
+    :func:`resolve_media_decoders`)."""
     from tbl_ray.stages.encode import _default_pool
 
     return ds.map_batches(
@@ -189,6 +257,12 @@ def decode_images(
             "strict": strict,
             "emit_sum": emit_sum,
             "on_error": on_error,
+            # resolved HERE on the driver: env plugins must not depend
+            # on worker-process environment
+            "decoders": (
+                decoders if decoders is not None
+                else resolve_media_decoders("image")
+            ),
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -432,9 +506,11 @@ def fake_media_table(n: int, *, seed: int = 42, payload_bytes: int = 4096) -> pa
 
 
 class AudioDecode:
-    """Actor-pool stage: WAV payload -> (sample_rate, n_samples, channels,
-    duration_s, features[8]). Real decode for RIFF/PCM16 via
-    :func:`tbl_ray.stages.imagecodec.decode_wav`; unknown formats raise
+    """Actor-pool stage: audio payload -> (sample_rate, n_samples,
+    channels, duration_s, features[8]). Real decode for RIFF/PCM16 via
+    :func:`tbl_ray.stages.imagecodec.decode_wav`; other formats go
+    through the plugin chain (:mod:`tbl_ray.stages.mediaplugins` — an
+    MP3/AAC binding registers there). Payloads no decoder claims raise
     (strict) or emit nulls-with-zero-features (default)."""
 
     FEATURE_DIM = 8
@@ -445,15 +521,22 @@ class AudioDecode:
         strict: bool = False,
         payload_col: str = "payload",
         emit_sum: bool = False,
+        decoders: "list[MediaDecoder] | None" = None,
     ):
         self.strict = strict
         self.payload_col = payload_col
         # exact int64 sum of decoded PCM samples — an independently
         # computable checksum for formula-generated clips (driver oracle)
         self.emit_sum = emit_sum
+        if decoders is None:  # direct-use fallback; wrappers resolve
+            decoders = resolve_media_decoders("audio")  # on the driver
+        self.decoders = decoders
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column(self.payload_col).combine_chunks()
+        mimes = (
+            t.column("mime").to_pylist() if "mime" in t.schema.names else None
+        )
         n = t.num_rows
         sr = np.zeros(n, np.int32)
         ns = np.zeros(n, np.int64)
@@ -464,7 +547,9 @@ class AudioDecode:
         for i in range(n):
             data = payloads[i].as_py() or b""
             try:
-                samples, rate = decode_wav(data)
+                mime = mimes[i] if mimes is not None else None
+                dec = pick_decoder(self.decoders, data, mime)
+                samples, rate = dec.decode(data)
             except ValueError:
                 if self.strict:
                     raise
@@ -495,12 +580,20 @@ def decode_audio(
     emit_sum: bool = False,
     batch_size: int = 64,
     concurrency=None,
+    decoders: "list[MediaDecoder] | None" = None,
 ) -> "ray.data.Dataset":
     from tbl_ray.stages.encode import _default_pool
 
     return ds.map_batches(
         AudioDecode,
-        fn_constructor_kwargs={"strict": strict, "emit_sum": emit_sum},
+        fn_constructor_kwargs={
+            "strict": strict,
+            "emit_sum": emit_sum,
+            "decoders": (
+                decoders if decoders is not None
+                else resolve_media_decoders("audio")
+            ),
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -564,10 +657,13 @@ def unpack_frame(data: bytes, index: int) -> bytes:
 
 
 class FrameSample:
-    """Actor-pool stage: frame-container payload -> ``n_sample`` uniformly
-    spaced decoded frames, one output row per (media_id, frame). The length
-    table lets the stage seek; frames outside the sample are never read or
-    decoded — the per-payload cost is O(sampled frames), not O(frames)."""
+    """Actor-pool stage: video payload -> ``n_sample`` uniformly spaced
+    decoded frames, one output row per (media_id, frame). The builtin
+    frame container's length table lets the stage seek — frames outside
+    the sample are never read or decoded, so per-payload cost is
+    O(sampled frames), not O(frames); external video codecs from the
+    plugin chain (:mod:`tbl_ray.stages.mediaplugins`) return the full
+    frame list and are sampled after decode."""
 
     def __init__(
         self,
@@ -576,33 +672,69 @@ class FrameSample:
         strict: bool = False,
         payload_col: str = "payload",
         id_col: str = "media_id",
+        decoders: "list[MediaDecoder] | None" = None,
+        frame_decoders: "list[MediaDecoder] | None" = None,
     ):
         self.n_sample = n_sample
         self.strict = strict
         self.payload_col = payload_col
         self.id_col = id_col
+        if decoders is None:  # direct-use fallback; wrappers resolve
+            decoders = resolve_media_decoders("video")  # on the driver
+        self.decoders = decoders
+        if frame_decoders is None:
+            frame_decoders = resolve_media_decoders("image")
+        self.frame_decoders = frame_decoders
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import struct as _struct
 
         payloads = t.column(self.payload_col).combine_chunks()
+        mimes = (
+            t.column("mime").to_pylist() if "mime" in t.schema.names else None
+        )
         ids = t.column(self.id_col).to_pylist()
         out_id, out_fi, out_w, out_h = [], [], [], []
         out_feat = []
+
+        def _picks(count: int) -> list[int]:
+            if not count:
+                return []
+            return sorted(
+                {int(j * count / max(self.n_sample, 1)) for j in range(self.n_sample)}
+            )
+
         for i in range(t.num_rows):
             data = payloads[i].as_py() or b""
-            if data[:4] != FRAMES_MAGIC or len(data) < 8:
+            mime = mimes[i] if mimes is not None else None
+            try:
+                dec = pick_decoder(self.decoders, data, mime)
+            except ValueError:
                 if self.strict:
                     raise ValueError("not a frame container")
                 continue
-            (count,) = _struct.unpack_from("<I", data, 4)
-            picks = sorted(
-                {int(j * count / max(self.n_sample, 1)) for j in range(self.n_sample)}
-            ) if count else []
-            for fi in picks:
+            if dec.name == "builtin-frames":
+                if len(data) < 8:
+                    if self.strict:
+                        raise ValueError("not a frame container")
+                    continue
+                (count,) = _struct.unpack_from("<I", data, 4)
+                frame_at = lambda fi: unpack_frame(data, fi)  # noqa: E731 — O(1) seek
+            else:
                 try:
-                    frame = unpack_frame(data, fi)
-                    pixels = decode_image(frame)
+                    frames = dec.decode(data)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    continue
+                count = len(frames)
+                frame_at = frames.__getitem__
+            for fi in _picks(count):
+                try:
+                    frame = frame_at(fi)
+                    pixels = pick_decoder(
+                        self.frame_decoders, frame, None
+                    ).decode(frame)
                 except ValueError:
                     # corrupt container or frame: strict raises, default
                     # skips the row (crawled corpora contain both)
@@ -647,7 +779,11 @@ def sample_frames(
     return ds.map_batches(
         FrameSample,
         fn_constructor_args=(n_sample,),
-        fn_constructor_kwargs={"strict": strict},
+        fn_constructor_kwargs={
+            "strict": strict,
+            "decoders": resolve_media_decoders("video"),
+            "frame_decoders": resolve_media_decoders("image"),
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
