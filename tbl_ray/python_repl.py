@@ -25,10 +25,14 @@ def interactive_code(paths: list[str], lazy: bool = True) -> str:
     else:
         tail = (
             "import pyarrow as pa\n"
+            "# NOTE: --df collects the WHOLE input to the driver (the\n"
+            "# reference's collect-to-DataFrame semantics); cap with -n\n"
+            "# or use the lazy `ds` mode for big inputs\n"
             "df = pa.Table.from_pylist("
             "ray.data.read_parquet(inputs).take_all()).to_pandas()\n"
             "print(df)\n"
-            "print('# collected DataFrame bound to `df`')"
+            "print('# collected DataFrame bound to `df` (FULL input on "
+            "the driver; use lazy mode or -n for big data)')"
         )
     return (
         "import ray\n"

@@ -787,7 +787,9 @@ def _idct_blocks(coef_zz: np.ndarray) -> np.ndarray:
     """(n, 64) dequantized zigzag coefficients -> (n, 8, 8) uint8-range
     spatial samples (level-shifted, clipped)."""
     F = coef_zz[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-    spatial = np.einsum("ux,nuv,vy->nxy", _A, F, _A, optimize=True)
+    # A.T @ F @ A via broadcast matmul: ~3x einsum's tensordot
+    # decomposition (no transposed intermediate copies)
+    spatial = _A.T @ F @ _A
     return np.clip(np.round(spatial + 128.0), 0, 255)
 
 
