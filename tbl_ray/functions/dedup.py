@@ -415,7 +415,10 @@ def _bucket_cap(kind: str, default: int) -> int:
     v = os.environ.get(f"TBL_RAY_MAX_BUCKET_{kind.upper()}")
     if v is None:
         v = os.environ.get("TBL_RAY_MAX_BUCKET", str(default))
-    return int(v)
+    # clamp: a cap <= 0 would make the tiled-pairwise tile size
+    # non-positive and crash range(); 1 routes every multi-unique bucket
+    # through the tiled path instead, which is slow but correct
+    return max(1, int(v))
 
 
 def _hard_bucket_cap() -> int:
@@ -480,9 +483,10 @@ def _bucket_pairs(threshold: float, id_col: str):
     near-dedup output) are IDENTICAL to all-pairs; only the emitted pair
     *list* is smaller (star-per-group instead of a clique), which
     exact-verify consumers like ``jaccard_dedup`` must note: identical
-    signatures do NOT imply identical documents, so when exact
-    verification rejects a (rep, member) star pair the collapsed output
-    can differ from brute force (see jaccard_dedup's star re-expansion).
+    signatures do NOT imply identical documents, so exact verification
+    may reject a proxy pair that an equivalent inherited pair would
+    pass; ``jaccard_dedup`` restores brute-force parity by re-expanding
+    inherited pairs behind every rejected star or cross-group pair.
     Only past :func:`_hard_bucket_cap` unique signatures (default 50k)
     does the task still raise, with remedies, instead of grinding O(u^2)
     in one task."""
@@ -1009,14 +1013,19 @@ def jaccard_dedup(
     by ``TBL_RAY_LOCAL_SKETCH_BYTES=0`` like every other operator).
 
     Oversized-bucket star collapse (see :func:`_bucket_pairs`) is
-    exact-verify-safe here: when verification REJECTS a star pair whose
-    signatures were identical (``est_jaccard == 1.0``), the member's
-    group is transitively re-expanded — all member-member pairs of that
-    signature group are verified too — so a member is never disconnected
-    merely because its min-id representative happened to fail.
+    exact-verify-safe here: identical signatures give every collapsed
+    member the same estimate as its representative against every
+    counterparty, so the uncollapsed path's pair proposals are
+    reconstructed on demand — member-member pairs inside groups with a
+    rejected star pair, full cluster-cross pairs behind a rejected
+    cross-group pair, and severed members' inherited checks against
+    clusters their rep matched — making the final connected components
+    (and therefore the survivor set) equal to brute-force all-pairs.
 
     Consumes ``ds`` three times (sketch, candidate-text fetch, filter);
     checkpoint expensive upstreams first, as with :func:`exact_dedup`."""
+    if verify not in ("auto", "driver", "distributed"):
+        raise ValueError(f"verify must be auto|driver|distributed, got {verify!r}")
     if candidate_threshold is not None:
         cand_thr = candidate_threshold
     else:
@@ -1030,8 +1039,6 @@ def jaccard_dedup(
     )
     if not cands:
         return ds
-    if verify not in ("auto", "driver", "distributed"):
-        raise ValueError(f"verify must be auto|driver|distributed, got {verify!r}")
     need = sorted({p["id_a"] for p in cands} | {p["id_b"] for p in cands})
     need_arr = np.asarray(need, dtype=np.int64)
     need_ref = ray.put(need_arr)
@@ -1078,31 +1085,65 @@ def jaccard_dedup(
 
     cand_pairs = [(p["id_a"], p["id_b"]) for p in cands]
     passed = verify_fn(cand_pairs)
-    # star re-expansion (oversized-bucket safety): a rejected pair with
-    # identical signatures (est exactly 1.0, id_a == min-id rep of its
-    # signature group) may sever members whose member-member similarity
-    # still passes — verify those pairs too before union-find
-    rejected_star_reps = {
-        p["id_a"]
-        for p in cands
-        if p.get("est_jaccard") == 1.0 and (p["id_a"], p["id_b"]) not in passed
-    }
-    if rejected_star_reps:
-        groups: dict[int, set[int]] = {}
-        for p in cands:
-            if p.get("est_jaccard") == 1.0 and p["id_a"] in rejected_star_reps:
-                groups.setdefault(p["id_a"], set()).add(p["id_b"])
+    # re-expansion (oversized-bucket exact-parity safety): collapsed
+    # signature groups surface as star pairs (est exactly 1.0, id_a ==
+    # min-id rep). Identical signatures mean every member shares its
+    # rep's est with every counterparty, so the uncollapsed path would
+    # ALSO have proposed the inherited pairs below — verify them so the
+    # final connected components match all-pairs exactly:
+    #   1. member-member pairs inside any group with a rejected star
+    #      pair (the within-group edge set then matches all-pairs);
+    #   2. for a REJECTED cross-group pair (a, b): every cross pair
+    #      cluster(a) x cluster(b) — any one passing merges the two
+    #      components, as it would uncollapsed;
+    #   3. for a PASSED cross pair (a, b): members severed from their
+    #      rep (rejected star pair) still get their inherited direct
+    #      check against the other side's cluster.
+    star_groups: dict[int, set[int]] = {}
+    rejected_members: dict[int, set[int]] = {}
+    for p in cands:
+        if p.get("est_jaccard") == 1.0:
+            star_groups.setdefault(p["id_a"], set()).add(p["id_b"])
+            if (p["id_a"], p["id_b"]) not in passed:
+                rejected_members.setdefault(p["id_a"], set()).add(p["id_b"])
+    if star_groups:
         seen_pairs = set(cand_pairs)
-        extras = []
-        for members in groups.values():
-            ms = sorted(members)
+        extras: list[tuple[int, int]] = []
+
+        def _propose(x: int, y: int) -> None:
+            if x == y:
+                return
+            pr = (x, y) if x < y else (y, x)
+            if pr not in seen_pairs:
+                extras.append(pr)
+                seen_pairs.add(pr)
+
+        for rep, members in rejected_members.items():
+            ms = sorted(star_groups[rep])
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
-                    pr = (ms[i], ms[j])
-                    if pr not in seen_pairs:
-                        extras.append(pr)
-                        seen_pairs.add(pr)
-            _check_pair_budget(len(seen_pairs), "jaccard_dedup star re-expansion")
+                    _propose(ms[i], ms[j])
+            _check_pair_budget(len(seen_pairs), "jaccard_dedup re-expansion")
+        for p in cands:
+            if p.get("est_jaccard") == 1.0:
+                continue
+            a, b = p["id_a"], p["id_b"]
+            ca = (a, *star_groups.get(a, ()))
+            cb = (b, *star_groups.get(b, ()))
+            if len(ca) == 1 and len(cb) == 1:
+                continue
+            if (a, b) not in passed:
+                for x in ca:
+                    for y in cb:
+                        _propose(x, y)
+            else:
+                for x in rejected_members.get(a, ()):
+                    for y in cb:
+                        _propose(x, y)
+                for y in rejected_members.get(b, ()):
+                    for x in ca:
+                        _propose(x, y)
+            _check_pair_budget(len(seen_pairs), "jaccard_dedup re-expansion")
         if extras:
             passed |= verify_fn(extras)
     roots = union_find(sorted(passed))

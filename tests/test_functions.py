@@ -1671,6 +1671,100 @@ def test_jaccard_dedup_star_reexpansion(ray_session, monkeypatch):
     assert kept == [1, 2]
 
 
+def test_jaccard_dedup_cross_group_inheritance(ray_session, monkeypatch):
+    """A collapsed member inherits its rep's CROSS-group candidates: when
+    the rep's cross pair fails exact verification, the member's
+    equivalent pair (identical signature => identical estimate) is still
+    verified, matching the uncollapsed all-pairs output."""
+    import ray.data
+
+    from tbl_ray.functions import dedup as dd
+
+    good = "hello world foo bar baz qux " * 5
+    rows = [
+        {"doc_id": 1, "text": "totally unrelated gibberish zzz qqq vvv"},
+        {"doc_id": 2, "text": good + "tail-a"},
+        {"doc_id": 3, "text": good + "tail-b"},
+    ]
+    ds = ray.data.from_items(rows)
+    # star (1, 2) — rep 1's text is unrelated, so the star AND the
+    # cross pair (1, 3) both fail; only the inherited (2, 3) passes
+    fake = [
+        {"id_a": 1, "id_b": 2, "est_jaccard": 1.0},
+        {"id_a": 1, "id_b": 3, "est_jaccard": 0.9},
+    ]
+    monkeypatch.setattr(dd, "minhash_dup_pairs", lambda *a, **k: fake)
+    out = dd.jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    # without cross inheritance nothing is dropped; with it, 2 and 3
+    # connect and 3 (the larger id) is dropped
+    assert kept == [1, 2]
+
+
+def test_jaccard_dedup_severed_member_inherits_passed_cross(
+    ray_session, monkeypatch
+):
+    """Case: the rep's cross pair PASSES but its star pair fails — the
+    severed member still gets its inherited direct check against the
+    other side (j12 < 0.8 <= j23, j13), as all-pairs would propose."""
+    import ray.data
+
+    from tbl_ray.functions import dedup as dd
+
+    tokens = [f"w{i:03d}" for i in range(40)]
+    shared = [f"w{100 + i:03d}" for i in range(6)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(tokens + ["uniqa"])},
+        {"doc_id": 2, "text": " ".join(
+            tokens + shared + [f"uqc{i}" for i in range(5)]
+        )},
+        {"doc_id": 3, "text": " ".join(tokens + shared + ["uniqb"])},
+    ]
+    # premises of the scenario, asserted against the real verifier
+    j12 = dd.ngram_jaccard(rows[0]["text"], rows[1]["text"])
+    j13 = dd.ngram_jaccard(rows[0]["text"], rows[2]["text"])
+    j23 = dd.ngram_jaccard(rows[1]["text"], rows[2]["text"])
+    assert j12 < 0.8 <= min(j13, j23), (j12, j13, j23)
+
+    ds = ray.data.from_items(rows)
+    fake = [
+        {"id_a": 1, "id_b": 2, "est_jaccard": 1.0},  # star: fails (j12)
+        {"id_a": 1, "id_b": 3, "est_jaccard": 0.9},  # cross: passes (j13)
+    ]
+    monkeypatch.setattr(dd, "minhash_dup_pairs", lambda *a, **k: fake)
+    out = dd.jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    # all-pairs would verify (2, 3) too (est identical to (1, 3)), so
+    # all three connect: 1 kept, 2 and 3 dropped
+    assert kept == [1]
+
+
+def test_bucket_cap_clamps_nonpositive(monkeypatch):
+    """TBL_RAY_MAX_BUCKET=0 must not produce a zero tile size (range()
+    step crash inside the tiled pairwise pass) — it clamps to 1."""
+    from tbl_ray.functions.dedup import _bucket_cap
+
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "0")
+    assert _bucket_cap("minhash", 1000) == 1
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "-5")
+    assert _bucket_cap("minhash", 1000) == 1
+
+
+def test_jaccard_dedup_bad_verify_fails_fast(ray_session):
+    """An invalid verify= value raises immediately, even when the corpus
+    has no candidate pairs (no silent success on clean dev data)."""
+    import pytest
+    import ray.data
+
+    from tbl_ray.functions.dedup import jaccard_dedup
+
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "omega"}]
+    )
+    with pytest.raises(ValueError, match="verify must be"):
+        jaccard_dedup(ds, "text", "doc_id", verify="distrbuted")
+
+
 def test_broadcast_join_rename_does_not_collide_with_existing_suffix(
     ray_session,
 ):
