@@ -246,6 +246,10 @@ int64_t jpeg_decode_blocks(const uint8_t *data, int64_t nbytes,
     int sym = ds[p];
     if (sym < 0)
       return -1;
+    if (sym > 15) /* DC category past T.81 F.1: jread/jextend would
+                     shift >= 64 (UB). Parse-time DHT validation
+                     rejects these first; this is defense in depth. */
+      return -3;
     r.nbits -= dl[p];
     r.acc &= (((uint64_t)1 << r.nbits) - 1);
     int64_t dc = jextend(jread(&r, sym), sym) + preds[ci];

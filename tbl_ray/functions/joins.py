@@ -45,9 +45,18 @@ def _batch_content_hash(t: pa.Table) -> int:
     for name in t.schema.names:
         col = t.column(name).combine_chunks()
         ty = col.type
-        if pa.types.is_integer(ty) or pa.types.is_temporal(ty) or (
-            pa.types.is_boolean(ty)
-        ):
+        if pa.types.is_temporal(ty):
+            # date32/time32 (and friends) have no direct cast to int64;
+            # reinterpret the fixed-width storage instead (validity is
+            # preserved by Array.view), then widen
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            try:
+                storage = pa.int32() if ty.bit_width == 32 else pa.int64()
+                col = arr.view(storage)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+                continue  # exotic temporal layout: skip, never crash
+            ty = col.type
+        if pa.types.is_integer(ty) or pa.types.is_boolean(ty):
             wide = pa.uint64() if pa.types.is_unsigned_integer(ty) else pa.int64()
             k = (
                 pc.fill_null(pc.cast(col, wide), 0)

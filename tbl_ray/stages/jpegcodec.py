@@ -290,6 +290,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
+                if tc == 0 and any(v > 15 for v in vals):
+                    # T.81 Table F.1: DC categories are <= 11 for 8-bit
+                    # (15 with margin). A corrupt value byte here would
+                    # otherwise demand a 255-bit magnitude read — UB in
+                    # the C kernel, OverflowError in the Python walk —
+                    # so reject at parse, inside the on_error funnel
+                    raise ValueError(
+                        "corrupt JPEG Huffman table (DC category > 15)"
+                    )
                 htables[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + nv
         elif marker == DRI:
@@ -413,6 +422,13 @@ def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: in
         for _ in range(c["v"] * c["h"])
     ]
     native = _native_lib()
+    # the stacked 65536-entry Huffman LUTs depend only on (scan,
+    # htables): build them ONCE, not per restart segment — a DRI-dense
+    # camera JPEG has thousands of segments and re-stacking ~1.2 MB per
+    # call would dominate the C kernel's win
+    nat_luts = (
+        _stack_native_luts(scan, htables) if native is not None else None
+    )
     mcu_idx = 0
     for seg in segments:
         unstuffed = _unstuff(seg)
@@ -423,7 +439,7 @@ def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: in
         )
         if native is not None:
             _decode_segment_native(
-                native, unstuffed, scan, htables, qtables, planes,
+                native, unstuffed, nat_luts, scan, qtables, planes,
                 pattern, mcu_idx, limit, mcux,
             )
             mcu_idx = limit
@@ -471,8 +487,27 @@ def _planes_to_pixels(out_planes: list[np.ndarray]) -> np.ndarray:
     return _ycbcr_to_rgb(ycc)
 
 
+def _stack_native_luts(scan, htables):
+    """C-contiguous (n_comps, 65536) symbol/length stacks for the C
+    kernel — a function of (scan, htables) only, so callers build them
+    once per scan and reuse across restart segments."""
+    dcsym = np.ascontiguousarray(
+        np.stack([htables[(0, dc_id)].sym_np for (_, dc_id, _) in scan])
+    )
+    dclen = np.ascontiguousarray(
+        np.stack([htables[(0, dc_id)].len_np for (_, dc_id, _) in scan])
+    )
+    acsym = np.ascontiguousarray(
+        np.stack([htables[(1, ac_id)].sym_np for (_, _, ac_id) in scan])
+    )
+    aclen = np.ascontiguousarray(
+        np.stack([htables[(1, ac_id)].len_np for (_, _, ac_id) in scan])
+    )
+    return dcsym, dclen, acsym, aclen
+
+
 def _decode_segment_native(
-    native, unstuffed: bytes, scan, htables, qtables, planes,
+    native, unstuffed: bytes, nat_luts, scan, qtables, planes,
     pattern: list[int], mcu_idx: int, limit: int, mcux: int,
 ) -> None:
     """One restart segment through the C entropy kernel
@@ -486,18 +521,7 @@ def _decode_segment_native(
     block_comp = np.ascontiguousarray(
         np.tile(np.asarray(pattern, dtype=np.int32), count)
     )
-    dcsym = np.ascontiguousarray(
-        np.stack([htables[(0, dc_id)].sym_np for (_, dc_id, _) in scan])
-    )
-    dclen = np.ascontiguousarray(
-        np.stack([htables[(0, dc_id)].len_np for (_, dc_id, _) in scan])
-    )
-    acsym = np.ascontiguousarray(
-        np.stack([htables[(1, ac_id)].sym_np for (_, _, ac_id) in scan])
-    )
-    aclen = np.ascontiguousarray(
-        np.stack([htables[(1, ac_id)].len_np for (_, _, ac_id) in scan])
-    )
+    dcsym, dclen, acsym, aclen = nat_luts
     preds = np.zeros(len(scan), dtype=np.int64)
     out = np.zeros(n_blocks * 64, dtype=np.int64)
     buf = np.frombuffer(unstuffed, dtype=np.uint8)
@@ -517,6 +541,8 @@ def _decode_segment_native(
         raise ValueError("invalid Huffman code in JPEG stream")
     if rc == -2:
         raise ValueError("JPEG AC run past end of block")
+    if rc == -3:
+        raise ValueError("corrupt JPEG Huffman table (DC category > 15)")
     coefs = out.reshape(count, len(pattern), 64)
     g = np.arange(mcu_idx, limit, dtype=np.int64)
     my, mx = np.divmod(g, mcux)
@@ -538,6 +564,8 @@ def _decode_segment_native(
 def _decode_block(reader: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
     coefs = [0] * 64
     t = reader.huff(dc)
+    if t > 15:  # defense in depth; DHT parse rejects these first
+        raise ValueError("corrupt JPEG Huffman table (DC category > 15)")
     coefs[0] = _extend(reader.read(t), t)
     k = 1
     while k < 64:

@@ -348,3 +348,23 @@ def test_native_entropy_parity_large_image(monkeypatch):
         python_px = jpegcodec.decode_jpeg(data)
         monkeypatch.undo()
         assert np.array_equal(native_px, python_px), kw
+
+
+def test_corrupt_dht_dc_category_is_valueerror():
+    """A DC-class DHT value byte > 15 would demand a 255-bit magnitude
+    read — undefined-shift territory in the C kernel, OverflowError in
+    the numpy walk. Both are forbidden: the table must be rejected at
+    parse time as a ValueError inside the on_error funnel."""
+    rng = np.random.default_rng(21)
+    data = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8)))
+    # first DHT segment: marker(2) len(2) tc/th(1) bits(16) values...
+    idx = bytes(data).find(b"\xff\xc4")
+    assert idx >= 0
+    tc = data[idx + 4] >> 4
+    assert tc == 0, "expected the first DHT to be a DC table"
+    bits = data[idx + 5 : idx + 21]
+    assert sum(bits) >= 1
+    patched = bytearray(data)
+    patched[idx + 21] = 200  # first value byte: absurd DC category
+    with pytest.raises(ValueError, match="DC category"):
+        decode_jpeg(bytes(patched))

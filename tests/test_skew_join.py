@@ -182,3 +182,38 @@ def test_batch_content_hash_is_value_pure():
     # row order matters (position-mixed)
     perm = copied.take(pa.array([3, 2, 1, 0]))
     assert _batch_content_hash(sliced) != _batch_content_hash(perm)
+
+
+def test_batch_content_hash_handles_32bit_temporal_types():
+    """date32/time32 have no direct Arrow cast to int64; the hash must
+    reinterpret their fixed-width storage instead of crashing (regression:
+    parquet DATE columns killed the skew-salt path)."""
+    import datetime as dt
+
+    from tbl_ray.functions.joins import _batch_content_hash
+
+    t = pa.table({
+        "d32": pa.array(
+            [dt.date(2020, 1, 1), None, dt.date(2021, 5, 5)], pa.date32()
+        ),
+        "t32": pa.array([1000, 2000, None], pa.time32("ms")),
+        "ts": pa.array(
+            [dt.datetime(2020, 1, 1), None, dt.datetime(2022, 2, 2)],
+            pa.timestamp("us"),
+        ),
+        "dur": pa.array([5, None, 9], pa.duration("s")),
+        "k": pa.array([1, 2, 3], pa.int64()),
+    })
+    h = _batch_content_hash(t)
+    # value-pure across a zero-copy slice of a larger parent
+    big = pa.concat_tables([t, t]).combine_chunks()
+    assert _batch_content_hash(big.slice(0, 3)) == h
+    # sensitive to the temporal values themselves
+    other = t.set_column(
+        0,
+        "d32",
+        pa.array(
+            [dt.date(1999, 1, 1), None, dt.date(2021, 5, 5)], pa.date32()
+        ),
+    )
+    assert _batch_content_hash(other) != h
