@@ -227,7 +227,8 @@ static inline int64_t jextend(int64_t v, int t) {
  * the segment in `preds` (caller zeroes it per segment). Coefficients
  * land in zigzag order in `out` (n_blocks * 64, PRE-ZEROED int64).
  * Returns n_blocks, or -1 (invalid Huffman code) / -2 (AC run past
- * end of block) matching the Python error cases. */
+ * end of block) / -3 (DC category > 15) matching the Python error
+ * cases. */
 int64_t jpeg_decode_blocks(const uint8_t *data, int64_t nbytes,
                            const int32_t *block_comp, int64_t n_blocks,
                            const int16_t *dcsym, const int8_t *dclen,

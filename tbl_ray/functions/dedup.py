@@ -34,7 +34,11 @@ from tbl_ray.webtable import _mix
 _PAIR_BUDGET_ENV = "TBL_RAY_MAX_PAIRS"
 
 
-def _check_pair_budget(n_pairs: int, op: str) -> None:
+def _pair_budget() -> int:
+    return int(os.environ.get(_PAIR_BUDGET_ENV, 5_000_000))
+
+
+def _check_pair_budget(n_pairs: int, op: str, budget: int | None = None) -> None:
     """Driver-side guard on the verified near-duplicate pair list.
 
     The pair list is tiny BY DESIGN (bucket caps bound candidate
@@ -42,8 +46,10 @@ def _check_pair_budget(n_pairs: int, op: str) -> None:
     would otherwise materialize O(n^2-ish) pairs on the driver and OOM
     silently. Failing with a clear message beats that; the remedies are
     in the message. Budget via TBL_RAY_MAX_PAIRS (default 5e6 pairs,
-    ~a few hundred MB of driver dict)."""
-    budget = int(os.environ.get(_PAIR_BUDGET_ENV, 5_000_000))
+    ~a few hundred MB of driver dict). Hot loops pass a pre-read
+    `budget` so the check is a single integer compare."""
+    if budget is None:
+        budget = _pair_budget()
     if n_pairs > budget:
         raise RuntimeError(
             f"{op}: the verified near-duplicate pair list exceeded the"
@@ -1109,6 +1115,11 @@ def jaccard_dedup(
     if star_groups:
         seen_pairs = set(cand_pairs)
         extras: list[tuple[int, int]] = []
+        # budget checked INSIDE every proposal: one rejected cross pair
+        # between two large collapsed clusters expands |ca|x|cb| pairs,
+        # so a guard after the nested loops would fire only once the
+        # driver already holds the whole product
+        budget = _pair_budget()
 
         def _propose(x: int, y: int) -> None:
             if x == y:
@@ -1117,13 +1128,15 @@ def jaccard_dedup(
             if pr not in seen_pairs:
                 extras.append(pr)
                 seen_pairs.add(pr)
+                _check_pair_budget(
+                    len(seen_pairs), "jaccard_dedup re-expansion", budget
+                )
 
         for rep, members in rejected_members.items():
             ms = sorted(star_groups[rep])
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
                     _propose(ms[i], ms[j])
-            _check_pair_budget(len(seen_pairs), "jaccard_dedup re-expansion")
         for p in cands:
             if p.get("est_jaccard") == 1.0:
                 continue
@@ -1143,7 +1156,6 @@ def jaccard_dedup(
                 for y in rejected_members.get(b, ()):
                     for x in ca:
                         _propose(x, y)
-            _check_pair_budget(len(seen_pairs), "jaccard_dedup re-expansion")
         if extras:
             passed |= verify_fn(extras)
     roots = union_find(sorted(passed))

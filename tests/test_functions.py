@@ -1671,6 +1671,31 @@ def test_jaccard_dedup_star_reexpansion(ray_session, monkeypatch):
     assert kept == [1, 2]
 
 
+def test_reexpansion_budget_fires_inside_expansion(ray_session, monkeypatch):
+    """The pair budget must trip WHILE a rejected star group expands its
+    member-member pairs — not after the full quadratic product has been
+    materialized on the driver."""
+    import pytest as _pytest
+    import ray.data
+
+    from tbl_ray.functions import dedup as dd
+
+    good = "hello world foo bar baz qux " * 5
+    rows = [{"doc_id": 1, "text": "totally unrelated gibberish zzz"}]
+    rows += [{"doc_id": i, "text": good + f"tail-{i}"} for i in range(2, 82)]
+    ds = ray.data.from_items(rows)
+    # star group of 80 members whose rep fails verification -> the
+    # re-expansion would propose 80*79/2 = 3160 member-member pairs;
+    # a budget of 200 must abort the expansion loop itself
+    fake = [
+        {"id_a": 1, "id_b": i, "est_jaccard": 1.0} for i in range(2, 82)
+    ]
+    monkeypatch.setattr(dd, "minhash_dup_pairs", lambda *a, **k: fake)
+    monkeypatch.setenv("TBL_RAY_MAX_PAIRS", "200")
+    with _pytest.raises(RuntimeError, match="re-expansion"):
+        dd.jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+
+
 def test_jaccard_dedup_cross_group_inheritance(ray_session, monkeypatch):
     """A collapsed member inherits its rep's CROSS-group candidates: when
     the rep's cross pair fails exact verification, the member's
