@@ -427,14 +427,20 @@ def _bucket_cap(kind: str, default: int) -> int:
     return max(1, int(v))
 
 
-def _hard_bucket_cap() -> int:
+def _hard_bucket_cap(soft_cap: int = 0) -> int:
     """Absolute per-bucket unique-item bound past which the tiled pairwise
     pass refuses to run (``TBL_RAY_HARD_BUCKET``, default 50k ≈ 1.25e9
     pair comparisons — tens of seconds of vectorized work in one task).
     Beyond this the banding is degenerate enough that grinding through
     O(u^2) inside a single bucket would stall the job silently; raising
-    loudly with remedies is the safer failure."""
-    return int(os.environ.get("TBL_RAY_HARD_BUCKET", "50000"))
+    loudly with remedies is the safer failure.
+
+    Clamped to at least ``soft_cap``: an explicitly raised
+    ``TBL_RAY_MAX_BUCKET`` is a statement that buckets this dense are
+    expected, and the hard bound must not silently override it (buckets
+    at or under the soft cap never even reach the unique-collapse
+    path)."""
+    return max(int(os.environ.get("TBL_RAY_HARD_BUCKET", "50000")), soft_cap)
 
 
 def _tiled_pairwise(u: int, sim_block, keep_mask, tile: int):
@@ -510,7 +516,7 @@ def _bucket_pairs(threshold: float, id_col: str):
         )
 
     cap = _bucket_cap("minhash", 1000)
-    hard = _hard_bucket_cap()
+    hard = _hard_bucket_cap(cap)
 
     def pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -779,7 +785,7 @@ def simhash_dup_pairs(
         return pa.table(rows)
 
     cap = _bucket_cap("simhash", 1000)
-    hard = _hard_bucket_cap()
+    hard = _hard_bucket_cap(cap)
 
     def _popcount(x: np.ndarray) -> np.ndarray:
         x = np.ascontiguousarray(x, dtype=np.uint64)
@@ -834,7 +840,11 @@ def simhash_dup_pairs(
             keep = ham <= max_hamming
             ua, ub, uham = reps[ia[keep]], reps[ib[keep]], ham[keep]
         else:
-            tile = min(cap, 4096)  # tile^2 uint64 xor matrix = 128 MiB max
+            # tile^2 uint64 xor matrix = 128 MiB max on numpy >= 2
+            # (np.bitwise_count); the numpy-1.x byte-table fallback in
+            # _popcount materializes ~3x that (uint8 lookup + int64
+            # sum), so halve the tile there to keep the same budget
+            tile = min(cap, 4096 if hasattr(np, "bitwise_count") else 2048)
             gi, gj, uham = _tiled_pairwise(
                 u,
                 lambda i0, i1, j0, j1: _popcount(
@@ -1254,7 +1264,7 @@ def embedding_dup_pairs(
             )
 
     cap = _bucket_cap("emb", 2000)
-    hard = _hard_bucket_cap()
+    hard = _hard_bucket_cap(cap)
 
     def _pair_table(a: np.ndarray, b: np.ndarray, cos: np.ndarray) -> pa.Table:
         lo, hi = np.minimum(a, b), np.maximum(a, b)

@@ -63,7 +63,17 @@ def unpack_all_frames(data: bytes) -> list[bytes]:
     if data[:4] != FRAMES_MAGIC or len(data) < 8:
         raise ValueError("not a frame container")
     (count,) = _struct.unpack_from("<I", data, 4)
-    return [unpack_frame(data, i) for i in range(count)]
+    if len(data) < 8 + 4 * count:
+        raise ValueError("corrupt frame container (truncated length table)")
+    # one linear pass: unpack the length table once and walk a running
+    # offset (per-index unpack_frame calls would re-unpack the table and
+    # re-sum the prefix per frame — O(frames^2) on long containers)
+    lens = _struct.unpack_from(f"<{count}I", data, 8)
+    frames, pos = [], 8 + 4 * count
+    for ln in lens:
+        frames.append(data[pos : pos + ln])
+        pos += ln
+    return frames
 
 
 def resolve_media_decoders(kind: str) -> list[MediaDecoder]:
@@ -713,7 +723,10 @@ class FrameSample:
                 if self.strict:
                     raise ValueError("not a frame container")
                 continue
-            if dec.name == "builtin-frames":
+            # identity, not name: a plugin may legally register under any
+            # name (even "builtin-frames") — only the builtin container
+            # decode has the length table that makes O(1) seeks valid
+            if dec.decode is unpack_all_frames:
                 if len(data) < 8:
                     if self.strict:
                         raise ValueError("not a frame container")

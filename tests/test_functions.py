@@ -1932,6 +1932,41 @@ def test_oversized_bucket_with_degenerate_hash_raises(monkeypatch):
     assert out.num_rows == 0
 
 
+def test_hard_cap_never_undercuts_raised_soft_cap(monkeypatch):
+    """An explicitly raised TBL_RAY_MAX_BUCKET must not be silently
+    overridden by a lower TBL_RAY_HARD_BUCKET: the hard bound clamps to
+    at least the soft cap, so following the error message's own remedy
+    (raise the soft cap) keeps working."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tbl_ray.functions.dedup import _bucket_cap, _bucket_pairs, _hard_bucket_cap
+
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "100000")
+    monkeypatch.setenv("TBL_RAY_HARD_BUCKET", "50000")
+    assert _hard_bucket_cap(_bucket_cap("minhash", 1000)) == 100000
+
+    # end to end: 75 rows / 25 distinct signatures, soft cap 30, hard
+    # env 20 — the collapse path runs and must COMPUTE (u=25 <= clamped
+    # hard 30), not raise citing a bound below the user's own cap
+    n_uniq = 25
+    sig = np.repeat(
+        np.arange(n_uniq * 4, dtype=np.uint64).reshape(n_uniq, 4), 3, axis=0
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_uniq * 3, dtype=np.int64)),
+            "sig": pa.array([list(map(int, s)) for s in sig], pa.list_(pa.uint64())),
+        }
+    )
+    monkeypatch.setenv("TBL_RAY_MAX_BUCKET", "30")
+    monkeypatch.setenv("TBL_RAY_HARD_BUCKET", "20")
+    out = _bucket_pairs(0.7, "doc_id")(t)
+    # exact-duplicate stars only (distinct sigs share no hash values)
+    assert out.num_rows == n_uniq * 2
+    assert set(out.column("est_jaccard").to_pylist()) == {1.0}
+
+
 def test_oversized_bucket_tiled_pairwise_matches_bruteforce(monkeypatch):
     """5,000 DISTINCT signatures in one bucket: the tiled pairwise path
     (unique count > soft cap) emits exactly the brute-force pair set

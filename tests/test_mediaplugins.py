@@ -165,6 +165,41 @@ def _make_tvid() -> MediaDecoder:
     return MediaDecoder("toy-video", "video", lambda d, m: d[:4] == b"TVID", decode)
 
 
+def test_video_plugin_named_builtin_frames_uses_own_decode(ray_session):
+    """Seek-path routing is by decode-callable IDENTITY, not name: a
+    plugin that registers under the name 'builtin-frames' for a foreign
+    container must have ITS decode called, not be misrouted through the
+    builtin container's O(1)-seek unpack."""
+    tvid = _make_tvid()
+    register_media_decoder(
+        MediaDecoder("builtin-frames", "video", tvid.sniff, tvid.decode)
+    )
+    try:
+        frames = [
+            encode_bmp(np.full((4, 3, 3), 20 * i, np.uint8)) for i in range(4)
+        ]
+        payload = (
+            b"TVID" + struct.pack("<I", len(frames))
+            + b"".join(struct.pack("<I", len(f)) for f in frames)
+            + b"".join(frames)
+        )
+        t = pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "payload": pa.array([payload], pa.large_binary()),
+                "mime": pa.array(["video/x-tvid"]),
+                "meta": pa.array(["{}"]),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        # strict: the pre-fix name-routed path raised 'not a frame container'
+        out = sample_frames(ray.data.from_arrow(t), 2, strict=True).take_all()
+        assert sorted(r["frame_index"] for r in out) == [0, 2]
+        assert all(r["width"] == 3 and r["height"] == 4 for r in out)
+    finally:
+        unregister_media_decoder("builtin-frames")
+
+
 def test_video_plugin_samples_external_format(ray_session):
     """A video-kind plugin decodes a foreign container; FrameSample
     samples its frames through the image chain."""

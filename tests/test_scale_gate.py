@@ -29,9 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __ray_entry__ as entrymod  # noqa: E402
 
-pytestmark = pytest.mark.slow
-
 SRC = "/root/testdata/sf0.1"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(SRC), reason=f"sf0.1 test fixtures not present at {SRC}"
+    ),
+]
 COPIES = 10
 
 
