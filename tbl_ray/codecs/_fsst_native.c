@@ -282,3 +282,150 @@ int64_t jpeg_decode_blocks(const uint8_t *data, int64_t nbytes,
   }
   return n_blocks;
 }
+
+/* Progressive JPEG entropy decode (T.81 Annex G) — one restart segment
+ * of ONE scan (any of the four scan kinds: DC first, DC refinement, AC
+ * first, AC refinement). Bit-identical to the Python
+ * _decode_progressive_scan/_ac_first_block/_ac_refine_block trio by
+ * construction (same zero-fill reader, F.12 extend, EOB-run and
+ * correction-bit semantics). `block_comp[bi]` indexes the stacked LUTs
+ * and `preds` (scan-component order); `block_idx[bi]` is the absolute
+ * block number in the flat coefficient store (the caller's MCU-padded
+ * per-component grids concatenated). dcsym/dclen are only read when
+ * ss==0 && ah==0; acsym/aclen only when ss>0 — pass NULL otherwise.
+ * EOB runs and DC predictions reset per restart segment (callers pass
+ * zeroed `preds`; eobrun starts at 0 here), matching T.81 and the
+ * Python walk. Negative coefficients are scaled by 1<<al via
+ * multiplication (left-shifting a negative int64 is UB in C; Python's
+ * << is arithmetic). Returns n_blocks, or -1 (invalid Huffman code),
+ * -2 (AC run past band end), -3 (DC category > 15), -4 (refinement
+ * symbol with size > 1), -5 (refinement ran past band end). */
+int64_t jpeg_decode_prog_scan(const uint8_t *data, int64_t nbytes,
+                              const int32_t *block_comp,
+                              const int64_t *block_idx, int64_t n_blocks,
+                              const int16_t *dcsym, const int8_t *dclen,
+                              const int16_t *acsym, const int8_t *aclen,
+                              int32_t ss, int32_t se, int32_t ah, int32_t al,
+                              int64_t *preds, int64_t *store) {
+  jbits r = {data, nbytes, 0, 0, 0};
+  int64_t eobrun = 0;
+  const int64_t p1 = (int64_t)1 << al;
+  const int64_t m1 = -((int64_t)1 << al);
+  for (int64_t bi = 0; bi < n_blocks; bi++) {
+    int64_t ci = block_comp[bi];
+    int64_t *blk = store + block_idx[bi] * 64;
+    if (ss == 0) {
+      if (ah == 0) { /* DC first: diff-coded, scaled by 1<<Al */
+        const int16_t *ds = dcsym + ci * 65536;
+        const int8_t *dl = dclen + ci * 65536;
+        jfill(&r, 16);
+        uint32_t p = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+        int sym = ds[p];
+        if (sym < 0)
+          return -1;
+        if (sym > 15)
+          return -3;
+        r.nbits -= dl[p];
+        r.acc &= (((uint64_t)1 << r.nbits) - 1);
+        preds[ci] += jextend(jread(&r, sym), sym);
+        blk[0] = preds[ci] * p1;
+      } else { /* DC refinement: one raw bit per block */
+        if (jread(&r, 1))
+          blk[0] |= p1;
+      }
+      continue;
+    }
+    const int16_t *as = acsym + ci * 65536;
+    const int8_t *alen = aclen + ci * 65536;
+    if (ah == 0) { /* AC first (G.1.2.2) */
+      if (eobrun > 0) {
+        eobrun--;
+        continue;
+      }
+      int k = ss;
+      while (k <= se) {
+        jfill(&r, 16);
+        uint32_t p = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+        int sym = as[p];
+        if (sym < 0)
+          return -1;
+        r.nbits -= alen[p];
+        r.acc &= (((uint64_t)1 << r.nbits) - 1);
+        int run = sym >> 4, s = sym & 0xF;
+        if (s == 0) {
+          if (run == 15) { /* ZRL */
+            k += 16;
+            continue;
+          }
+          eobrun = (int64_t)1 << run;
+          if (run)
+            eobrun += jread(&r, run);
+          eobrun--; /* current block is part of the run */
+          break;
+        }
+        k += run;
+        if (k > se)
+          return -2;
+        blk[k] = jextend(jread(&r, s), s) * p1;
+        k++;
+      }
+      continue;
+    }
+    /* AC refinement (G.1.2.3) */
+    int k = ss;
+    if (eobrun == 0) {
+      while (k <= se) {
+        jfill(&r, 16);
+        uint32_t p = (uint32_t)((r.acc >> (r.nbits - 16)) & 0xFFFF);
+        int sym = as[p];
+        if (sym < 0)
+          return -1;
+        r.nbits -= alen[p];
+        r.acc &= (((uint64_t)1 << r.nbits) - 1);
+        int run = sym >> 4, s = sym & 0xF;
+        int64_t s_val = 0;
+        if (s == 0) {
+          if (run != 15) {
+            eobrun = (int64_t)1 << run;
+            if (run)
+              eobrun += jread(&r, run);
+            break;
+          }
+          /* run == 15: advance over 16 zero-history coefficients */
+        } else {
+          if (s != 1)
+            return -4;
+          s_val = jread(&r, 1) ? p1 : m1;
+        }
+        while (k <= se) {
+          int64_t v = blk[k];
+          if (v != 0) {
+            if (jread(&r, 1) && (v & p1) == 0)
+              blk[k] = v + (v >= 0 ? p1 : m1);
+          } else {
+            run--;
+            if (run < 0)
+              break;
+          }
+          k++;
+        }
+        if (s_val) {
+          if (k > se)
+            return -5;
+          blk[k] = s_val;
+        }
+        k++;
+      }
+    }
+    if (eobrun > 0) { /* inside an EOB run: correction bits only */
+      while (k <= se) {
+        int64_t v = blk[k];
+        if (v != 0 && jread(&r, 1) && (v & p1) == 0)
+          blk[k] = v + (v >= 0 ? p1 : m1);
+        k++;
+      }
+      eobrun--;
+    }
+  }
+  return n_blocks;
+}

@@ -112,6 +112,24 @@ def _build_cdll() -> ctypes.CDLL | None:
         ctypes.c_void_p,  # preds (n_comps,) i64, zeroed per segment
         ctypes.c_void_p,  # out (n_blocks * 64,) i64, pre-zeroed
     ]
+    lib.jpeg_decode_prog_scan.restype = ctypes.c_int64
+    lib.jpeg_decode_prog_scan.argtypes = [
+        ctypes.c_void_p,  # data (unstuffed entropy bytes)
+        ctypes.c_int64,  # nbytes
+        ctypes.c_void_p,  # block_comp (n_blocks,) i32 — scan-comp index
+        ctypes.c_void_p,  # block_idx (n_blocks,) i64 — flat store block no
+        ctypes.c_int64,  # n_blocks
+        ctypes.c_void_p,  # dcsym (n_comps, 65536) i16, NULL unless DC first
+        ctypes.c_void_p,  # dclen (n_comps, 65536) i8
+        ctypes.c_void_p,  # acsym (n_comps, 65536) i16, NULL unless AC scan
+        ctypes.c_void_p,  # aclen (n_comps, 65536) i8
+        ctypes.c_int32,  # ss
+        ctypes.c_int32,  # se
+        ctypes.c_int32,  # ah
+        ctypes.c_int32,  # al
+        ctypes.c_void_p,  # preds (n_comps,) i64, zeroed per segment
+        ctypes.c_void_p,  # store (total_blocks * 64,) i64 flat coefficients
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,  # enc

@@ -596,8 +596,10 @@ class _ProgressiveState:
 
     Blocks live on the MCU-padded grid (row stride ``mcux * h_i``) so
     interleaved DC scans and non-interleaved AC scans address the same
-    storage.  Coefficients are plain Python lists — refinement scans
-    mutate single positions, where list ops beat numpy item access."""
+    storage.  One flat int64 array holds every component's grid
+    back-to-back (``base[ci]`` block offsets): the C scan kernel
+    mutates it in place, and ``store[ci]`` are (n_blocks, 64) views for
+    the Python fallback walk and the final assemble."""
 
     def __init__(self, frame):
         comps = frame["comps"]
@@ -605,9 +607,14 @@ class _ProgressiveState:
         self.vmax = max(c["v"] for c in comps)
         self.mcux = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
         self.mcuy = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        counts = [self.mcux * c["h"] * self.mcuy * c["v"] for c in comps]
+        self.base = [0] * len(comps)
+        for i in range(1, len(comps)):
+            self.base[i] = self.base[i - 1] + counts[i - 1]
+        self.flat = np.zeros(sum(counts) * 64, dtype=np.int64)
         self.store = [
-            [[0] * 64 for _ in range(self.mcux * c["h"] * self.mcuy * c["v"])]
-            for c in comps
+            self.flat[b * 64 : (b + n) * 64].reshape(n, 64)
+            for b, n in zip(self.base, counts)
         ]
 
 
@@ -681,18 +688,36 @@ def _decode_progressive_scan(
             raise ValueError("progressive AC scans must be single-component")
         if se < ss or se > 63:
             raise ValueError(f"bad spectral band {ss}..{se}")
-    units = _scan_units(frame, scan, prog)
-    n_units = len(units)
+    native = _native_lib()
+    if native is not None:
+        # the native path never materializes the per-unit Python lists:
+        # the schedule is built by numpy broadcasting over the MCU grid
+        units = None
+        sched = _prog_native_schedule(frame, scan, htables, prog, ss, ah)
+        n_units = len(sched[1]) // sched[2]
+    else:
+        units = _scan_units(frame, scan, prog)
+        sched = None
+        n_units = len(units)
     ui = 0
     for segdata in _split_restarts(ecs):
-        reader = _BitReader(_unstuff(segdata))
-        preds = {ci: 0 for ci, _, _, _ in units[0]} if units else {}
-        eobrun = 0
         limit = (
             min(ui + restart_interval, n_units)
             if restart_interval
             else n_units
         )
+        if sched is not None:
+            _decode_prog_segment_native(
+                native, _unstuff(segdata), sched, scan, ui, limit,
+                prog, ss, se, ah, al,
+            )
+            ui = limit
+            if ui >= n_units:
+                break
+            continue
+        reader = _BitReader(_unstuff(segdata))
+        preds = {ci: 0 for ci, _, _, _ in units[0]} if units else {}
+        eobrun = 0
         while ui < limit:
             for ci, bi, dcid, acid in units[ui]:
                 blk = prog.store[ci][bi]
@@ -718,6 +743,120 @@ def _decode_progressive_scan(
             break
     if ui < n_units:
         raise ValueError("JPEG progressive scan truncated")
+
+
+def _prog_native_schedule(frame, scan, htables, prog, ss, ah):
+    """Per-scan constants for the C progressive kernel: the stream-order
+    block schedule flattened to (scan-comp index, flat-store block no)
+    arrays, plus the stacked Huffman LUTs the scan kind actually uses
+    (DC tables for DC-first scans, the AC table for AC scans, none for
+    DC refinement). Built ONCE per scan and sliced per restart segment
+    — units are constant-width, so segment boundaries are exact array
+    offsets. The block order is numpy broadcasting over the MCU grid,
+    value-identical to :func:`_scan_units`' Python walk (parity-pinned
+    by the native/Python pixel tests). Raises KeyError for a missing
+    Huffman table exactly like the Python walk (decode_image funnels it
+    to ValueError)."""
+    comps = frame["comps"]
+    sidx = [comps.index(c) for (c, _, _) in scan]
+    if len(scan) > 1:
+        # interleaved (T.81 A.2.3): per-MCU template of (scan pos,
+        # store offset at MCU (0,0), per-my / per-mx offset steps)
+        t_pos, t_off, t_my, t_mx = [], [], [], []
+        for k, (c, _, _) in enumerate(scan):
+            bw = prog.mcux * c["h"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    t_pos.append(k)
+                    t_off.append(prog.base[sidx[k]] + by * bw + bx)
+                    t_my.append(c["v"] * bw)
+                    t_mx.append(c["h"])
+        my = np.repeat(np.arange(prog.mcuy, dtype=np.int64), prog.mcux)
+        mx = np.tile(np.arange(prog.mcux, dtype=np.int64), prog.mcuy)
+        bidx = np.ravel(
+            np.asarray(t_off, np.int64)[None, :]
+            + my[:, None] * np.asarray(t_my, np.int64)[None, :]
+            + mx[:, None] * np.asarray(t_mx, np.int64)[None, :]
+        )
+        bcomp = np.ascontiguousarray(
+            np.tile(np.asarray(t_pos, np.int32), prog.mcux * prog.mcuy)
+        )
+        bpu = len(t_pos)
+    else:
+        # non-interleaved (T.81 A.2.2): the component's real block grid
+        # in raster order on the MCU-padded stride
+        c = scan[0][0]
+        compw = -(-frame["w"] * c["h"] // prog.hmax)
+        comph = -(-frame["h"] * c["v"] // prog.vmax)
+        rbw, rbh = -(-compw // 8), -(-comph // 8)
+        stride = prog.mcux * c["h"]
+        bidx = np.ravel(
+            prog.base[sidx[0]]
+            + np.arange(rbh, dtype=np.int64)[:, None] * stride
+            + np.arange(rbw, dtype=np.int64)[None, :]
+        )
+        bcomp = np.zeros(len(bidx), dtype=np.int32)
+        bpu = 1
+    luts = [None, None, None, None]
+    if ss == 0 and ah == 0:
+        luts[0] = np.ascontiguousarray(
+            np.stack([htables[(0, dcid)].sym_np for (_, dcid, _) in scan])
+        )
+        luts[1] = np.ascontiguousarray(
+            np.stack([htables[(0, dcid)].len_np for (_, dcid, _) in scan])
+        )
+    elif ss > 0:
+        luts[2] = np.ascontiguousarray(
+            np.stack([htables[(1, acid)].sym_np for (_, _, acid) in scan])
+        )
+        luts[3] = np.ascontiguousarray(
+            np.stack([htables[(1, acid)].len_np for (_, _, acid) in scan])
+        )
+    return bcomp, bidx, bpu, luts
+
+
+def _decode_prog_segment_native(
+    native, unstuffed: bytes, sched, scan, ui: int, limit: int,
+    prog, ss: int, se: int, ah: int, al: int,
+) -> None:
+    """One restart segment through the C progressive kernel
+    (``_fsst_native.c:jpeg_decode_prog_scan`` — bit-identical to the
+    Python scan walk, parity-pinned by the progressive test suite).
+    Mutates ``prog.flat`` in place; DC predictions and the EOB run
+    reset per segment inside the kernel, matching the Python path."""
+    count = limit - ui
+    if count <= 0:
+        return
+    bcomp, bidx, bpu, luts = sched
+    seg_comp = np.ascontiguousarray(bcomp[ui * bpu : limit * bpu])
+    seg_idx = np.ascontiguousarray(bidx[ui * bpu : limit * bpu])
+    preds = np.zeros(len(scan), dtype=np.int64)
+    buf = np.frombuffer(unstuffed, dtype=np.uint8)
+
+    def _ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+    rc = native.jpeg_decode_prog_scan(
+        buf.ctypes.data_as(ctypes.c_void_p) if len(buf) else None,
+        len(buf),
+        seg_comp.ctypes.data_as(ctypes.c_void_p),
+        seg_idx.ctypes.data_as(ctypes.c_void_p),
+        len(seg_comp),
+        _ptr(luts[0]), _ptr(luts[1]), _ptr(luts[2]), _ptr(luts[3]),
+        ss, se, ah, al,
+        preds.ctypes.data_as(ctypes.c_void_p),
+        prog.flat.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == -1:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    if rc == -2:
+        raise ValueError("JPEG AC run past band end")
+    if rc == -3:
+        raise ValueError("corrupt JPEG Huffman table (DC category > 15)")
+    if rc == -4:
+        raise ValueError("bad JPEG refinement symbol")
+    if rc == -5:
+        raise ValueError("JPEG refinement ran past band end")
 
 
 def _ac_first_block(reader, ac, blk, ss, se, al, eobrun):

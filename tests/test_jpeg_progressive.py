@@ -458,3 +458,46 @@ def test_decode_images_on_error_null_policy(ray_session):
         decode_images(
             ray.data.from_arrow(t), strict=True, batch_size=4, concurrency=2
         ).take_all()
+
+
+def test_native_progressive_parity_large_image(monkeypatch):
+    """The C progressive-scan kernel must produce byte-identical pixels
+    to the pure-Python scan walk across all four scan kinds (DC
+    first/refine, AC first with EOB runs, AC refinement) — photo-like
+    fixture, both subsample modes, optimized Huffman."""
+    from tbl_ray.stages import jpegcodec
+
+    if jpegcodec._native_lib() is None:
+        pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(33)
+    y, x = np.mgrid[0:360, 0:560]
+    img = np.stack(
+        [
+            (127 + 80 * np.sin(x / 37) + rng.normal(0, 14, x.shape)).clip(0, 255),
+            (127 + 60 * np.cos(y / 23) + rng.normal(0, 14, x.shape)).clip(0, 255),
+            (127 + 70 * np.sin((x + y) / 41) + rng.normal(0, 14, x.shape)).clip(0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for kw in (
+        dict(quality=85),
+        dict(quality=70, subsample="420"),
+        dict(quality=90, optimize=False),
+    ):
+        data = jpegcodec.encode_jpeg_progressive(img, **kw)
+        native_px = jpegcodec.decode_jpeg(data)
+        monkeypatch.setattr(jpegcodec, "_native_lib", lambda: None)
+        python_px = jpegcodec.decode_jpeg(data)
+        monkeypatch.undo()
+        assert np.array_equal(native_px, python_px), kw
+    # gray path + the hand restart fixture cover DRI; also pin a custom
+    # partial script (DC-only) through the native path
+    gray = img[:, :, 0]
+    data = jpegcodec.encode_jpeg_progressive(
+        gray, scans=[([0], 0, 0, 0, 0)]
+    )
+    native_px = jpegcodec.decode_jpeg(data)
+    monkeypatch.setattr(jpegcodec, "_native_lib", lambda: None)
+    python_px = jpegcodec.decode_jpeg(data)
+    monkeypatch.undo()
+    assert np.array_equal(native_px, python_px)
