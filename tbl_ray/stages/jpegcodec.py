@@ -304,6 +304,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == DRI:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker in (SOF0, SOF2):
+            if frame is not None:
+                # T.81 allows exactly one frame per image. A second SOF
+                # after the first SOS would reassign the geometry while
+                # the progressive coefficient store (prog) still has the
+                # old frame's shape — the native scan schedule would then
+                # compute block offsets past prog.flat's allocation, an
+                # unbounded C heap write. Reject at parse, inside the
+                # on_error funnel, before any scan can mix the two.
+                raise ValueError("multiple JPEG SOF markers")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -359,6 +368,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0xF))
+            if len({id(c) for c, _, _ in scan}) != ns:
+                # T.81 B.2.3: scan components must be distinct. With a
+                # duplicate, the Python walk shares one DC prediction
+                # across both entries (preds keyed by component) while
+                # the C kernel keeps per-slot preds — divergent pixels,
+                # silently breaking native/Python parity on a stream
+                # only a corrupt payload can produce
+                raise ValueError("duplicate component in JPEG scan")
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
@@ -596,10 +613,15 @@ class _ProgressiveState:
 
     Blocks live on the MCU-padded grid (row stride ``mcux * h_i``) so
     interleaved DC scans and non-interleaved AC scans address the same
-    storage.  One flat int64 array holds every component's grid
-    back-to-back (``base[ci]`` block offsets): the C scan kernel
-    mutates it in place, and ``store[ci]`` are (n_blocks, 64) views for
-    the Python fallback walk and the final assemble."""
+    storage.  The representation follows the scan path, chosen once at
+    construction: with the C kernel available, one flat int64 array
+    holds every component's grid back-to-back (``base[ci]`` block
+    offsets) — the kernel mutates it in place and ``store[ci]`` are
+    (n_blocks, 64) views; without it, ``store[ci]`` are plain list
+    rows, because the pure-Python refinement walk reads/writes one
+    coefficient at a time and list item access beats numpy scalar
+    access ~25% end-to-end (measured on a 1080x720 progressive
+    decode)."""
 
     def __init__(self, frame):
         comps = frame["comps"]
@@ -611,11 +633,16 @@ class _ProgressiveState:
         self.base = [0] * len(comps)
         for i in range(1, len(comps)):
             self.base[i] = self.base[i - 1] + counts[i - 1]
-        self.flat = np.zeros(sum(counts) * 64, dtype=np.int64)
-        self.store = [
-            self.flat[b * 64 : (b + n) * 64].reshape(n, 64)
-            for b, n in zip(self.base, counts)
-        ]
+        self.native = _native_lib() is not None
+        if self.native:
+            self.flat = np.zeros(sum(counts) * 64, dtype=np.int64)
+            self.store = [
+                self.flat[b * 64 : (b + n) * 64].reshape(n, 64)
+                for b, n in zip(self.base, counts)
+            ]
+        else:
+            self.flat = None
+            self.store = [[[0] * 64 for _ in range(n)] for n in counts]
 
 
 def _split_restarts(ecs: bytes) -> list[bytes]:
@@ -688,7 +715,11 @@ def _decode_progressive_scan(
             raise ValueError("progressive AC scans must be single-component")
         if se < ss or se > 63:
             raise ValueError(f"bad spectral band {ss}..{se}")
-    native = _native_lib()
+    # path choice is pinned to the store representation picked at
+    # _ProgressiveState construction — re-probing _native_lib() here
+    # could hand the C kernel a list store (or the list walk a flat
+    # array) if availability flipped between scans of one image
+    native = _native_lib() if prog.native else None
     if native is not None:
         # the native path never materializes the per-unit Python lists:
         # the schedule is built by numpy broadcasting over the MCU grid

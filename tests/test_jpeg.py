@@ -368,3 +368,42 @@ def test_corrupt_dht_dc_category_is_valueerror():
     patched[idx + 21] = 200  # first value byte: absurd DC category
     with pytest.raises(ValueError, match="DC category"):
         decode_jpeg(bytes(patched))
+
+
+def test_second_sof_is_valueerror():
+    """T.81 allows exactly one frame per image. A second SOF after the
+    first scan would reassign the geometry while the progressive
+    coefficient store still has the old frame's shape — the native
+    scan schedule would compute block offsets past the store's
+    allocation (an unbounded C heap write). Must reject at parse."""
+    rng = np.random.default_rng(31)
+    data = bytes(encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8)))
+    idx = data.find(b"\xff\xc0")
+    assert idx >= 0
+    (seglen,) = struct.unpack_from(">H", data, idx + 2)
+    sof_seg = bytearray(data[idx : idx + 2 + seglen])
+    # claim a much larger frame in the duplicate: the stale-store mix
+    # is exactly what the reject must prevent
+    struct.pack_into(">HH", sof_seg, 5, 4000, 4000)
+    sos = data.find(b"\xff\xda")
+    assert sos > idx
+    patched = data[:sos] + bytes(sof_seg) + data[sos:]
+    with pytest.raises(ValueError, match="multiple JPEG SOF"):
+        decode_jpeg(patched)
+
+
+def test_duplicate_scan_component_is_valueerror():
+    """T.81 B.2.3: scan components must be distinct. With a duplicate,
+    the Python walk shares one DC prediction across both entries while
+    the C kernel keeps per-slot predictions — silently divergent
+    pixels. The parser must reject the scan instead."""
+    rng = np.random.default_rng(32)
+    data = bytes(encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8)))
+    idx = data.find(b"\xff\xda")
+    assert idx >= 0
+    # SOS: marker(2) len(2) ns(1) then (cs tt) pairs
+    assert data[idx + 4] == 3
+    patched = bytearray(data)
+    patched[idx + 7] = patched[idx + 5]  # second cs := first cs
+    with pytest.raises(ValueError, match="duplicate component"):
+        decode_jpeg(bytes(patched))

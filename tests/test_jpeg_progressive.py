@@ -501,3 +501,86 @@ def test_native_progressive_parity_large_image(monkeypatch):
     python_px = jpegcodec.decode_jpeg(data)
     monkeypatch.undo()
     assert np.array_equal(native_px, python_px)
+
+
+def test_second_sof2_after_scan_is_valueerror():
+    """A crafted progressive stream with a second, larger SOF2 spliced
+    between scans must be rejected at the marker — continuing would mix
+    the new frame geometry with the first frame's coefficient store and
+    (on the native path) write outside its allocation."""
+    import struct
+
+    img = _rand_rgb(24, 24, 33)
+    data = bytes(encode_jpeg_progressive(img))
+    idx = data.find(b"\xff\xc2")
+    assert idx >= 0
+    (seglen,) = struct.unpack_from(">H", data, idx + 2)
+    sof_seg = bytearray(data[idx : idx + 2 + seglen])
+    struct.pack_into(">HH", sof_seg, 5, 4000, 4000)
+    # splice before the SECOND scan so the first scan has already run
+    first_sos = data.find(b"\xff\xda")
+    second_sos = data.find(b"\xff\xda", first_sos + 2)
+    assert second_sos > first_sos > idx
+    patched = data[:second_sos] + bytes(sof_seg) + data[second_sos:]
+    with pytest.raises(ValueError, match="multiple JPEG SOF"):
+        decode_jpeg(patched)
+
+
+@pytest.mark.parametrize("subsample_comps", [
+    # (h, v) per component: 4:4:4, 4:2:0, 4:2:2, and an asymmetric 1x2
+    [(1, 1), (1, 1), (1, 1)],
+    [(2, 2), (1, 1), (1, 1)],
+    [(2, 1), (1, 1), (1, 1)],
+    [(1, 2), (1, 1), (1, 1)],
+])
+@pytest.mark.parametrize("w,h", [(8, 8), (17, 9), (24, 40), (33, 31)])
+def test_native_schedule_matches_scan_units(subsample_comps, w, h):
+    """The C kernel's broadcast-built block schedule and the Python
+    walk's per-unit lists are two independent implementations of the
+    same T.81 geometry (interleaved A.2.3 + non-interleaved A.2.2).
+    Pin them equal directly — across subsample modes and dims that are
+    not MCU multiples — rather than only via end-to-end pixel tests.
+    DC-refinement scan parameters (ss=0, ah=1) are used so the
+    schedule needs no Huffman LUTs."""
+    from tbl_ray.stages.jpegcodec import (
+        _ProgressiveState,
+        _prog_native_schedule,
+        _scan_units,
+    )
+
+    comps = [
+        {"id": i + 1, "h": hh, "v": vv, "tq": 0}
+        for i, (hh, vv) in enumerate(subsample_comps)
+    ]
+    frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+    prog = _ProgressiveState(frame)
+    scans = [[(c, 0, 0) for c in comps]]  # interleaved DC
+    scans += [[(c, 0, 0)] for c in comps]  # one non-interleaved per comp
+    for scan in scans:
+        bcomp, bidx, bpu, luts = _prog_native_schedule(
+            frame, scan, {}, prog, 0, 1
+        )
+        assert all(l is None for l in luts)
+        units = _scan_units(frame, scan, prog)
+        flat_py = [
+            (k_slot, prog.base[ci] + bi)
+            for u in units
+            for k_slot, (ci, bi, _, _) in enumerate(u)
+        ]
+        if len(scan) > 1:
+            # interleaved slots repeat per sampling factor; recompute
+            # the slot label the schedule uses (scan position)
+            flat_py = []
+            for u in units:
+                pos = 0
+                taken = 0
+                for ci, bi, _, _ in u:
+                    c = scan[pos][0]
+                    flat_py.append((pos, prog.base[ci] + bi))
+                    taken += 1
+                    if taken == c["h"] * c["v"]:
+                        pos += 1
+                        taken = 0
+        assert bpu == len(units[0])
+        assert list(bcomp) == [p for p, _ in flat_py]
+        assert list(bidx) == [b for _, b in flat_py]
