@@ -500,8 +500,7 @@ def _decode_scan(frame, scan, qtables, htables, ecs: bytes, restart_interval: in
 def _planes_to_pixels(out_planes: list[np.ndarray]) -> np.ndarray:
     if len(out_planes) == 1:
         return out_planes[0][:, :, None].astype(np.uint8)
-    ycc = np.stack(out_planes, axis=2).astype(np.float64)
-    return _ycbcr_to_rgb(ycc)
+    return _ycbcr_to_rgb(*out_planes)
 
 
 def _stack_native_luts(scan, htables):
@@ -991,14 +990,24 @@ def _idct_blocks(coef_zz: np.ndarray) -> np.ndarray:
     return np.clip(np.round(spatial + 128.0), 0, 255)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[:, :, 0], ycc[:, :, 1] - 128.0, ycc[:, :, 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(
-        np.round(np.stack([r, g, b], axis=2)), 0, 255
-    ).astype(np.uint8)
+def _ycbcr_to_rgb(yp: np.ndarray, cbp: np.ndarray, crp: np.ndarray) -> np.ndarray:
+    """Takes the three planes directly (contiguous, no HxWx3 stack —
+    profiling showed the stack/slice round-trip dominated assemble).
+    The per-channel float64 expressions, round and clip are unchanged,
+    so pixels stay bit-identical to the previous stacked form."""
+    y = np.asarray(yp, dtype=np.float64)
+    cb = np.asarray(cbp, dtype=np.float64) - 128.0
+    cr = np.asarray(crp, dtype=np.float64) - 128.0
+    out = np.empty((*y.shape, 3), dtype=np.uint8)
+    for i, ch in enumerate((
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    )):
+        np.round(ch, out=ch)
+        np.clip(ch, 0, 255, out=ch)
+        out[:, :, i] = ch
+    return out
 
 
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
