@@ -596,6 +596,125 @@ def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _dedup_pair_arrays(a: np.ndarray, b: np.ndarray, e: np.ndarray):
+    """Keep the max-``e`` row per (a, b) key, sorted ascending by (a, b)
+    — the numpy equivalent of the ``seen`` dict the distributed path
+    builds (same keys, same max-wins tie rule, same output order)."""
+    if a.size == 0:
+        return a, b, e
+    order = np.lexsort((-e, b, a))
+    a, b, e = a[order], b[order], e[order]
+    firsts = np.empty(a.size, dtype=bool)
+    firsts[0] = True
+    firsts[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[firsts], b[firsts], e[firsts]
+
+
+def _local_minhash_pairs(
+    t: pa.Table | None, pairs_fn, cap: int, threshold: float, id_col: str
+):
+    """Vectorized local equivalent of
+    ``_local_bucket_groups(t, pairs_fn)`` for the minhash pairer.
+
+    Small buckets (2 <= n <= cap) are batched BY SIZE: one
+    (groups, pairs, hashes) equality reduction per distinct bucket size
+    — profiling the sf0.1 local path showed ~12k per-bucket numpy
+    setups (triu_indices / stack / mean on 2-5 row buckets) dominating
+    its wall. Oversized buckets still route through ``pairs_fn`` one at
+    a time (the unique-collapse / tiled path). The pair set and the
+    estimates are identical: same triu pair order, same boolean-mean
+    over the signature columns, same min/max id normalization.
+
+    Returns cross-band-deduplicated (id_a, id_b, est) arrays via
+    :func:`_dedup_pair_arrays`; the pair budget is enforced on the
+    deduplicated count (matching the dict-based path), with a
+    mid-flight dedup pass whenever the raw accumulation crosses it so
+    memory stays bounded on duplicate-dense corpora."""
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.float64),
+    )
+    if t is None or t.num_rows < 2:
+        return empty
+    band = np.asarray(t.column("band"))
+    bucket = np.asarray(t.column("bucket"))
+    order = np.lexsort((bucket, band))
+    ts = t.take(pa.array(order))
+    b1, b2 = band[order], bucket[order]
+    first = np.empty(len(b1), dtype=bool)
+    first[0] = True
+    first[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, len(b1)))
+    multi = sizes >= 2
+    starts, sizes = starts[multi], sizes[multi]
+    if starts.size == 0:
+        return empty
+    ids = np.asarray(ts.column(id_col)).astype(np.int64)
+    flat = np.asarray(ts.column("sig").combine_chunks().flatten())
+    width = flat.size // ts.num_rows
+    sig = flat.astype(np.uint64).reshape(ts.num_rows, width)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_e: list[np.ndarray] = []
+    budget = _pair_budget()
+    kept = 0
+
+    def _flush(force: bool):
+        nonlocal out_a, out_b, out_e, kept
+        if not force and kept <= budget:
+            return
+        a, b, e = _dedup_pair_arrays(
+            np.concatenate(out_a) if out_a else np.array([], np.int64),
+            np.concatenate(out_b) if out_b else np.array([], np.int64),
+            np.concatenate(out_e) if out_e else np.array([], np.float64),
+        )
+        out_a, out_b, out_e = [a], [b], [e]
+        kept = a.size
+        _check_pair_budget(kept, "minhash_dup_pairs", budget)
+
+    big = sizes > cap
+    for s, sz in zip(starts[big], sizes[big]):
+        pt = pairs_fn(ts.slice(int(s), int(sz)))
+        if pt.num_rows:
+            out_a.append(np.asarray(pt.column("id_a")).astype(np.int64))
+            out_b.append(np.asarray(pt.column("id_b")).astype(np.int64))
+            out_e.append(
+                np.asarray(pt.column("est_jaccard")).astype(np.float64)
+            )
+            kept += pt.num_rows
+            _flush(False)
+    starts, sizes = starts[~big], sizes[~big]
+    for n in np.unique(sizes):
+        n = int(n)
+        gs = starts[sizes == n]
+        ia, ib = np.triu_indices(n, k=1)
+        npair = ia.size
+        # chunk so the (groups, pairs, hashes) equality tensor stays
+        # ~a few hundred MB at worst
+        gchunk = max(1, (1 << 24) // max(1, npair * width))
+        for c0 in range(0, gs.size, gchunk):
+            rows = (
+                gs[c0 : c0 + gchunk, None] + np.arange(n)[None, :]
+            ).ravel()
+            s_n = sig[rows].reshape(-1, n, width)
+            i_n = ids[rows].reshape(-1, n)
+            est = (s_n[:, ia, :] == s_n[:, ib, :]).mean(axis=2)
+            keep = est >= threshold
+            g_idx, p_idx = np.nonzero(keep)
+            if g_idx.size:
+                pa_ = i_n[g_idx, ia[p_idx]]
+                pb_ = i_n[g_idx, ib[p_idx]]
+                out_a.append(np.minimum(pa_, pb_))
+                out_b.append(np.maximum(pa_, pb_))
+                out_e.append(est[g_idx, p_idx])
+                kept += g_idx.size
+                _flush(False)
+    _flush(True)
+    return out_a[0], out_b[0], out_e[0]
+
+
 def minhash_dup_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -619,17 +738,20 @@ def minhash_dup_pairs(
     if fits_local(ds, amplification=float(bands * (n_hashes + 3) * 8) / 64.0):
         # cost-based fast path (see tbl_ray.sizing): group the collected
         # sketch locally — bucket membership and pair estimates are
-        # identical to the distributed groupby by construction
-        for pt in _local_bucket_groups(_collect_sketch(sk), pairs_fn):
-            for a, b, j in zip(
-                pt.column("id_a").to_pylist(),
-                pt.column("id_b").to_pylist(),
-                pt.column("est_jaccard").to_pylist(),
-            ):
-                key = (a, b)
-                if key not in seen or j > seen[key]:
-                    seen[key] = j
-            _check_pair_budget(len(seen), "minhash_dup_pairs")
+        # identical to the distributed groupby by construction, and
+        # small buckets are batched by size (_local_minhash_pairs)
+        # instead of one numpy setup per bucket
+        a, b, e = _local_minhash_pairs(
+            _collect_sketch(sk),
+            pairs_fn,
+            _bucket_cap("minhash", 1000),
+            threshold,
+            id_col,
+        )
+        return [
+            {"id_a": int(x), "id_b": int(y), "est_jaccard": float(j)}
+            for x, y, j in zip(a, b, e)
+        ]
     else:
         pair_ds = sk.groupby(["band", "bucket"]).map_groups(
             pairs_fn, batch_format="pyarrow"
