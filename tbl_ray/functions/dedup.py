@@ -753,9 +753,32 @@ def minhash_dup_pairs(
             for x, y, j in zip(a, b, e)
         ]
     else:
-        pair_ds = sk.groupby(["band", "bucket"]).map_groups(
-            pairs_fn, batch_format="pyarrow"
-        )
+        # bounded hash exchange (the repo's standard keyed route) instead
+        # of a sort groupby on the unbounded (band, bucket) key space:
+        # each hash bucket holds MANY complete LSH buckets, and the same
+        # by-size batched pairer that serves the local path segments and
+        # reduces them in one pass per distinct bucket size — Ray's
+        # map_groups would otherwise call pairs_fn once per tiny bucket.
+        # Imported here, on the driver, because exchange.py imports this
+        # module's fingerprint at module level (workers never run this
+        # import — the shipped closures carry their own references)
+        from tbl_ray.stages.exchange import bucket_exchange
+
+        cap = _bucket_cap("minhash", 1000)
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            a, b, est = _local_minhash_pairs(
+                t, pairs_fn, cap, threshold, id_col
+            )
+            return pa.table(
+                {
+                    "id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64()),
+                    "est_jaccard": pa.array(est, pa.float64()),
+                }
+            )
+
+        pair_ds = bucket_exchange(sk, ["band", "bucket"], per_bucket)
         pair_ds = _coalesce_pairs(pair_ds, "est_jaccard", maximize=True)
         for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
             for r in b.to_pylist():
