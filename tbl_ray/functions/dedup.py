@@ -61,16 +61,19 @@ def _check_pair_budget(n_pairs: int, op: str, budget: int | None = None) -> None
         )
 
 
-def _local_bucket_groups(t: pa.Table | None, group_fn):
-    """Apply a per-(band, bucket) group function over a locally collected
-    sketch table: one lexsort segments the groups, and only multi-member
-    groups (the candidate-bearing ones) reach ``group_fn`` — the same
-    work the distributed ``groupby(...).map_groups`` does, minus the
-    exchange. Yields ``group_fn``'s non-empty outputs."""
+def _local_bucket_groups(t: pa.Table | None, group_fn, keys=("band", "bucket")):
+    """Apply a per-``keys`` group function over a sketch table: one
+    lexsort segments the groups, and only multi-member groups (the
+    candidate-bearing ones) reach ``group_fn`` — the same work a
+    distributed ``groupby(...).map_groups`` does, minus the exchange.
+    Yields ``group_fn``'s non-empty outputs. Serves both the
+    driver-local fast path (collected sketch) and, via
+    :func:`_grouped_pair_exchange`, each exchange bucket on the
+    distributed path."""
     if t is None or t.num_rows < 2:
         return
-    band = np.asarray(t.column("band"))
-    bucket = np.asarray(t.column("bucket"))
+    band = np.asarray(t.column(keys[0]))
+    bucket = np.asarray(t.column(keys[1]))
     order = np.lexsort((bucket, band))
     ts = t.take(pa.array(order))
     b1, b2 = band[order], bucket[order]
@@ -83,6 +86,29 @@ def _local_bucket_groups(t: pa.Table | None, group_fn):
         out = group_fn(ts.slice(int(s), int(sz)))
         if out.num_rows:
             yield out
+
+
+def _grouped_pair_exchange(sk, keys: list[str], group_fn):
+    """Distributed candidate generation as the repo's standard keyed
+    route: a bounded hash-bucket exchange (``bucket_exchange``, bucket
+    count auto-sized from input bytes) where each task receives MANY
+    complete ``keys`` groups and segments them with one lexsort
+    (:func:`_local_bucket_groups`) — instead of a Ray sort groupby on
+    the unbounded raw key space with one ``map_groups`` call per tiny
+    LSH bucket. The per-group function is unchanged, so the pair set is
+    identical by construction."""
+    # driver-side import: exchange.py imports this module's fingerprint
+    # at module level (workers never run this import — the shipped
+    # closures carry their own references)
+    from tbl_ray.stages.exchange import bucket_exchange
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        outs = list(_local_bucket_groups(t, group_fn, keys=tuple(keys)))
+        # group_fn on an empty slice returns its typed empty pair table
+        return pa.concat_tables(outs) if outs else group_fn(t.slice(0, 0))
+
+    return bucket_exchange(sk, keys, per_bucket)
+
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _SHINGLE = 8  # byte-level shingle width (fits one uint64 window)
@@ -1021,9 +1047,7 @@ def simhash_dup_pairs(
                     seen[key] = h
             _check_pair_budget(len(seen), "simhash_dup_pairs")
     else:
-        pair_ds = sk.groupby(["band", "bucket"]).map_groups(
-            pairs, batch_format="pyarrow"
-        )
+        pair_ds = _grouped_pair_exchange(sk, ["band", "bucket"], pairs)
         pair_ds = _coalesce_pairs(pair_ds, "hamming", maximize=False)
         for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
             for r in b.to_pylist():
@@ -1477,7 +1501,7 @@ def embedding_dup_pairs(
         return _pair_table(ids[ia[keep]], ids[ib[keep]], s[keep])
 
     sk = ds.map_batches(Sketch, batch_format="pyarrow", concurrency=_default_pool())
-    pair_ds = sk.groupby(["table", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    pair_ds = _grouped_pair_exchange(sk, ["table", "bucket"], pairs)
     pair_ds = _coalesce_pairs(pair_ds, "cosine", maximize=True)
     seen = {}
     for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
