@@ -757,7 +757,6 @@ def minhash_dup_pairs(
         zero_copy_batch=True,
     )
     pairs_fn = _bucket_pairs(threshold, id_col)
-    seen: dict[tuple[int, int], float] = {}
     # the banded sketch is ~bands x (n_hashes + 3) x 8 bytes per row —
     # often 10-20x a short compressed document — so the local gate
     # divides the budget by that amplification (see sizing.fits_local)
@@ -806,6 +805,7 @@ def minhash_dup_pairs(
 
         pair_ds = bucket_exchange(sk, ["band", "bucket"], per_bucket)
         pair_ds = _coalesce_pairs(pair_ds, "est_jaccard", maximize=True)
+        seen: dict[tuple[int, int], float] = {}
         for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
             for r in b.to_pylist():
                 key = (r["id_a"], r["id_b"])
