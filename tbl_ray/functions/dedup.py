@@ -61,17 +61,12 @@ def _check_pair_budget(n_pairs: int, op: str, budget: int | None = None) -> None
         )
 
 
-def _local_bucket_groups(t: pa.Table | None, group_fn, keys=("band", "bucket")):
-    """Apply a per-``keys`` group function over a sketch table: one
-    lexsort segments the groups, and only multi-member groups (the
-    candidate-bearing ones) reach ``group_fn`` — the same work a
-    distributed ``groupby(...).map_groups`` does, minus the exchange.
-    Yields ``group_fn``'s non-empty outputs. Serves both the
-    driver-local fast path (collected sketch) and, via
-    :func:`_grouped_pair_exchange`, each exchange bucket on the
-    distributed path."""
-    if t is None or t.num_rows < 2:
-        return
+def _segment_groups(t: pa.Table, keys):
+    """Lexsort ``t`` by the two ``keys`` columns and return
+    ``(ts, starts, sizes)``: the sorted table plus the row offset and
+    length of every multi-member (>= 2 rows) group. The single shared
+    segmentation for the LSH pairers — the driver-local fast paths and
+    each distributed exchange bucket all group through here."""
     band = np.asarray(t.column(keys[0]))
     bucket = np.asarray(t.column(keys[1]))
     order = np.lexsort((bucket, band))
@@ -82,7 +77,23 @@ def _local_bucket_groups(t: pa.Table | None, group_fn, keys=("band", "bucket")):
     first[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
     starts = np.flatnonzero(first)
     sizes = np.diff(np.append(starts, len(b1)))
-    for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+    multi = sizes >= 2
+    return ts, starts[multi], sizes[multi]
+
+
+def _local_bucket_groups(t: pa.Table | None, group_fn, keys=("band", "bucket")):
+    """Apply a per-``keys`` group function over a sketch table: one
+    lexsort segments the groups (:func:`_segment_groups`), and only
+    multi-member groups (the candidate-bearing ones) reach ``group_fn``
+    — the same work a distributed ``groupby(...).map_groups`` does,
+    minus the exchange. Yields ``group_fn``'s non-empty outputs. Serves
+    both the driver-local fast path (collected sketch) and, via
+    :func:`_grouped_pair_exchange`, each exchange bucket on the
+    distributed path."""
+    if t is None or t.num_rows < 2:
+        return
+    ts, starts, sizes = _segment_groups(t, keys)
+    for s, sz in zip(starts, sizes):
         out = group_fn(ts.slice(int(s), int(sz)))
         if out.num_rows:
             yield out
@@ -637,7 +648,12 @@ def _dedup_pair_arrays(a: np.ndarray, b: np.ndarray, e: np.ndarray):
 
 
 def _local_minhash_pairs(
-    t: pa.Table | None, pairs_fn, cap: int, threshold: float, id_col: str
+    t: pa.Table | None,
+    pairs_fn,
+    cap: int,
+    threshold: float,
+    id_col: str,
+    budget: int | None = None,
 ):
     """Vectorized local equivalent of
     ``_local_bucket_groups(t, pairs_fn)`` for the minhash pairer.
@@ -663,18 +679,7 @@ def _local_minhash_pairs(
     )
     if t is None or t.num_rows < 2:
         return empty
-    band = np.asarray(t.column("band"))
-    bucket = np.asarray(t.column("bucket"))
-    order = np.lexsort((bucket, band))
-    ts = t.take(pa.array(order))
-    b1, b2 = band[order], bucket[order]
-    first = np.empty(len(b1), dtype=bool)
-    first[0] = True
-    first[1:] = (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])
-    starts = np.flatnonzero(first)
-    sizes = np.diff(np.append(starts, len(b1)))
-    multi = sizes >= 2
-    starts, sizes = starts[multi], sizes[multi]
+    ts, starts, sizes = _segment_groups(t, ("band", "bucket"))
     if starts.size == 0:
         return empty
     ids = np.asarray(ts.column(id_col)).astype(np.int64)
@@ -684,7 +689,11 @@ def _local_minhash_pairs(
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_e: list[np.ndarray] = []
-    budget = _pair_budget()
+    if budget is None:
+        # resolved here only on the DRIVER (local fast path); the
+        # distributed caller pre-resolves and ships it, because
+        # map_groups workers do not see driver-set env vars
+        budget = _pair_budget()
     kept = 0
 
     def _flush(force: bool):
@@ -789,11 +798,16 @@ def minhash_dup_pairs(
         # import — the shipped closures carry their own references)
         from tbl_ray.stages.exchange import bucket_exchange
 
+        # cap AND budget resolve on the DRIVER: map_groups workers do
+        # not see driver-set env vars, so a user following the budget
+        # error's advice (raise TBL_RAY_MAX_PAIRS) would otherwise be
+        # silently ignored inside the exchange tasks
         cap = _bucket_cap("minhash", 1000)
+        budget = _pair_budget()
 
         def per_bucket(t: pa.Table) -> pa.Table:
             a, b, est = _local_minhash_pairs(
-                t, pairs_fn, cap, threshold, id_col
+                t, pairs_fn, cap, threshold, id_col, budget=budget
             )
             return pa.table(
                 {

@@ -316,14 +316,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
-            if not 1 <= nc <= 4:
-                # JFIF practice: 1 (gray), 3 (YCbCr), 4 (CMYK). A raw
-                # byte allows 255 components x ~8*w*h coefficient bytes
-                # each — without this bound a crafted header passes the
-                # pixel budget yet still requests ~100 GB. Checked before
-                # parsing the per-component triples so a short segment
-                # funnels to ValueError, not struct.error
-                raise ValueError(f"JPEG SOF with {nc} components (1-4 allowed)")
+            if nc not in (1, 3):
+                # this codec converts exactly the JFIF color models it
+                # implements: 1 (gray) and 3 (YCbCr). 2-component frames
+                # are malformed; 4-component (Adobe CMYK/YCCK) needs the
+                # APP14 transform flag we do not parse — reject rather
+                # than decode to wrong colors (and a raw byte allows 255
+                # components x ~8*w*h coefficient bytes each, so the
+                # bound also stops crafted ~100 GB headers). Checked
+                # before parsing the per-component triples so a short
+                # segment funnels to ValueError, not struct.error
+                raise ValueError(
+                    f"JPEG SOF with {nc} components (grayscale and"
+                    " YCbCr only)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 + 3 * i)

@@ -281,7 +281,11 @@ def test_corrupt_sof_component_count_is_valueerror():
     data = bytearray(encode_jpeg(rng.integers(0, 256, (8, 8, 3), np.uint8)))
     idx = bytes(data).find(b"\xff\xc0")
     # SOF0: marker(2) len(2), payload prec(1) h(2) w(2) nc(1)
-    for bad_nc in (0, 5, 255):
+    # 2 (malformed) and 4 (Adobe CMYK/YCCK — needs the unparsed APP14
+    # transform flag) must also funnel: a fixed 3-plane color convert
+    # would otherwise raise TypeError, which the on_error policies do
+    # NOT catch
+    for bad_nc in (0, 2, 4, 5, 255):
         patched = bytearray(data)
         patched[idx + 9] = bad_nc
         with pytest.raises(ValueError, match="components"):
