@@ -331,15 +331,17 @@ def _last_json(stdout: str, require_key: str) -> "dict | None":
 
 def orchestrate(headline_only: bool) -> int:
     """Parent body: no Ray in this process. Headline subprocess
-    (BEST-OF-3: this box is time-shared and a loaded window halves a
-    single run — r03's committed 1.94s vs the quiet-window 0.86s; min
-    is the robust wall-clock stat and all runs are recorded in the
-    artifact), print the headline JSON line immediately, then
-    query-group subprocesses (retry once each), then the final merged
-    JSON line."""
+    (BEST-OF-5, like the scaling legs: this box is time-shared and a
+    loaded window halves a single run — r03's committed 1.94s vs the
+    quiet-window 0.86s, and session-15's legs descended 5.1->1.9s as
+    interference decayed; min is the robust wall-clock stat and all
+    runs are recorded in the artifact), print the headline JSON line
+    immediately, then query-group subprocesses (retry once each),
+    then the final merged JSON line."""
+    head_reps = int(os.environ.get("TBL_RAY_HEADLINE_REPS", "5"))
     runs: list[dict] = []
     attempts = 0
-    while len(runs) < 3 and attempts < 5:
+    while len(runs) < head_reps and attempts < head_reps + 2:
         attempts += 1
         stdout, _ok = _spawn(["--phase", "headline"], timeout_s=2400)
         r = _last_json(stdout, "metric")
