@@ -362,7 +362,7 @@ def orchestrate(headline_only: bool) -> int:
             json.dumps(
                 {
                     "metric": "webtable_encode_e2e",
-                    "error": "headline phase failed twice",
+                    "error": "headline phase produced no result in any attempt",
                 }
             ),
             flush=True,
