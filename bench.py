@@ -37,8 +37,27 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-WEB_ROWS = int(os.environ.get("TBL_RAY_BENCH_ROWS", "300000"))
-WEB_CACHE = f"/tmp/tbl_ray_bench/webtable_{WEB_ROWS}"
+# Headline input size: 4.8M rows (~8.8 GB) rather than the r01-r04 300k
+# (~0.55 GB). Measured on a quiet host (2026-08-20, BASELINE.md session
+# 16): the ~0.5 s encode wall at 300k rows was ~30% parallelism-
+# independent fixed cost (executor launch, task-stream ramp), which
+# under-reported steady-state throughput ~4x AND corrupted the N-vs-4N
+# ratio (8->32 read 0.65 at 300k vs 0.775 at >=4.8M where the ratio
+# plateaus). GB/s at 4.8M is the representative steady-state number for
+# the 10^12-doc target; r04-comparable runs: TBL_RAY_BENCH_ROWS=300000.
+WEB_ROWS = int(os.environ.get("TBL_RAY_BENCH_ROWS", "4800000"))
+# Shard count controls encode-task granularity (one partition per shard
+# at bench row counts, <=1M rows each): a multiple of every measured
+# worker width (8/16/32) so no leg pays wave-quantization idle time —
+# 48 shards at 32 workers meant 1 full wave + a half-empty one. Scale
+# with rows so shards stay >=25k rows (per-task fixed cost <5%); at the
+# 10^12-doc target there are millions of partitions and quantization
+# vanishes, so finer sharding makes the small-scale proxy MORE faithful.
+WEB_FILES = int(
+    os.environ.get("TBL_RAY_BENCH_FILES", "")
+    or max(96, min(384, WEB_ROWS // 25_000 // 96 * 96 or 96))
+)
+WEB_CACHE = f"/tmp/tbl_ray_bench/webtable_{WEB_ROWS}_{WEB_FILES}"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -89,7 +108,7 @@ def ensure_webtable() -> list[str]:
     from tbl_ray.webtable import generate_batch
 
     os.makedirs(WEB_CACHE, exist_ok=True)
-    n_files = 48
+    n_files = WEB_FILES
     rows_per_file = (WEB_ROWS + n_files - 1) // n_files
 
     shards = [
@@ -149,6 +168,23 @@ def bench_headline() -> dict:
     t0 = time.monotonic()
     report = run_encode_job(paths, out_dir, batch_rows=16384)
     encode_s = time.monotonic() - t0
+
+    # scaling legs read only encode_s / encode_gb_s: skipping the decode
+    # and stream passes there keeps a 5-rep leg at the 8.8 GB default
+    # input under ~10 min at 2 CPUs without changing what is measured
+    if os.environ.get("TBL_RAY_HEADLINE_ENCODE_ONLY"):
+        gb = report["input_bytes"] / 1e9
+        snappy_bytes = sum(os.path.getsize(p) for p in paths)
+        return {
+            "encode_s": round(encode_s, 3),
+            "rows": report["num_rows"],
+            "input_gb": round(gb, 4),
+            "encode_gb_s": round(gb / encode_s, 4),
+            "encode_ratio": round(report["ratio"], 4),
+            "file_bytes": report["file_bytes"],
+            "snappy_bytes": snappy_bytes,
+            "vs_snappy": round(report["file_bytes"] / snappy_bytes, 4),
+        }
 
     t0 = time.monotonic()
     n = decode_job_output(out_dir).count()
@@ -447,7 +483,11 @@ def run_scaling() -> dict:
     for cpus in pair:
         best = None
         for rep in range(reps):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(cpus),
+                TBL_RAY_HEADLINE_ENCODE_ONLY="1",
+            )
             stdout, ok = _spawn(
                 ["--phase", "headline"], timeout_s=3600, env=env
             )
