@@ -34,7 +34,11 @@ from tbl_ray.codecs.base import binary_parts
 from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, train_symbols
 from tbl_ray.codecs.select import decide_codec, default_effort
 from tbl_ray.pipelines import zonemap
-from tbl_ray.stages.encode import ENCODED_SCHEMA, ColumnEncoder
+from tbl_ray.stages.encode import (
+    ENCODED_SCHEMA,
+    TARGET_CHUNK_BYTES,
+    ColumnEncoder,
+)
 
 MANIFEST = "manifest.jsonl"
 SUCCESS = "_SUCCESS"
@@ -111,7 +115,13 @@ def plan_partitions(
     return specs
 
 
-_TARGET_CHUNK_BYTES = 64 << 20  # cap uncompressed bytes per encode chunk
+# Cap on uncompressed bytes per encode chunk — shared with the streaming
+# stage (one knob, one env var TBL_RAY_CHUNK_BYTES); see
+# stages/encode.py:TARGET_CHUNK_BYTES for the measurements behind the
+# ~1 MiB default (13% smaller on disk + 26% faster at 32 workers on the
+# web payload; the container zstd window spans consecutive small chunks
+# and the per-chunk passes stay cache-resident).
+_TARGET_CHUNK_BYTES = TARGET_CHUNK_BYTES
 
 
 def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:

@@ -51,7 +51,10 @@ def test_lang_skew_zipfian():
 def test_encoder_roundtrip_batch():
     t = generate_batch(0, 2000, seed=42)
     enc = ColumnEncoder()(t)
-    assert enc.num_rows == 1
+    # oversized batches split into ~TARGET_CHUNK_BYTES sub-chunks
+    # (~3.7 MB of web rows -> several ~1 MiB chunks); total rows conserved
+    assert enc.num_rows >= 1
+    assert sum(enc.column("num_rows").to_pylist()) == t.num_rows
     assert set(enc.column("columns")[0].as_py()) == set(t.schema.names)
     back = decode_table(enc)
     assert back.select(t.schema.names).equals(back.select(t.schema.names))
@@ -67,7 +70,12 @@ def test_encoder_compresses_webtable():
     # policy is covered in tests/test_effort.py)
     t = generate_batch(0, 5000, seed=42)
     enc = ColumnEncoder(effort="ratio")(t)
-    ratio = enc.column("encoded_bytes")[0].as_py() / enc.column("input_bytes")[0].as_py()
+    import pyarrow.compute as pc
+
+    ratio = (
+        pc.sum(enc.column("encoded_bytes")).as_py()
+        / pc.sum(enc.column("input_bytes")).as_py()
+    )
     assert ratio < 0.7, f"whole-table codec ratio too weak: {ratio:.3f}"
     codecs = dict(
         zip(enc.column("columns")[0].as_py(), enc.column("codecs")[0].as_py())
