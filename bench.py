@@ -207,8 +207,13 @@ def bench_headline() -> dict:
     # level 2 mirrors the partitioned job's container policy for the default
     # (balanced) effort: on this payload level 2 is faster AND smaller
     # than 3, and raw-dominated payloads gain <1.5% from level 6
+    # one block per input file + whole-block batches: the stateless
+    # encode fuses into the read (no raw-block object-store round-trip;
+    # the reader's default SplitBlocks step would break fusion)
     encode_dataset(
-        ray.data.read_parquet(paths), batch_size=16384, decisions=decisions
+        ray.data.read_parquet(paths, override_num_blocks=len(paths)),
+        batch_size=None,
+        decisions=decisions,
     ).write_parquet(stream_dir, compression="zstd", compression_level=2)
     stream_s = time.monotonic() - t0
     shutil.rmtree(stream_dir, ignore_errors=True)

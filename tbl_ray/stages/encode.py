@@ -12,9 +12,10 @@ The encoder is an **actor-pool stage** (stateful: reusable scratch and
 per-chunk FSST training live in the actor; ``map_batches(ColumnEncoder,
 concurrency=N)``), mirroring SURVEY.md §2.3/§7.2.
 
-Scale notes: batch size bounds chunk memory (wide ``html`` binary rows need
-small row counts — pass ``batch_size`` accordingly); encoded rows are far
-smaller than input, so the downstream ``write_parquet`` streams freely.
+Scale notes: chunk memory is bounded by ``TARGET_CHUNK_BYTES`` — the
+encoder slices oversized batches itself, so callers don't tune
+``batch_size`` per row width; encoded rows compress in the container, so
+the downstream ``write_parquet`` streams freely.
 """
 
 from __future__ import annotations
@@ -228,7 +229,7 @@ def encode_dataset(
     codecs: dict[str, str] | None = None,
     effort: str | None = None,
     decisions: dict[str, str] | None = None,
-    batch_size: int | None = 65536,
+    batch_size: int | None = None,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """Encode a Dataset column-chunk-wise -> Dataset of encoded rows.
@@ -237,6 +238,16 @@ def encode_dataset(
     :func:`tbl_ray.pipelines.encode_job.plan_codec_decisions`) to skip the
     per-actor stats/probe pass — otherwise every pool actor pays it once
     on its first chunk.
+
+    ``batch_size=None`` (the default) encodes each upstream block as-is:
+    the encoder slices oversized batches to ``TARGET_CHUNK_BYTES``
+    internally, so batch size no longer bounds chunk memory, and
+    whole-block batches let Ray fuse a task-based read straight into the
+    stateless encode (measured 1.81 -> 2.41 GB/s on the 8.8 GB web
+    table: the fused plan never round-trips raw blocks through the
+    object store — pair it with ``read_parquet(...,
+    override_num_blocks=len(paths))``, since the reader's default
+    block-splitting inserts an un-fusable SplitBlocks step).
 
     Execution mode: when the plan is complete (every column decided or
     forced) and FSST-free, the encoder holds no state worth amortizing —
