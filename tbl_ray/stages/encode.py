@@ -45,6 +45,10 @@ from tbl_ray.codecs.fsst import parse_symtab
 # batch size).
 TARGET_CHUNK_BYTES = int(os.environ.get("TBL_RAY_CHUNK_BYTES", str(1 << 20)))
 
+# Decoded-bytes budget per decode_table call inside decode_dataset —
+# bounds worker memory independently of how large the chunks on disk are.
+_DECODE_SEGMENT_BYTES = 128 << 20
+
 
 def _default_pool() -> tuple[int, int]:
     """Autoscaling actor-pool bounds that always leave CPUs for upstream
@@ -299,18 +303,32 @@ def decode_dataset(
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    fn = decode_table
-    if columns is not None:
-        cols = list(columns)
+    cols = list(columns) if columns is not None else None
 
-        def fn(t: pa.Table) -> pa.Table:  # noqa: F811 - projected variant
-            return decode_table(t, columns=cols)
+    def fn(t: pa.Table):
+        # segment by DECODED bytes (the input_bytes lineage column), not
+        # by row count: a ~1 MiB-chunk corpus decodes ~128 chunks per
+        # piece, while a legacy 64 MiB-chunk corpus still yields after
+        # 2 — batch row count alone cannot bound decode memory. Yielding
+        # pieces keeps the streaming executor's backpressure in play.
+        sizes = t.column("input_bytes").to_pylist()
+        start, acc = 0, 0
+        for i, s in enumerate(sizes):
+            if i > start and acc + (s or 0) > _DECODE_SEGMENT_BYTES:
+                yield decode_table(t.slice(start, i - start), columns=cols)
+                start, acc = i, 0
+            acc += s or 0
+        if start < t.num_rows:
+            yield decode_table(t.slice(start), columns=cols)
 
     return ds.map_batches(
         fn,
         batch_format="pyarrow",
-        # one encoded row can decode to a large table; keep batches small
-        batch_size=4,
+        # measured at 32 CPUs on the 8.8 GB web table: 128 rows/batch
+        # decodes at 2.78 GB/s vs 2.38 at the old 4 (chunks are ~1 MiB
+        # now, so tiny batches just multiplied task overhead); memory
+        # stays bounded by the byte segmentation above, not this count
+        batch_size=128,
         zero_copy_batch=True,
         **kwargs,
     )
