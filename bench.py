@@ -44,18 +44,24 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # under-reported steady-state throughput ~4x AND corrupted the N-vs-4N
 # ratio (8->32 read 0.65 at 300k vs 0.775 at >=4.8M where the ratio
 # plateaus). GB/s at 4.8M is the representative steady-state number for
-# the 10^12-doc target; r04-comparable runs: TBL_RAY_BENCH_ROWS=300000.
+# the 10^12-doc target; a run matching r04's exact configuration needs
+# TBL_RAY_BENCH_ROWS=300000 TBL_RAY_BENCH_FILES=48.
 WEB_ROWS = int(os.environ.get("TBL_RAY_BENCH_ROWS", "4800000"))
 # Shard count controls encode-task granularity (one partition per shard
 # at bench row counts, <=1M rows each): a multiple of every measured
 # worker width (8/16/32) so no leg pays wave-quantization idle time —
 # 48 shards at 32 workers meant 1 full wave + a half-empty one. Scale
-# with rows so shards stay >=25k rows (per-task fixed cost <5%); at the
-# 10^12-doc target there are millions of partitions and quantization
-# vanishes, so finer sharding makes the small-scale proxy MORE faithful.
-WEB_FILES = int(
-    os.environ.get("TBL_RAY_BENCH_FILES", "")
-    or max(96, min(384, WEB_ROWS // 25_000 // 96 * 96 or 96))
+# with rows toward ~25k rows/shard (per-task fixed cost <5%; below
+# 2.4M rows the 96-shard floor wins and shards are proportionally
+# smaller); at the 10^12-doc target there are millions of partitions
+# and quantization vanishes, so finer sharding makes the small-scale
+# proxy MORE faithful.
+WEB_FILES = max(
+    1,
+    int(
+        os.environ.get("TBL_RAY_BENCH_FILES", "")
+        or max(96, min(384, WEB_ROWS // 25_000 // 96 * 96 or 96))
+    ),
 )
 WEB_CACHE = f"/tmp/tbl_ray_bench/webtable_{WEB_ROWS}_{WEB_FILES}"
 

@@ -124,9 +124,15 @@ def plan_partitions(
 _TARGET_CHUNK_BYTES = TARGET_CHUNK_BYTES
 
 
-def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
+def _adaptive_batch_rows(
+    pf: "pq.ParquetFile", batch_rows: int, chunk_bytes: "int | None" = None
+) -> int:
     """Clamp chunk row count so wide rows (multi-MB html payloads) keep a
-    chunk under the byte budget — footer-only estimate, no data read."""
+    chunk under the byte budget — footer-only estimate, no data read.
+    Floor of 1: a row can be wider than the whole budget, and a row-count
+    floor would silently multiply chunk memory past it. ``chunk_bytes``
+    must be the DRIVER-resolved budget when called in a worker."""
+    budget = _TARGET_CHUNK_BYTES if chunk_bytes is None else chunk_bytes
     md = pf.metadata
     if md.num_rows == 0:
         return batch_rows
@@ -134,7 +140,7 @@ def _adaptive_batch_rows(pf: "pq.ParquetFile", batch_rows: int) -> int:
         md.row_group(i).total_byte_size for i in range(md.num_row_groups)
     )
     row_bytes = max(1, total_unc // md.num_rows)
-    return max(256, min(batch_rows, _TARGET_CHUNK_BYTES // row_bytes))
+    return max(1, min(batch_rows, budget // row_bytes))
 
 
 _JOB_DECISIONS: dict[tuple, dict[str, str]] = {}
@@ -388,6 +394,7 @@ def encode_partition(
     batch_rows: int = 65536,
     compression: str = "zstd",
     compression_level: int | None = None,
+    chunk_bytes: "int | None" = None,
 ) -> dict:
     """Encode one partition: stream row-group batches -> atomic parquet.
 
@@ -423,8 +430,9 @@ def encode_partition(
         effort=effort,
         decisions=cache,
         fsst_symbols=dict(fsst_symbols or {}),
+        chunk_bytes=chunk_bytes,
     )
-    batch_rows = _adaptive_batch_rows(pf, batch_rows)
+    batch_rows = _adaptive_batch_rows(pf, batch_rows, chunk_bytes)
     # unique per attempt: a crashed run's lingering workers must never race
     # this attempt on a shared tmp path (both produce identical bytes, the
     # last atomic rename wins)
@@ -548,6 +556,11 @@ class _EncodePartitions:
         self.decisions = decisions
         self.fsst_symbols = fsst_symbols
         self.on_error = on_error
+        # resolved HERE: this object is constructed on the driver, so the
+        # env-tunable budget ships with the plan — worker-side env must
+        # never influence chunking (it changes output bytes, breaking the
+        # sha-identical re-encode invariant across attempts/nodes)
+        self.chunk_bytes = TARGET_CHUNK_BYTES
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -567,6 +580,7 @@ class _EncodePartitions:
                     decisions=self.decisions,
                     fsst_symbols=self.fsst_symbols,
                     batch_rows=self.batch_rows,
+                    chunk_bytes=self.chunk_bytes,
                 )
             except Exception as e:  # noqa: BLE001 - poison-pill containment
                 if self.on_error != "skip":

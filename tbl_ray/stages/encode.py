@@ -94,9 +94,17 @@ class ColumnEncoder:
         effort: str | None = None,
         decisions: dict[str, str] | None = None,
         fsst_symbols: dict[str, list] | None = None,
+        chunk_bytes: int | None = None,
     ):
         self.codecs = codecs or {}
         self.effort = effort
+        # chunk budget must be DRIVER-resolved and shipped (workers on a
+        # real cluster never see driver-set env vars — the _pair_budget /
+        # _bucket_cap pitfall), and chunking changes output bytes, so two
+        # attempts of one partition under differing worker env would
+        # violate the sha-identical re-encode invariant. None = the
+        # module global, correct only when constructed driver-side.
+        self.chunk_bytes = TARGET_CHUNK_BYTES if chunk_bytes is None else chunk_bytes
         # per-column FSST symbol tables, trained on the first chunk and
         # reused for this actor's lifetime (chunks of one partition share a
         # distribution; the table is still stored in every chunk payload).
@@ -171,10 +179,14 @@ class ColumnEncoder:
             return ENCODED_SCHEMA.empty_table()
         # slice oversized batches to the chunk byte budget (zero-copy
         # slices; see TARGET_CHUNK_BYTES for why small chunks are both
-        # faster and smaller on wide text/binary rows)
+        # faster and smaller on wide text/binary rows). Floor of 1, not
+        # hundreds: Common-Crawl-style rows can be wider than the whole
+        # budget (multi-MB html), and a row-count floor would silently
+        # multiply chunk memory past it — one giant row per chunk is the
+        # correct degenerate case.
         rows = table.num_rows
         row_bytes = max(1, table.nbytes // rows)
-        step = max(256, TARGET_CHUNK_BYTES // row_bytes)
+        step = max(1, self.chunk_bytes // row_bytes)
         if step >= rows:
             return self.encode_table(table)
         return pa.concat_tables(
@@ -247,9 +259,9 @@ def encode_dataset(
     the encoder slices oversized batches to ``TARGET_CHUNK_BYTES``
     internally, so batch size no longer bounds chunk memory, and
     whole-block batches let Ray fuse a task-based read straight into the
-    stateless encode (measured 1.81 -> 2.41 GB/s on the 8.8 GB web
-    table: the fused plan never round-trips raw blocks through the
-    object store — pair it with ``read_parquet(...,
+    stateless encode (measured 1.81 -> 2.60 GB/s on the 8.8 GB web
+    table, committed bench figure: the fused plan never round-trips raw
+    blocks through the object store — pair it with ``read_parquet(...,
     override_num_blocks=len(paths))``, since the reader's default
     block-splitting inserts an un-fusable SplitBlocks step).
 
@@ -278,6 +290,9 @@ def encode_dataset(
         ColumnEncoder,
         fn_constructor_kwargs={
             "codecs": codecs, "effort": effort, "decisions": decisions,
+            # actors construct in workers: resolve the env-tunable budget
+            # HERE (driver) so worker env can't skew it
+            "chunk_bytes": TARGET_CHUNK_BYTES,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -291,6 +306,7 @@ def decode_dataset(
     *,
     columns: "list[str] | None" = None,
     concurrency: int | None = None,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     """Decode an encoded Dataset back to original rows (order = stream order).
 
@@ -321,14 +337,22 @@ def decode_dataset(
         if start < t.num_rows:
             yield decode_table(t.slice(start), columns=cols)
 
+    if batch_size is None:
+        # measured at 32 CPUs on the 8.8 GB web table: ~128 rows/batch
+        # decodes at 2.78 GB/s vs 2.38 at the old fixed 4 (chunks are
+        # ~1 MiB now, so tiny batches just multiplied task overhead).
+        # Derive the count from the chunk budget so the ENCODED input a
+        # task materializes stays ~_DECODE_SEGMENT_BYTES even when the
+        # corpus was written with a larger TBL_RAY_CHUNK_BYTES — the
+        # output-side segmentation above cannot bound what Ray has
+        # already coalesced into the batch. Foreign corpora with chunks
+        # fatter than the local budget setting need an explicit
+        # batch_size.
+        batch_size = max(4, _DECODE_SEGMENT_BYTES // TARGET_CHUNK_BYTES)
     return ds.map_batches(
         fn,
         batch_format="pyarrow",
-        # measured at 32 CPUs on the 8.8 GB web table: 128 rows/batch
-        # decodes at 2.78 GB/s vs 2.38 at the old 4 (chunks are ~1 MiB
-        # now, so tiny batches just multiplied task overhead); memory
-        # stays bounded by the byte segmentation above, not this count
-        batch_size=128,
+        batch_size=batch_size,
         zero_copy_batch=True,
         **kwargs,
     )

@@ -57,7 +57,7 @@ def test_encoder_roundtrip_batch():
     assert sum(enc.column("num_rows").to_pylist()) == t.num_rows
     assert set(enc.column("columns")[0].as_py()) == set(t.schema.names)
     back = decode_table(enc)
-    assert back.select(t.schema.names).equals(back.select(t.schema.names))
+    assert back.select(t.schema.names).equals(t.select(t.schema.names))
     for name in t.schema.names:
         assert back.column(name).combine_chunks().equals(
             t.column(name).combine_chunks()
