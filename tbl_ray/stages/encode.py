@@ -307,6 +307,7 @@ def decode_dataset(
     columns: "list[str] | None" = None,
     concurrency: int | None = None,
     batch_size: int | None = None,
+    segment_bytes: int | None = None,
 ) -> "ray.data.Dataset":
     """Decode an encoded Dataset back to original rows (order = stream order).
 
@@ -320,6 +321,10 @@ def decode_dataset(
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     cols = list(columns) if columns is not None else None
+    # resolved on the DRIVER and captured by the closure: worker-side
+    # module state (env, by-value module caching across a long session)
+    # must not influence segmentation
+    seg = _DECODE_SEGMENT_BYTES if segment_bytes is None else segment_bytes
 
     def fn(t: pa.Table):
         # segment by DECODED bytes (the input_bytes lineage column), not
@@ -330,7 +335,7 @@ def decode_dataset(
         sizes = t.column("input_bytes").to_pylist()
         start, acc = 0, 0
         for i, s in enumerate(sizes):
-            if i > start and acc + (s or 0) > _DECODE_SEGMENT_BYTES:
+            if i > start and acc + (s or 0) > seg:
                 yield decode_table(t.slice(start, i - start), columns=cols)
                 start, acc = i, 0
             acc += s or 0
@@ -348,7 +353,7 @@ def decode_dataset(
         # already coalesced into the batch. Foreign corpora with chunks
         # fatter than the local budget setting need an explicit
         # batch_size.
-        batch_size = max(4, _DECODE_SEGMENT_BYTES // TARGET_CHUNK_BYTES)
+        batch_size = max(4, seg // TARGET_CHUNK_BYTES)
     return ds.map_batches(
         fn,
         batch_format="pyarrow",

@@ -226,15 +226,12 @@ def test_decode_dataset_projection(ray_session):
     assert sorted(back["lang"]) == sorted(t.column("lang").to_pylist())
 
 
-def test_chunk_split_rows_conserved_any_budget(monkeypatch):
+def test_chunk_split_rows_conserved_any_budget():
     # the internal batch splitter must conserve rows and round-trip for
     # any chunk budget, including budgets far below one row's width
-    import tbl_ray.stages.encode as enc_mod
-
     t = generate_batch(0, 1200, seed=9)
     for budget in (1, 4096, 1 << 20, 1 << 40):
-        monkeypatch.setattr(enc_mod, "TARGET_CHUNK_BYTES", budget)
-        enc = ColumnEncoder()(t)
+        enc = ColumnEncoder(chunk_bytes=budget)(t)
         assert sum(enc.column("num_rows").to_pylist()) == t.num_rows
         back = decode_table(enc)
         for name in t.schema.names:
@@ -243,21 +240,21 @@ def test_chunk_split_rows_conserved_any_budget(monkeypatch):
             ), (budget, name)
 
 
-def test_decode_segments_fat_chunks(monkeypatch):
+def test_decode_segments_fat_chunks():
     # a legacy corpus with huge on-disk chunks must still decode in
-    # byte-bounded segments (row count alone cannot bound decode memory)
-    import tbl_ray.stages.encode as enc_mod
-
+    # byte-bounded segments (row count alone cannot bound decode memory);
+    # budgets pass as explicit driver-resolved parameters (module-global
+    # monkeypatching is unreliable once workers cache the by-value module)
     t = generate_batch(0, 3000, seed=13)
     # one giant chunk (~5.5 MB), as a 64 MiB-budget build would write
-    monkeypatch.setattr(enc_mod, "TARGET_CHUNK_BYTES", 1 << 40)
-    enc_rows = ColumnEncoder()(t)
+    enc_rows = ColumnEncoder(chunk_bytes=1 << 40)(t)
     assert enc_rows.num_rows == 1
     # segment budget far below the chunk: the wrapper must still decode
     # the whole chunk correctly (a chunk is the atomic decode unit; the
     # segmentation splits BATCHES of chunks, never one chunk)
-    monkeypatch.setattr(enc_mod, "_DECODE_SEGMENT_BYTES", 1 << 20)
-    back_ds = decode_dataset(ray.data.from_arrow(enc_rows))
+    back_ds = decode_dataset(
+        ray.data.from_arrow(enc_rows), segment_bytes=1 << 20
+    )
     back = pa.Table.from_pylist(back_ds.take_all())
     assert back.num_rows == t.num_rows
     got = back.sort_by("url")
@@ -268,16 +265,15 @@ def test_decode_segments_fat_chunks(monkeypatch):
         ), name
 
 
-def test_decode_segments_split_many_small_chunks(monkeypatch):
+def test_decode_segments_split_many_small_chunks():
     # many ~1 MiB chunks in one batch: the segmentation must yield
     # multiple pieces whose concatenation equals the unsegmented decode
-    import tbl_ray.stages.encode as enc_mod
-
     t = generate_batch(0, 2500, seed=17)
     enc_rows = ColumnEncoder()(t)  # several ~1 MiB chunks
     assert enc_rows.num_rows > 2
-    monkeypatch.setattr(enc_mod, "_DECODE_SEGMENT_BYTES", 1 << 20)
-    back_ds = decode_dataset(ray.data.from_arrow(enc_rows))
+    back_ds = decode_dataset(
+        ray.data.from_arrow(enc_rows), segment_bytes=1 << 20
+    )
     back = pa.Table.from_pylist(back_ds.take_all())
     assert back.num_rows == t.num_rows
     got = back.sort_by("url")
