@@ -53,8 +53,15 @@ _SAMPLE = 8192  # rows sampled for cardinality / entropy estimates
 # each FSST-candidate column through the container codec both ways and pays
 # for FSST only when it actually buys disk space.
 #
-#   ratio    — trust the codec-level estimate (FSST for compressible text);
-#              maximizes pre-container codec ratio at ~4x encode CPU.
+#   ratio    — minimize on-disk bytes: same probe as balanced but at the
+#              ratio container level (zstd-12 — measured knee on the web
+#              payload: 0.30x snappy at 0.47 GB/s vs 0.46x at level 2;
+#              level 15 buys <1% more for 2x the CPU). The pre-2026-08-20
+#              definition ("trust the codec-level estimate, FSST text")
+#              was measured STRICTLY WORSE once chunks shrank to ~1 MiB:
+#              per-chunk FSST symbol tables scramble the cross-document
+#              redundancy the container would otherwise compress
+#              (0.57x at level 6 vs raw's 0.46x at level 2).
 #   balanced — default; zstd-probe FSST vs raw on a sample, keep FSST only
 #              if it saves >= _FSST_MIN_CONTAINER_SAVINGS of container bytes.
 #   speed    — never consider FSST; cheap codecs (dict/rle/delta/...) only.
@@ -62,7 +69,19 @@ _SAMPLE = 8192  # rows sampled for cardinality / entropy estimates
 _EFFORT_LEVELS = ("ratio", "balanced", "speed")
 _FSST_MIN_CONTAINER_SAVINGS = 0.10
 _PROBE_BYTES = 1 << 18  # 256 KiB of value bytes per probe
-_CONTAINER_ZSTD_LEVEL = 6  # keep in sync with pipelines.encode_job default
+_CONTAINER_ZSTD_LEVEL = 6  # probe proxy for the balanced container
+_RATIO_CONTAINER_ZSTD_LEVEL = 12  # ratio container AND its probe level
+
+
+def container_zstd_level(effort: "str | None" = None) -> int:
+    """Container zstd level for the given effort — single source of truth
+    shared with pipelines.encode_job (balanced keeps level 2: measured
+    faster AND smaller than 3 on the web payload; ratio pays level 12)."""
+    return (
+        _RATIO_CONTAINER_ZSTD_LEVEL
+        if (effort or default_effort()) == "ratio"
+        else 2
+    )
 
 
 def default_effort() -> str:
@@ -71,16 +90,15 @@ def default_effort() -> str:
     return e if e in _EFFORT_LEVELS else "balanced"
 
 
-def _zstd_len(data: bytes) -> int:
+def _zstd_len(data: bytes, level: int = _CONTAINER_ZSTD_LEVEL) -> int:
     return len(
-        pa.Codec("zstd", compression_level=_CONTAINER_ZSTD_LEVEL).compress(
-            data, asbytes=True
-        )
+        pa.Codec("zstd", compression_level=level).compress(data, asbytes=True)
     )
 
 
 def probe_fsst_container_gain(
     arr: pa.Array,
+    level: int = _CONTAINER_ZSTD_LEVEL,
 ) -> tuple[float, list[bytes]]:
     """Relative container-bytes savings of FSST-then-zstd over raw-then-zstd
     on a bounded sample of ``arr``'s value bytes, plus the trained symbol
@@ -93,12 +111,12 @@ def probe_fsst_container_gain(
     _, data = binary_parts(arr.drop_null() if arr.null_count else arr)
     sample = np.ascontiguousarray(data[:_PROBE_BYTES])
     symbols = train_symbols(sample[:_TRAIN_SAMPLE].tobytes())
-    raw_disk = _zstd_len(sample.tobytes())
+    raw_disk = _zstd_len(sample.tobytes(), level)
     if raw_disk == 0:
         return 0.0, symbols
     enc, _ = _encode_stream(sample, symbols)
     symtab = bytes([len(s) for s in symbols]) + b"".join(symbols)
-    fsst_disk = _zstd_len(enc.tobytes()) + _zstd_len(symtab)
+    fsst_disk = _zstd_len(enc.tobytes(), level) + _zstd_len(symtab, level)
     return 1.0 - fsst_disk / raw_disk, symbols
 
 
@@ -279,8 +297,19 @@ def decide_codec(
     effort = effort or default_effort()
     codec = choose_codec(arr, effort=effort)
     symbols = None
-    if codec == "fsst" and effort == "balanced":
-        savings, trained = probe_fsst_container_gain(arr)
+    if codec == "fsst" and effort in ("balanced", "ratio"):
+        # both efforts verify FSST against the container empirically —
+        # each at its own container level; trusting the codec-level
+        # estimate was measured strictly worse once chunks shrank to
+        # ~1 MiB (see the effort policy block above)
+        savings, trained = probe_fsst_container_gain(
+            arr,
+            level=(
+                _RATIO_CONTAINER_ZSTD_LEVEL
+                if effort == "ratio"
+                else _CONTAINER_ZSTD_LEVEL
+            ),
+        )
         if savings >= _FSST_MIN_CONTAINER_SAVINGS:
             symbols = trained
         else:

@@ -32,7 +32,11 @@ import ray.data
 
 from tbl_ray.codecs.base import binary_parts
 from tbl_ray.codecs.fsst import _TRAIN_SAMPLE, train_symbols
-from tbl_ray.codecs.select import decide_codec, default_effort
+from tbl_ray.codecs.select import (
+    container_zstd_level,
+    decide_codec,
+    default_effort,
+)
 from tbl_ray.pipelines import zonemap
 from tbl_ray.stages.encode import (
     ENCODED_SCHEMA,
@@ -398,17 +402,17 @@ def encode_partition(
 ) -> dict:
     """Encode one partition: stream row-group batches -> atomic parquet.
 
-    Container zstd level follows the effort policy when not given: level 6
-    on codec-compressed payloads (effort="ratio"; ~12%% smaller than level
-    3 there) but level 2 on raw-dominated payloads (balanced/speed) —
+    Container zstd level follows the effort policy when not given
+    (``container_zstd_level``): level 12 for effort="ratio" (the measured
+    footprint knee on ~1 MiB chunks: 0.30x snappy at 0.47 GB/s; level 15
+    buys <1%% more for 2x the CPU) and level 2 for balanced/speed —
     measured on the web-table payload, level 2 is both ~25%% faster AND
-    ~1%% smaller than level 3 (zstd's fast/lazy parser crossover), and
-    within 1.5%% of level 6 at ~3x the write speed.
+    ~1%% smaller than level 3 (zstd's fast/lazy parser crossover).
 
     Returns the manifest entry (lineage + metrics)."""
     t0 = time.monotonic()
     if compression_level is None:
-        compression_level = 6 if (effort or default_effort()) == "ratio" else 2
+        compression_level = container_zstd_level(effort)
     pf = pq.ParquetFile(spec.input_path)
     # codec decisions are shared across this worker's partitions, keyed by
     # table shape: Ray reuses worker processes, so the (possibly

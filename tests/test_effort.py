@@ -2,8 +2,10 @@
 
 ``balanced`` (the default) probes FSST-candidate columns through the zstd
 container codec and pays FSST's CPU only when it shrinks the on-disk
-footprint by >= 10%; ``ratio`` trusts the codec-level estimate; ``speed``
-never considers FSST. Decision stickiness (one probe per column per
+footprint by >= 10%; ``ratio`` runs the same probe at its own container
+level (zstd-12) — the old trust-the-codec-estimate definition was
+measured strictly worse at ~1 MiB chunks; ``speed`` never considers
+FSST. Decision stickiness (one probe per column per
 cache) and lossless round-trips at every level are covered here.
 """
 
@@ -36,11 +38,46 @@ def test_default_effort_is_balanced(monkeypatch):
     assert default_effort() == "balanced"
 
 
-def test_ratio_effort_keeps_fsst_on_text():
+def test_ratio_effort_probes_fsst_on_text():
     text = _web_text()
+    # the stats-level estimate still proposes fsst...
     assert choose_codec(text, effort="ratio") == "fsst"
+    # ...but ratio now verifies it against its container level (zstd-12),
+    # where raw wins on natural-language web text (the container already
+    # captures FSST's redundancy, and per-chunk symbol tables scramble
+    # cross-document matches)
     chunk = encode_auto(text, effort="ratio")
-    assert chunk.codec == "fsst"
+    assert chunk.codec == "raw"
+
+
+def test_ratio_container_level():
+    from tbl_ray.codecs.select import container_zstd_level
+
+    assert container_zstd_level("ratio") == 12
+    assert container_zstd_level("balanced") == 2
+    assert container_zstd_level("speed") == 2
+
+
+def test_ratio_effort_on_disk_beats_balanced(tmp_path):
+    # the point of effort="ratio" is the smallest container file; since
+    # 2026-08-20 it must beat balanced on disk (it did NOT under the old
+    # definition once chunks shrank to ~1 MiB)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tbl_ray.pipelines.encode_job import run_encode_job
+
+    t = generate_batch(0, 12000, seed=42)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src, compression="snappy")
+    sizes = {}
+    for effort in ("balanced", "ratio"):
+        out = str(tmp_path / effort)
+        rep = run_encode_job([src], out, effort=effort, batch_rows=4096)
+        sizes[effort] = rep["file_bytes"]
+    assert sizes["ratio"] < sizes["balanced"], sizes
+    assert sizes["ratio"] < os.path.getsize(src)
 
 
 def test_speed_effort_never_picks_fsst():

@@ -65,11 +65,11 @@ def test_encoder_roundtrip_batch():
 
 
 def test_encoder_compresses_webtable():
-    # effort="ratio" pins the codec-level compression path (the default
-    # "balanced" effort may choose raw-into-zstd-container for text; its
-    # policy is covered in tests/test_effort.py)
+    # force FSST on the text columns to pin the codec-level compression
+    # path (no effort level picks FSST for web text anymore: the container
+    # captures its redundancy — policy covered in tests/test_effort.py)
     t = generate_batch(0, 5000, seed=42)
-    enc = ColumnEncoder(effort="ratio")(t)
+    enc = ColumnEncoder(codecs={"text": "fsst", "html": "fsst"})(t)
     import pyarrow.compute as pc
 
     ratio = (
