@@ -247,6 +247,29 @@ def bench_headline() -> dict:
     }
 
 
+def bench_ratio() -> dict:
+    """One ratio-effort encode of the web table: the minimum-footprint
+    configuration (probed codecs + zstd-12 container). Run once per bench
+    (not best-of-N) — the judged quantity is bytes, which are
+    deterministic; the wall time is reported for context only."""
+    from tbl_ray.pipelines.encode_job import run_encode_job
+
+    paths = ensure_webtable()
+    out_dir = f"/tmp/tbl_ray_bench/ratio_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    report = run_encode_job(paths, out_dir, batch_rows=16384, effort="ratio")
+    dt = time.monotonic() - t0
+    snappy_bytes = sum(os.path.getsize(p) for p in paths)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    gb = report["input_bytes"] / 1e9
+    return {
+        "ratio_vs_snappy": round(report["file_bytes"] / snappy_bytes, 4),
+        "ratio_encode_s": round(dt, 3),
+        "ratio_encode_gb_s": round(gb / dt, 4),
+    }
+
+
 QUERY_GROUPS: list[list[str]] = [
     # grouped so each subprocess stays a few minutes even contended;
     # one group dying loses only the queries that had not yet printed
@@ -419,7 +442,15 @@ def orchestrate(headline_only: bool) -> int:
     # fallback line: if the query sweep is cut short, the driver still
     # parses this (scan for the LAST JSON line — this one is complete)
     print(json.dumps(head_result), flush=True)
+
+    # minimum-footprint configuration, once (bytes are deterministic)
+    stdout, _ok = _spawn(["--phase", "ratio"], timeout_s=2400)
+    r = _last_json(stdout, "ratio_vs_snappy")
+    if r is not None:
+        head_result.update(r)
+        log(f"ratio effort: {r}")
     if headline_only:
+        print(json.dumps(head_result), flush=True)
         return 0
 
     queries: dict[str, float] = {}
@@ -544,6 +575,14 @@ def main() -> None:
     if args.phase == "headline":
         result = run_single(headline_only=True)
         print(json.dumps(result), flush=True)
+        return
+    if args.phase == "ratio":
+        init_ray(NUM_CPUS)
+        result = bench_ratio()
+        print(json.dumps(result), flush=True)
+        import ray
+
+        ray.shutdown()
         return
     if args.phase == "gen":
         init_ray(min(NUM_CPUS, 8))
