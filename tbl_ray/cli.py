@@ -87,9 +87,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="force a codec for a column in --encode mode (repeatable)")
     d.add_argument("--effort", choices=("ratio", "balanced", "speed"), default=None,
                    help="codec-selection effort for --encode (default: balanced, "
-                        "or $TBL_RAY_CODEC_EFFORT); 'ratio' maximizes codec-level "
-                        "compression, 'balanced' probes the zstd container and "
-                        "skips codecs that don't shrink the file")
+                        "or $TBL_RAY_CODEC_EFFORT); 'ratio' minimizes on-disk "
+                        "bytes (zstd-12 container, ~2x encode CPU), 'balanced' "
+                        "probes the zstd container and skips codecs that don't "
+                        "shrink the file, 'speed' skips probes entirely")
     d.add_argument("--on-error", dest="on_error", choices=("raise", "skip"),
                    default="raise",
                    help="--encode: skip partitions whose read/encode fails "
