@@ -74,6 +74,22 @@ def read_for_spec(paths: list[str] | str, spec) -> "ray.data.Dataset":
     if isinstance(paths, str):
         paths = [paths]
     schema = pq.read_schema(paths[0])
+    # select runs AFTER with_columns/set in the fixed chain order, so it
+    # may legitimately name columns the chain creates
+    created = {name for name, _, _ in spec.parsed_with_columns()}
+    created.update(c for c, _ in spec.parsed_sets())
+    unknown = [
+        c for c in spec.select if c not in schema.names and c not in created
+    ]
+    if unknown:
+        # fail at plan time like the reference (polars select errors on
+        # missing columns, tbl-core/src/transform.rs:575-586) — the
+        # projection's schema intersection below would otherwise drop the
+        # typo'd name and return an EMPTY result with exit 0
+        raise KeyError(
+            f"unknown column(s) in select: {unknown}; "
+            f"available: {schema.names}"
+        )
     columns = spec_projection(spec, schema.names)
     expr = filters_to_expression(spec.parsed_filters(), schema)
     return read_table(paths, columns=columns, filter_expr=expr)

@@ -155,3 +155,23 @@ def test_summarize_files_distributed_branch(tmp_path):
     assert len(summaries) == 260
     assert sum(s.n_rows for s in summaries) == 520
     assert summaries[0].columns["x"].dtype == "int64"
+
+
+def test_read_for_spec_unknown_select_column_raises(tmp_path):
+    # a typo'd --select column must fail at plan time (reference parity:
+    # polars select errors) — the projection intersection would otherwise
+    # silently return an empty result
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tbl_ray import TransformSpec
+    from tbl_ray.sources.parquet import read_for_spec
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), p)
+    with pytest.raises(KeyError, match="unknown column.*nope"):
+        read_for_spec([p], TransformSpec(select=["a", "nope"]))
+    # valid selects still plan
+    ds = read_for_spec([p], TransformSpec(select=["a"]))
+    assert ds.schema().names == ["a"]
