@@ -245,7 +245,18 @@ def batch_transform(table: pa.Table, spec: TransformSpec) -> pa.Table:
 
 
 def rename_batch(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
-    """Rename columns (metadata-only, zero-copy) (transform.rs:327-350)."""
+    """Rename columns (metadata-only, zero-copy) (transform.rs:327-350).
+
+    Unknown source names raise, matching the reference: its
+    ``lf.rename(existing, new)`` is polars-strict and errors on a missing
+    column — silently ignoring a typo'd ``--rename old=new`` would emit
+    the full output under the wrong name with exit 0."""
+    missing = [n for n in mapping if n not in table.schema.names]
+    if missing:
+        raise TransformError(
+            f"unknown column(s) in rename: {missing}; "
+            f"available: {table.schema.names}"
+        )
     names = [mapping.get(n, n) for n in table.schema.names]
     return table.rename_columns(names)
 

@@ -262,3 +262,18 @@ def test_grouped_topn_matches_duck(ray_session, sf_dir, duck):
         " WHERE rn <= 5 ORDER BY lang, doc_id"
     ).fetch_arrow_table()
     assert got.equals(want.cast(got.schema))
+
+
+def test_rename_unknown_column_raises():
+    # reference parity: polars-strict lf.rename errors on a missing source
+    # column; silently ignoring a typo'd --rename would emit the whole
+    # output under the wrong name with exit 0
+    import pyarrow as pa
+    import pytest
+
+    from tbl_ray.transforms import TransformError, rename_batch
+
+    t = pa.table({"a": [1], "b": [2]})
+    with pytest.raises(TransformError, match="unknown column.*nope"):
+        rename_batch(t, {"nope": "x"})
+    assert rename_batch(t, {"a": "z"}).schema.names == ["z", "b"]
