@@ -21,6 +21,16 @@ import sys
 from tbl_ray.formats import format_bytes, format_with_commas
 
 
+def _nonneg(v: str) -> int:
+    """Row-count arguments are unsigned in the reference (Rust usize via
+    clap rejects negatives); a negative here would silently slice to an
+    empty or shifted window instead."""
+    n = int(v)
+    if n < 0:
+        raise argparse.ArgumentTypeError(f"must be >= 0 (got {n})")
+    return n
+
+
 def _build_ls_parser() -> argparse.ArgumentParser:
     ls = argparse.ArgumentParser(prog="tbl-ray ls")
     ls.add_argument("paths", nargs="*", default=None)
@@ -57,9 +67,9 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--replace", nargs="+", default=[])
     d.add_argument("--filter", nargs="+", default=[])
     d.add_argument("--sort", nargs="+", default=[])
-    d.add_argument("--head", "--limit", dest="head", type=int, default=None)
-    d.add_argument("--tail", type=int, default=None)
-    d.add_argument("--offset", type=int, default=None)
+    d.add_argument("--head", "--limit", dest="head", type=_nonneg, default=None)
+    d.add_argument("--tail", type=_nonneg, default=None)
+    d.add_argument("--offset", type=_nonneg, default=None)
     d.add_argument("--value-counts", dest="value_counts", default=None)
     # output
     d.add_argument("--no-summary", action="store_true")
