@@ -414,15 +414,21 @@ def encode_partition(
     if compression_level is None:
         compression_level = container_zstd_level(effort)
     pf = pq.ParquetFile(spec.input_path)
-    # codec decisions are shared across this worker's partitions, keyed by
-    # table shape: Ray reuses worker processes, so the (possibly
-    # probe-driven) choice is paid once per worker, not once per partition
-    # — and a warm-up job with the same schema pre-pays it
-    skey = tuple((f.name, str(f.type)) for f in pf.schema_arrow)
-    cache = _JOB_DECISIONS.setdefault((skey, effort), {})
-    if decisions:
-        for k, v in decisions.items():
-            cache.setdefault(k, v)
+    if decisions is not None:
+        # a driver-shipped plan is authoritative AND complete for its job:
+        # give it a private per-call cache. Routing it through the shared
+        # worker cache below would let a PREVIOUS job's sticky choices
+        # (same schema+effort but different forced codecs or different
+        # probe outcomes) override this plan via setdefault — observed as
+        # a forced-FSST test poisoning a later ratio-effort job's text
+        # column in the same process.
+        cache = dict(decisions)
+    else:
+        # unplanned call: share probe-driven choices across this worker's
+        # partitions, keyed by table shape — Ray reuses worker processes,
+        # so the choice is paid once per worker, not once per partition
+        skey = tuple((f.name, str(f.type)) for f in pf.schema_arrow)
+        cache = _JOB_DECISIONS.setdefault((skey, effort), {})
     # symbols: a fresh per-partition dict seeded from the driver's plan
     # (plan_fsst_symbols) — columns the plan covered never retrain, and
     # columns that go FSST later train on THIS partition's first chunk.
@@ -454,7 +460,12 @@ def encode_partition(
         ):
             table = pa.Table.from_batches([batch])
             zonemap.fold_stats(zacc, table)
-            enc = encoder.encode_table(table)
+            # encoder.__call__, not encode_table: the footer-AVERAGE row
+            # clamp above cannot see skewed row widths (a batch of ~1 KB
+            # rows containing one 50 MB html row would become a single
+            # >50 MB chunk); __call__ re-splits by the batch's ACTUAL
+            # bytes, so the chunk byte budget holds per chunk
+            enc = encoder(table)
             if writer is None:
                 sink = _HashingFile(tmp)
                 writer = pq.ParquetWriter(
@@ -463,13 +474,16 @@ def encode_partition(
                 )
             writer.write_table(enc)
             rows += table.num_rows
-            input_bytes += int(enc.column("input_bytes")[0].as_py())
-            encoded_bytes += int(enc.column("encoded_bytes")[0].as_py())
-            for col, codec in zip(
-                enc.column("columns")[0].as_py(), enc.column("codecs")[0].as_py()
-            ):
-                codec_use.setdefault(col, {})
-                codec_use[col][codec] = codec_use[col].get(codec, 0) + 1
+            # sum over enc rows: __call__ may emit several chunks per batch
+            input_bytes += sum(enc.column("input_bytes").to_pylist())
+            encoded_bytes += sum(enc.column("encoded_bytes").to_pylist())
+            for i in range(enc.num_rows):
+                for col, codec in zip(
+                    enc.column("columns")[i].as_py(),
+                    enc.column("codecs")[i].as_py(),
+                ):
+                    codec_use.setdefault(col, {})
+                    codec_use[col][codec] = codec_use[col].get(codec, 0) + 1
     except BaseException:
         if writer is not None:
             writer.close()
@@ -793,8 +807,36 @@ def read_encoded(out_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(paths)
 
 
+def informed_decode_batch_size(out_dir: str) -> "int | None":
+    """Encoded rows per decode batch sized from THIS corpus's actual chunk
+    width: one footer gives a file's chunk count, its manifest entry the
+    uncompressed bytes, so avg-bytes-per-chunk is exact for the file and
+    representative for the job. ~128 chunks/batch at the 1 MiB default
+    (measured 2.78 vs 2.38 GB/s against whole-block batching) but only 2
+    for a legacy 64 MiB-chunk corpus — which whole-block batching alone
+    cannot know. None when the manifest has no live data."""
+    from tbl_ray.stages.encode import _DECODE_SEGMENT_BYTES
+
+    entries = [
+        e for e in load_manifest(out_dir).values()
+        if not e.get("error") and e.get("num_rows")
+    ]
+    if not entries:
+        return None
+    probe = entries[0]
+    try:
+        chunks = pq.ParquetFile(probe["out_path"]).metadata.num_rows
+    except Exception:  # noqa: BLE001 - fall back to safe whole-block mode
+        return None
+    if not chunks or not probe.get("input_bytes"):
+        return None
+    avg = max(1, probe["input_bytes"] // chunks)
+    return max(4, min(512, _DECODE_SEGMENT_BYTES // avg))
+
+
 def decode_job_output(out_dir: str, **kwargs) -> "ray.data.Dataset":
     """Decode a job's output back to original rows."""
     from tbl_ray.stages.encode import decode_dataset
 
+    kwargs.setdefault("batch_size", informed_decode_batch_size(out_dir))
     return decode_dataset(read_encoded(out_dir), **kwargs)

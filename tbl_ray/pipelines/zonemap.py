@@ -328,6 +328,10 @@ def decode_filtered(
     need = None
     if columns:
         need = list(dict.fromkeys(list(columns) + [f.column for f in fs]))
+    if "batch_size" not in decode_kwargs:
+        from tbl_ray.pipelines.encode_job import informed_decode_batch_size
+
+        decode_kwargs["batch_size"] = informed_decode_batch_size(out_dir)
     ds = decode_dataset(
         ray.data.read_parquet(kept), columns=need, **decode_kwargs
     )

@@ -62,6 +62,17 @@ def read_encoded_for_spec(out_dir: str, spec) -> "object":
     from tbl_ray.filters import parse_filter
 
     names = encoded_schema_names(out_dir)
+    # same plan-time select validation as the parquet path
+    # (read_for_spec): a typo'd --select would otherwise surface as a raw
+    # KeyError deep inside a decode worker after paying decode cost
+    created = {name for name, _, _ in spec.parsed_with_columns()}
+    unknown = [
+        c for c in spec.select if c not in set(names) and c not in created
+    ]
+    if unknown:
+        raise KeyError(
+            f"unknown column(s) in select: {unknown}; available: {names}"
+        )
     # only filters over STORED columns can prune; a filter on a
     # --with-columns-created column runs downstream only (same rule as
     # filters_to_expression on the parquet path)

@@ -60,7 +60,14 @@ def spec_projection(spec, schema_names: list[str]) -> "list[str] | None":
     needed.update(spec.drop)
     if spec.value_counts:
         needed.add(spec.value_counts)
-    return [n for n in schema_names if n in needed]
+    cols = [n for n in schema_names if n in needed]
+    if not cols and schema_names:
+        # every selected column is chain-CREATED (--with-columns): reading
+        # zero columns would lose the row count (Ray yields 0-column
+        # blocks as empty), so carry one narrow column; select drops it
+        # after the chain adds the created columns
+        cols = [schema_names[0]]
+    return cols
 
 
 def read_for_spec(paths: list[str] | str, spec) -> "ray.data.Dataset":
@@ -74,10 +81,11 @@ def read_for_spec(paths: list[str] | str, spec) -> "ray.data.Dataset":
     if isinstance(paths, str):
         paths = [paths]
     schema = pq.read_schema(paths[0])
-    # select runs AFTER with_columns/set in the fixed chain order, so it
-    # may legitimately name columns the chain creates
+    # select runs AFTER with_columns in the fixed chain order, so it may
+    # legitimately name columns the chain creates; --set only OVERWRITES
+    # existing columns (batch_transform raises on a missing one), so set
+    # targets do NOT bless a select name
     created = {name for name, _, _ in spec.parsed_with_columns()}
-    created.update(c for c, _ in spec.parsed_sets())
     unknown = [
         c for c in spec.select if c not in schema.names and c not in created
     ]

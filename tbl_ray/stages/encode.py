@@ -187,7 +187,13 @@ class ColumnEncoder:
         rows = table.num_rows
         row_bytes = max(1, table.nbytes // rows)
         step = max(1, self.chunk_bytes // row_bytes)
-        if step >= rows:
+        # 1.5x tolerance: callers that already clamp batches to the budget
+        # (the partitioned job's footer-average row clamp) land slightly
+        # over or under it from per-batch width variance — re-splitting
+        # those would shave off tiny runt chunks that cost ratio for no
+        # memory benefit. Genuinely skewed batches (a multi-MB row inside
+        # a narrow-average partition) still exceed the tolerance and split.
+        if rows <= step + step // 2:
             return self.encode_table(table)
         return pa.concat_tables(
             self.encode_table(table.slice(off, step))
@@ -342,22 +348,19 @@ def decode_dataset(
         if start < t.num_rows:
             yield decode_table(t.slice(start), columns=cols)
 
-    if batch_size is None:
-        # measured at 32 CPUs on the 8.8 GB web table: ~128 rows/batch
-        # decodes at 2.78 GB/s vs 2.38 at the old fixed 4 (chunks are
-        # ~1 MiB now, so tiny batches just multiplied task overhead).
-        # Derive the count from the chunk budget so the ENCODED input a
-        # task materializes stays ~_DECODE_SEGMENT_BYTES even when the
-        # corpus was written with a larger TBL_RAY_CHUNK_BYTES — the
-        # output-side segmentation above cannot bound what Ray has
-        # already coalesced into the batch. Foreign corpora with chunks
-        # fatter than the local budget setting need an explicit
-        # batch_size.
-        batch_size = max(4, seg // TARGET_CHUNK_BYTES)
+    # batch_size=None (default) = whole upstream blocks: Ray bounds block
+    # bytes (DataContext target block size), so a task never materializes
+    # more ENCODED input than one block even on a corpus written with fat
+    # chunks — deriving a row count from the LOCAL chunk budget was
+    # measured ~11% faster on this engine's own output but could coalesce
+    # 128 x 64 MiB legacy chunks (~8 GiB) into one batch. Callers that
+    # KNOW their corpus (decode_job_output reads the manifest + a footer)
+    # pass an informed batch_size to reclaim the throughput.
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
     return ds.map_batches(
         fn,
         batch_format="pyarrow",
-        batch_size=batch_size,
         zero_copy_batch=True,
         **kwargs,
     )
